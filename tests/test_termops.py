@@ -1,0 +1,154 @@
+"""Parity with /root/reference/test/unit/text-processing termops suites:
+numTokenV3, getWeights, getIndexablePhrases, parseSemiNumber,
+getHousenumRangeV3, logScale3Bit, numTokenize(Prefix)."""
+
+import math
+
+from carmen_ray.text.termops import (
+    address,
+    decode_3bit_log,
+    encode_3bit_log,
+    get_housenum_range,
+    get_indexable_phrases,
+    get_weights,
+    num_token_v3,
+    num_tokenize,
+    num_tokenize_prefix,
+    parse_semi_number,
+)
+
+
+def test_num_token_v3():
+    assert num_token_v3("") == ""
+    assert num_token_v3("1") == "#"
+    assert num_token_v3("12") == "##"
+    assert num_token_v3("123") == "1##"
+    assert num_token_v3("1234") == "12##"
+    assert num_token_v3("12345") == "12###"
+    assert num_token_v3("123456") == "12####"
+    assert num_token_v3("1234567") == "12#####"
+    assert num_token_v3("12345678") == "12######"
+
+
+def test_parse_semi_number():
+    assert parse_semi_number("9") == 9
+    assert parse_semi_number("9th") == 9
+    assert parse_semi_number("10a") == 10
+    assert parse_semi_number("4к2") == 4
+    assert parse_semi_number("foo") is None
+
+
+def test_address():
+    assert address("10") == "10"
+    assert address("10a") == "10a"
+    assert address("10-19") == "10-19"
+    assert address("6n23") == "6n23"
+    assert address("w350n5337") == "w350n5337"
+    assert address("4к2") == "4к2"
+    assert address("main") is None
+
+
+def test_get_weights():
+    freq = {"__COUNT__": 1002, "a": 1000, "b": 1, "c": 1}
+    res = get_weights(["a", "b", "c"], freq)
+    assert res == [0.047820577394264194, 0.47608971130286787, 0.47608971130286787]
+    assert math.isclose(sum(res), 1.0)
+
+    res = get_weights(["###", "a", "b", "c"], freq)
+    assert res == [0.2, 0.038256461915411356, 0.3808717690422943, 0.3808717690422943]
+
+    res = get_weights(["a", "b", "c", "###"], freq)
+    assert res == [0.038256461915411356, 0.3808717690422943, 0.3808717690422943, 0.2]
+
+    res = get_weights(["+intersection", "a", "b", ",", "c"], freq)
+    assert res == [
+        0.2438760012475654,
+        0.024495995009738453,
+        0.2438760012475654,
+        0.2438760012475654,
+        0.2438760012475654,
+    ]
+
+
+def test_get_indexable_phrases_basic():
+    freq = {"__COUNT__": 101, "main": 1, "st": 100}
+    phrases = get_indexable_phrases(["main", "st"], freq, text_hash=0)
+    assert [(p.relev, p.phrase, p.hash) for p in phrases] == [
+        (1, "main st", 0),
+        (0.8, "main", 0),
+    ]
+
+
+def test_get_indexable_phrases_reduce_relevance():
+    freq = {"__COUNT__": 101, "4": 1, "st": 1, "nw": 1}
+    phrases = get_indexable_phrases(["4", "st", "nw"], freq, text_hash=0, reduce_relevance=True)
+    assert [(p.relev, p.phrase) for p in phrases] == [(0.8, "4 st nw")]
+
+
+def test_get_indexable_phrases_frequent_words():
+    freq = {"__COUNT__": 10}
+    phrases = get_indexable_phrases(["main", "st", "nw"], freq, frequent_words={"st", "nw"}, text_hash=0)
+    assert [(p.relev, p.phrase) for p in phrases] == [
+        (1, "main st nw"),
+        (0.8, "main st"),
+        (0.8, "main nw"),
+    ]
+
+
+def test_get_indexable_phrases_weight_sieve():
+    freq = {"__COUNT__": 202, "jose": 1, "de": 100, "la": 100, "casa": 1}
+    phrases = get_indexable_phrases(["jose", "de", "la", "casa"], freq, text_hash=0)
+    fmt = lambda r: str(int(r)) if r == int(r) else str(r)  # JS number printing
+    assert [f"{fmt(p.relev)}-1-{p.phrase}" for p in phrases] == [
+        "1-1-jose de la casa",
+        "1-1-jose de casa",
+        "1-1-jose la casa",
+        "0.8-1-jose casa",
+    ]
+
+
+def test_get_indexable_phrases_single_tokens():
+    for tok in ("京都市", "москва"):
+        phrases = get_indexable_phrases([tok], {"__COUNT__": 1, tok: 1}, text_hash=0)
+        assert [(p.relev, p.phrase)for p in phrases] == [(1, tok)]
+
+
+def test_housenum_range():
+    # addressnumber form
+    assert get_housenum_range(addressnumbers=[["9", "10", "7"]]) == ["#", "##"]
+    assert get_housenum_range(addressnumbers=[["2000", "2002", "2004"]]) == ["20##"]
+    assert get_housenum_range() is None
+    # range form min..max stepping 10/100
+    r = get_housenum_range(range_props=[(["0"], ["100"])])
+    assert r == ["#", "##", "1##"]
+
+
+def test_3bit_log_scale():
+    assert encode_3bit_log(0, 100) == 0
+    assert encode_3bit_log(1, 100) == 1
+    assert encode_3bit_log(100, 100) == 7
+    for n in (2, 5, 10, 50, 99):
+        e = encode_3bit_log(n, 100)
+        assert 1 <= e <= 7
+        d = decode_3bit_log(e, 100)
+        assert d >= 1
+    assert decode_3bit_log(7, 100) == 100
+    assert decode_3bit_log(0, 100) == 0
+
+
+def test_num_tokenize():
+    variants = num_tokenize(["main", "123"])
+    assert len(variants) == 1
+    tokens, addr = variants[0]
+    assert tokens == ["main", "1##"]
+    assert addr == {"number": "123", "position": 1}
+    assert num_tokenize(["main", "st"]) == []
+
+
+def test_num_tokenize_prefix():
+    # "19" could waffle as ## (19), 1# (190) — the unchanged "19" (1900) is excluded
+    out = num_tokenize_prefix(["19"])
+    flat = [v[0] for v in out]
+    assert flat == ["##", "1#"]
+    assert num_tokenize_prefix(["main"]) == []
+    assert num_tokenize_prefix(["19", "x"]) == []

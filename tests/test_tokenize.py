@@ -1,0 +1,101 @@
+"""Tokenize/normalize parity with
+/root/reference/test/unit/text-processing/termops.tokenize.test.js and
+termops.normalizeQuery.test.js."""
+
+from carmen_ray.text.tokenize import (
+    as_reverse,
+    normalize_query,
+    parse_id_query,
+    tokenize,
+)
+
+
+def toks(q):
+    return tokenize(q).tokens
+
+
+def test_basic_strings():
+    assert toks("foo") == ["foo"]
+    assert toks("foo bar") == ["foo", "bar"]
+    assert toks("foo-bar") == ["foo", "bar"]
+    assert toks("foo+bar") == ["foo", "bar"]
+    assert toks("foo_bar") == ["foo", "bar"]
+    assert toks("foo:bar") == ["foo", "bar"]
+    assert toks("foo;bar") == ["foo", "bar"]
+    assert toks("foo|bar") == ["foo", "bar"]
+    assert toks("foo}bar") == ["foo", "bar"]
+    assert toks("foo{bar") == ["foo", "bar"]
+    assert toks("foo[bar") == ["foo", "bar"]
+    assert toks("foo]bar") == ["foo", "bar"]
+    assert toks("foo(bar") == ["foo", "bar"]
+    assert toks("foo)bar") == ["foo", "bar"]
+    assert toks("foo b.a.r") == ["foo", "bar"]
+    assert toks("foo's bar") == ["foos", "bar"]
+
+
+def test_numeric_combination():
+    assert toks("69-150") == ["69-150"]
+    assert toks("4-10") == ["4-10"]
+    assert toks("5-02A") == ["5-02a"]
+    assert toks("23-") == ["23"]
+    assert toks("## 23") == ["23"]
+    assert toks("Unit 21/2-4") == ["unit", "21/2-4"]
+    assert toks("7/11+Gwynne+Street") == ["7/11", "gwynne", "street"]
+    assert toks("12/3a+Gordon+close") == ["12/3a", "gordon", "close"]
+    assert toks("34+1/2+s+vermont+avenue+#1") == ["34", "1/2", "s", "vermont", "avenue", "1"]
+
+
+def test_diacritics_preserved_at_tokenize():
+    assert toks("San José") == ["san", "josé"]
+    assert toks("Chamonix-Mont-Blanc") == ["chamonix", "mont", "blanc"]
+    assert toks("123, route de N^") == ["123", "route", "de", "n"]
+    assert toks("123, route de Nîmes") == ["123", "route", "de", "nîmes"]
+
+
+def test_unicode_scripts():
+    assert toks("Москва") == ["москва"]
+    assert toks("Москва Русский") == ["москва", "русский"]
+    assert toks("京都市") == ["京", "都", "市"]
+    assert toks("++new+york++city++") == ["new", "york", "city"]
+    assert toks('"new" "york" "city"') == ["new", "york", "city"]
+    assert toks("new:)york:)city") == ["new", "york", "city"]
+
+
+def test_empty():
+    assert toks("") == []
+
+
+def test_japanese_numeric():
+    assert toks("中津川市馬籠4571-1") == ["中", "津", "川", "市", "馬", "籠", "4571", "1"]
+    assert toks("中津川市4571-1馬籠") == ["中", "津", "川", "市", "4571", "1", "馬", "籠"]
+    assert toks("中津川市4571馬籠") == ["中", "津", "川", "市", "4571", "馬", "籠"]
+    assert toks("中津川市4571馬籠123") == ["中", "津", "川", "市", "4571", "馬", "籠", "123"]
+    assert toks("123中津川市4571馬籠") == ["123", "中", "津", "川", "市", "4571", "馬", "籠"]
+
+
+def test_emoji_excluded():
+    sob = "\U0001f602"
+    assert toks(" ".join([sob] * 20)) == []
+    assert toks("new " + " ".join([sob] * 20) + " york") == ["new", "york"]
+
+
+def test_normalize_query_strips_diacritics():
+    q = normalize_query(tokenize("San José"))
+    assert q.tokens == ["san", "jose"]
+
+
+def test_normalize_query_caps_tokens():
+    q = normalize_query(tokenize(" ".join(str(i) for i in range(30))))
+    assert len(q.tokens) == 20
+
+
+def test_id_query():
+    assert parse_id_query("place.1234") == ("place", "1234")
+    assert parse_id_query("place.id") is None
+    assert parse_id_query("1234") is None
+
+
+def test_as_reverse():
+    assert as_reverse("-77.03,38.90") == (-77.03, 38.90)
+    assert as_reverse("foo,bar") is None
+    assert as_reverse("washington dc") is None
