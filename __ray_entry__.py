@@ -1,16 +1,13 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the carmen_ray engine (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module:
+nothing here (or in carmen_ray) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``     — flagship pipeline on /root/testdata/sf0.001.
+- ``queries()``   — one callable per implemented operator/pipeline
+                    (SURVEY.md §2 + training-data ops), each taking an
+                    sf_dir and returning a Dataset/DataFrame/Table.
+- ``oracle_sql()``— DuckDB-equivalent SQL for the SQL-expressible ones.
 """
 
 from __future__ import annotations
@@ -20,25 +17,41 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: the geocode-join pipeline over the interleaved-document
+    corpus derived deterministically from sf0.001 (index build → forward
+    geocode batch). Falls back to the pricing pipeline until the full
+    geocode path lands in this round."""
+    try:
+        from carmen_ray.pipelines.flagship import flagship
+
+        return flagship("/root/testdata/sf0.001")
+    except ImportError:
+        from carmen_ray.pipelines.queries import q_pricing_summary
+
+        return q_pricing_summary("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from carmen_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = dict(QUERIES)
+    try:
+        from carmen_ray.pipelines.geo_queries import GEO_QUERIES
+
+        out.update(GEO_QUERIES)
+    except ImportError:
+        pass
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from carmen_ray.pipelines.queries import ORACLES
+
+    out = dict(ORACLES)
+    try:
+        from carmen_ray.pipelines.geo_queries import GEO_ORACLES
+
+        out.update(GEO_ORACLES)
+    except ImportError:
+        pass
+    return out

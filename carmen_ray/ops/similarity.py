@@ -1,0 +1,143 @@
+"""Similarity search over an embedding column (list<float>).
+
+- knn_brute: cosine top-k against a broadcast query matrix — numpy
+  matmul per batch (the 100 TB baseline: queries are ray.put once, every
+  batch is one GEMM), per-batch partial top-k then a tiny global top-k.
+- lsh buckets: random-hyperplane signatures → groupby(bucket) — the
+  scale path that turns the all-pairs problem into per-bucket GEMMs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch[col].combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = np.asarray(arr.flatten(), dtype=np.float32)
+    dim = len(flat) // batch.num_rows if batch.num_rows else 0
+    return flat.reshape(batch.num_rows, dim) if batch.num_rows else flat.reshape(0, 0)
+
+
+class CosineTopK:
+    """Per-batch partial top-k vs a broadcast query vector (actor pool).
+
+    The query vector ships once per actor via constructor args (Ray
+    serializes constructor args into the actor, equivalent to a ray.put
+    broadcast)."""
+
+    def __init__(self, query_vec: np.ndarray, k: int, id_col: str = "vec_id", col: str = "embedding"):
+        q = np.asarray(query_vec, dtype=np.float32)
+        self.q = q / (np.linalg.norm(q) or 1.0)
+        self.k = k
+        self.id_col = id_col
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, self.col)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (m @ self.q) / norms
+        k = min(self.k, len(sims))
+        idx = np.argpartition(-sims, k - 1)[:k] if k else np.array([], dtype=int)
+        ids = np.asarray(batch[self.id_col].to_pylist())[idx] if k else []
+        return pa.table({
+            self.id_col: pa.array(list(ids)),
+            "cosine_sim": pa.array(np.round(sims[idx].astype(np.float64), 6)),
+        })
+
+
+def knn_brute(ds, query_vec, k: int = 10, id_col: str = "vec_id", col: str = "embedding"):
+    """Global cosine top-k: per-batch partials → global sort+limit."""
+    partials = ds.map_batches(
+        CosineTopK,
+        fn_constructor_kwargs={"query_vec": query_vec, "k": k, "id_col": id_col, "col": col},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    return partials.sort(["cosine_sim", id_col], descending=[True, False]).limit(k)
+
+
+class HyperplaneLSH:
+    """Random-hyperplane signatures → bucket id per row (stateful:
+    hyperplanes drawn once per actor from a fixed seed)."""
+
+    def __init__(self, dim: int, bits: int = 16, seed: int = 42, col: str = "embedding"):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.normal(size=(dim, bits)).astype(np.float32)
+        self.bits = bits
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, self.col)
+        proj = m @ self.planes > 0
+        powers = (1 << np.arange(self.bits, dtype=np.uint64))
+        bucket = (proj.astype(np.uint64) * powers[None, :]).sum(axis=1)
+        return batch.append_column("lsh_bucket", pa.array(bucket, type=pa.uint64()))
+
+
+def knn_lsh_bucketed(ds, query_vec, dim: int, k: int = 10, bits: int = 8,
+                     id_col: str = "vec_id", col: str = "embedding"):
+    """Scale path: restrict the scan to the query's LSH bucket (and its
+    1-bit-flip neighbors), then exact cosine inside. Recall<1 by design;
+    the bench compares it against knn_brute."""
+    q = np.asarray(query_vec, dtype=np.float32)
+    hasher = HyperplaneLSH(dim=dim, bits=bits)
+    q_proj = (q @ hasher.planes) > 0
+    powers = (1 << np.arange(bits, dtype=np.uint64))
+    q_bucket = int((q_proj.astype(np.uint64) * powers).sum())
+    near_buckets = {q_bucket} | {q_bucket ^ (1 << b) for b in range(bits)}
+
+    with_buckets = ds.map_batches(
+        HyperplaneLSH,
+        fn_constructor_kwargs={"dim": dim, "bits": bits, "col": col},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    filtered = with_buckets.map_batches(
+        lambda b: b.filter(
+            pa.compute.is_in(b["lsh_bucket"], value_set=pa.array(sorted(near_buckets), type=pa.uint64()))
+        ),
+        batch_format="pyarrow",
+    )
+    return knn_brute(filtered, query_vec, k=k, id_col=id_col, col=col)
+
+
+def pairwise_cosine_dedup(ds, threshold: float = 0.95, dim: int = 32,
+                          bits: int = 10, id_col: str = "vec_id", col: str = "embedding"):
+    """Embedding-cosine near-dup pairs via LSH buckets + per-bucket GEMM."""
+    with_buckets = ds.map_batches(
+        HyperplaneLSH,
+        fn_constructor_kwargs={"dim": dim, "bits": bits, "col": col},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []})
+        g = group.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        m = np.stack(g[col].to_numpy()).astype(np.float32)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        mn = m / norms[:, None]
+        sims = mn @ mn.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        mask = sims[ia, ib] >= threshold
+        return pd.DataFrame({
+            "id_a": ids[ia[mask]],
+            "id_b": ids[ib[mask]],
+            "cosine_sim": np.round(sims[ia[mask], ib[mask]].astype(np.float64), 6),
+        })
+
+    pairs = with_buckets.groupby("lsh_bucket").map_groups(bucket_pairs, batch_format="pandas")
+
+    def first(group: pd.DataFrame) -> pd.DataFrame:
+        return group.head(1)
+
+    return pairs.groupby(["id_a", "id_b"]).map_groups(first, batch_format="pandas")

@@ -1,0 +1,452 @@
+"""Driver-facing query registry: Ray Data pipelines + DuckDB oracle SQL.
+
+Every entry is an operator/pipeline from SURVEY.md §2 or a
+training-data-pipeline op, expressed Ray-Data-first over the parquet
+tables in ``sf_dir``. Oracle SQL strings (where the op is
+SQL-expressible) compute the identical result with identical column
+names so the driver's row-count + schema + value-hash comparison passes.
+
+Conventions:
+- float outputs rounded to 6 places on BOTH sides (JS/DuckDB double
+  drift guard);
+- every query prunes columns at the read;
+- aggregates go through partial-friendly groupby/aggregate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ------------------------------------------------------------------ TPC-H-ish
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: filter + computed cols + groupby aggregate.
+
+    Exercises: column pruning, vectorized Arrow kernels, partial+final
+    aggregation (ray groupby does map-side combine), deterministic sort.
+    """
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                "l_discount", "l_tax", "l_shipdate"])
+
+    cutoff = pa.scalar(pd.Timestamp("1998-09-02"), type=pa.timestamp("us"))
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less_equal(b["l_shipdate"], cutoff))
+        disc_price = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        charge = pc.multiply(disc_price, pc.add(pa.scalar(1.0), b["l_tax"]))
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "l_quantity": b["l_quantity"],
+            "l_extendedprice": b["l_extendedprice"],
+            "disc_price": disc_price,
+            "charge": charge,
+        })
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Sum("charge", alias_name="sum_charge"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+    def round_cols(b: pa.Table) -> pa.Table:
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"):
+            b = b.set_column(b.schema.get_field_index(c), c, pc.round(b[c], 4))
+        return b
+
+    return agg.map_batches(round_cols, batch_format="pyarrow")
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_orders(sf_dir: str):
+    """Global top-k with full tie-break (sort shuffle → limit)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q_customer_nation(sf_dir: str):
+    """Broadcast hash join (small side shipped once) + aggregate:
+    customers and total acctbal per nation name."""
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    lookup = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def join(b: pa.Table) -> pa.Table:
+        names = [lookup.get(k) for k in b["c_nationkey"].to_pylist()]
+        return pa.table({
+            "n_name": pa.array(names, type=pa.string()),
+            "c_acctbal": b["c_acctbal"],
+        })
+
+    agg = (
+        ds.map_batches(join, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_customers"), Sum("c_acctbal", alias_name="total_acctbal"))
+    )
+    return agg.map_batches(
+        lambda b: b.set_column(b.schema.get_field_index("total_acctbal"),
+                               "total_acctbal", pc.round(b["total_acctbal"], 4)),
+        batch_format="pyarrow",
+    )
+
+
+SQL_CUSTOMER_NATION = """
+SELECT n_name, count(*) AS n_customers, round(sum(c_acctbal), 4) AS total_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_order_lineitem_join(sf_dir: str):
+    """Large-large join expressed as explicit partitioned hash join:
+    revenue per order priority. Both sides bucketed by hash(orderkey) —
+    the portable Ray Data pattern for big joins (groupby co-location)."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    items = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def item_partial(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        t = pa.table({"o_orderkey": b["l_orderkey"], "rev": rev})
+        # map-side combine: one row per orderkey per batch
+        df = t.to_pandas().groupby("o_orderkey", as_index=False)["rev"].sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    item_rev = (
+        items.map_batches(item_partial, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Sum("rev", alias_name="revenue"))
+    )
+
+    # join on orderkey: orders side is ~1/4 the rows of lineitem; at this
+    # scale a broadcast of the priority map per actor is the efficient
+    # join (at 100 TB swap to the bucketed map_groups join in ops/joins).
+    prio_tbl = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"])
+    prio = dict(zip(prio_tbl["o_orderkey"].to_pylist(), prio_tbl["o_orderpriority"].to_pylist()))
+
+    def attach(b: pa.Table) -> pa.Table:
+        pr = [prio.get(k) for k in b["o_orderkey"].to_pylist()]
+        return pa.table({"o_orderpriority": pa.array(pr, type=pa.string()), "revenue": b["revenue"]})
+
+    return (
+        item_rev.map_batches(attach, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("revenue", alias_name="revenue"), Count(alias_name="n_orders"))
+        .map_batches(
+            lambda b: b.set_column(b.schema.get_field_index("revenue"),
+                                   "revenue", pc.round(b["revenue"], 2)),
+            batch_format="pyarrow",
+        )
+    )
+
+
+SQL_ORDER_LINEITEM = """
+SELECT o_orderpriority,
+       round(sum(rev), 2) AS revenue,
+       count(*) AS n_orders
+FROM (
+  SELECT l_orderkey AS okey, sum(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem GROUP BY l_orderkey
+) j JOIN orders ON okey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling-window aggregate over the stream table: count+sum(value)
+    per (event_type, hour bucket). Window = groupby on floor(ts)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def bucket(b: pa.Table) -> pa.Table:
+        epoch_us = b["ts"].cast(pa.int64())
+        hour = pc.divide(epoch_us, pa.scalar(3_600_000_000))
+        return pa.table({
+            "event_type": b["event_type"],
+            "hour_bucket": hour,
+            "value": b["value"],
+        })
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["event_type", "hour_bucket"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .map_batches(
+            lambda b: b.set_column(b.schema.get_field_index("sum_value"),
+                                   "sum_value", pc.round(b["sum_value"], 4)),
+            batch_format="pyarrow",
+        )
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT event_type,
+       CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hour_bucket,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY event_type, hour_bucket
+"""
+
+
+def q_events_user_topk(sf_dir: str):
+    """Per-key aggregation + global top-k: the 10 most active users."""
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+    return (
+        ds.groupby("user_id")
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .map_batches(
+            lambda b: b.set_column(b.schema.get_field_index("sum_value"),
+                                   "sum_value", pc.round(b["sum_value"], 4)),
+            batch_format="pyarrow",
+        )
+        .sort(["n_events", "user_id"], descending=[True, False])
+        .limit(10)
+    )
+
+
+SQL_EVENTS_USER_TOPK = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY user_id
+ORDER BY n_events DESC, user_id ASC LIMIT 10
+"""
+
+
+def q_part_stats(sf_dir: str):
+    """Multi-aggregate per group: min/max/mean retailprice per brand."""
+    ds = _read(sf_dir, "part", ["p_brand", "p_retailprice", "p_size"])
+    return (
+        ds.groupby("p_brand")
+        .aggregate(
+            Count(alias_name="n_parts"),
+            Min("p_retailprice", alias_name="min_price"),
+            Max("p_retailprice", alias_name="max_price"),
+            Mean("p_retailprice", alias_name="avg_price"),
+            Sum("p_size", alias_name="sum_size"),
+        )
+        .map_batches(
+            lambda b: b.set_column(b.schema.get_field_index("avg_price"),
+                                   "avg_price", pc.round(b["avg_price"], 6)),
+            batch_format="pyarrow",
+        )
+    )
+
+
+SQL_PART_STATS = """
+SELECT p_brand, count(*) AS n_parts,
+       min(p_retailprice) AS min_price,
+       max(p_retailprice) AS max_price,
+       round(avg(p_retailprice), 6) AS avg_price,
+       sum(p_size) AS sum_size
+FROM part GROUP BY p_brand
+"""
+
+
+def q_distinct_segments(sf_dir: str):
+    """Set op: distinct market segments (unique → shuffle)."""
+    ds = _read(sf_dir, "customer", ["c_mktsegment"])
+
+    def distinct_partial(b: pa.Table) -> pa.Table:
+        return pa.table({"c_mktsegment": b["c_mktsegment"].unique()})
+
+    return (
+        ds.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+
+
+SQL_DISTINCT_SEGMENTS = "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+# ----------------------------------------------------------- text / dedup
+
+
+def q_text_token_counts(sf_dir: str):
+    from ..ops.textstats import token_count_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(token_count_batch, batch_format="pyarrow")
+
+
+SQL_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       CAST(length(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_words,
+       CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\v]')) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
+def q_text_quality(sf_dir: str):
+    from ..ops.textstats import quality_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(quality_batch, batch_format="pyarrow")
+
+
+def q_exact_dedup(sf_dir: str):
+    from ..ops.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup(ds).select_columns(["doc_id", "dup_count"])
+
+
+SQL_EXACT_DEDUP_COUNTS = r"""
+SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count
+FROM documents
+GROUP BY trim(lower(regexp_replace(text, '\s+', ' ', 'g')))
+"""
+
+
+def q_lang_id(sf_dir: str):
+    from ..ops.textstats import LangId
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=2).select_columns(
+        ["doc_id", "lang", "lang_pred"]
+    )
+
+
+def q_fingerprint(sf_dir: str):
+    from ..ops.textstats import fingerprint_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+def q_minhash_pairs(sf_dir: str):
+    from ..ops.dedup import minhash_lsh_candidates
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_candidates(ds)
+
+
+def q_simhash_pairs(sf_dir: str):
+    from ..ops.dedup import simhash_near_dups
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_near_dups(ds)
+
+
+# ------------------------------------------------------------- similarity
+
+
+def _query_vec(sf_dir: str) -> np.ndarray:
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    idx = t["vec_id"].to_pylist().index(min(t["vec_id"].to_pylist()))
+    return np.asarray(t["embedding"].to_pylist()[idx], dtype=np.float32)
+
+
+def q_knn_cosine(sf_dir: str):
+    from ..ops.similarity import knn_brute
+
+    q = _query_vec(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_brute(ds, q, k=10)
+
+
+SQL_KNN_COSINE = """
+WITH q AS (
+  SELECT embedding AS qv FROM embeddings
+  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+)
+SELECT vec_id,
+       round(CAST(list_cosine_similarity(embedding, (SELECT qv FROM q)) AS DOUBLE), 6) AS cosine_sim
+FROM embeddings
+ORDER BY cosine_sim DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def q_knn_lsh(sf_dir: str):
+    from ..ops.similarity import knn_lsh_bucketed
+
+    q = _query_vec(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_lsh_bucketed(ds, q, dim=len(q), k=10)
+
+
+def q_embedding_dedup(sf_dir: str):
+    from ..ops.similarity import pairwise_cosine_dedup
+
+    q = _query_vec(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return pairwise_cosine_dedup(ds, threshold=0.99, dim=len(q))
+
+
+# ------------------------------------------------------------- registry
+
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "top_orders": q_top_orders,
+    "customer_nation": q_customer_nation,
+    "order_lineitem_join": q_order_lineitem_join,
+    "events_hourly": q_events_hourly,
+    "events_user_topk": q_events_user_topk,
+    "part_stats": q_part_stats,
+    "distinct_segments": q_distinct_segments,
+    "text_token_counts": q_text_token_counts,
+    "text_quality": q_text_quality,
+    "exact_dedup": q_exact_dedup,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "knn_cosine": q_knn_cosine,
+    "knn_lsh": q_knn_lsh,
+    "embedding_dedup": q_embedding_dedup,
+}
+
+ORACLES = {
+    "pricing_summary": SQL_PRICING,
+    "top_orders": SQL_TOP_ORDERS,
+    "customer_nation": SQL_CUSTOMER_NATION,
+    "order_lineitem_join": SQL_ORDER_LINEITEM,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "events_user_topk": SQL_EVENTS_USER_TOPK,
+    "part_stats": SQL_PART_STATS,
+    "distinct_segments": SQL_DISTINCT_SEGMENTS,
+    "text_token_counts": SQL_TOKEN_COUNTS,
+    "exact_dedup": SQL_EXACT_DEDUP_COUNTS,
+    "knn_cosine": SQL_KNN_COSINE,
+    # text_quality / exact_dedup(full) / lang_id / fingerprint /
+    # minhash / simhash / knn_lsh / embedding_dedup: non-SQL-expressible
+    # (heuristic models, hash internals, LSH) → rows-only check.
+}
