@@ -1,0 +1,210 @@
+"""Stack-and-coalesce: the spatial join at the heart of forward geocoding.
+
+The reference's implementation lives in Rust (@mapbox/carmen-core,
+outside the repo); semantics re-derived from
+/root/reference/docs/how-carmen-works.md:151-199, the JS glue
+(lib/geocoder/spatialmatch.js:21-136) and the acceptance tests, per
+SURVEY.md §7.5:
+
+- a stack combines phrasematches from different indexes whose query
+  bitmasks don't overlap and whose grid cells coincide when scaled to a
+  common zoom (tile containment across zooms);
+- stack relev = Σ grid_relev·subquery_weight, then `rebalance`
+  re-weighting (spatialmatch.js:98-136, bit-exact incl. roundTo(…,8));
+- an index-hierarchy gap costs 0.01 (how-carmen-works.md:199-212);
+- one result per tmpid per direction (ascending/descending/single —
+  spatialmatch.js:53-80);
+- sort by (relev, scoredist, idx, address, idxAverage)
+  (spatialmatch.js:235-241), clamp to SPATIALMATCH_STACK_LIMIT.
+
+Pure-Python per query; the Ray stage wraps batches of queries (fused
+actor) or per-query groups (staged shuffle path).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .. import constants
+from ..util.jsmath import round_to
+
+
+@dataclass
+class Grid:
+    x: int
+    y: int
+    relev: float      # phrase relev bucket 0.4-1.0
+    score: float      # decoded feature score
+    fid: int
+    tmpid: int        # idx * 2^25 + fid
+    distance: float = 0.0
+    scoredist: float = 0.0
+
+
+@dataclass
+class Phrasematch:
+    idx: int
+    layer: str
+    zoom: int
+    mask: int
+    weight: float
+    subquery: str
+    phrase_id: int
+    prefix: bool
+    grids: list[Grid]
+    address: str | None = None
+    partial_number: bool = False
+
+
+@dataclass
+class StackEntry:
+    pm: Phrasematch
+    grid: Grid
+    relev: float  # mutable copy of grid.relev (rebalance rewrites it)
+
+    @property
+    def mask(self) -> int:
+        return self.pm.mask
+
+    @property
+    def idx(self) -> int:
+        return self.pm.idx
+
+
+@dataclass
+class Stack:
+    entries: list[StackEntry] = field(default_factory=list)
+    relev: float = 0.0
+    mask: int = 0
+
+    def covers(self) -> list[StackEntry]:
+        """Finest index first (the result feature is covers[0])."""
+        return sorted(self.entries, key=lambda e: (-e.idx, e.pm.mask))
+
+
+def _aligned(ax: int, ay: int, az: int, bx: int, by: int, bz: int) -> bool:
+    """Tile containment: equal when both scaled to the coarser zoom."""
+    if az == bz:
+        return ax == bx and ay == by
+    if az > bz:
+        return (ax >> (az - bz)) == bx and (ay >> (az - bz)) == by
+    return ax == (bx >> (bz - az)) and ay == (by >> (bz - az))
+
+
+def stack_and_coalesce(
+    phrasematches: list[Phrasematch],
+    query_len: int,
+    max_stacks: int = constants.SPATIALMATCH_STACK_LIMIT,
+) -> list[Stack]:
+    """Enumerate consistent stacks with caps, rebalance, dedup, sort."""
+    if not phrasematches:
+        return []
+    pms = sorted(phrasematches, key=lambda p: (p.idx, p.mask))
+
+    partials: list[Stack] = []
+
+    def try_extend(base: Stack, pm: Phrasematch) -> None:
+        if len(partials) >= constants.STACKABLE_LIMIT * 8:
+            return
+        if base.mask & pm.mask:
+            return
+        if base.entries and pm.idx <= base.entries[-1].idx:
+            return
+        for grid in pm.grids:
+            if base.entries and not all(
+                _aligned(grid.x, grid.y, pm.zoom, e.grid.x, e.grid.y, e.pm.zoom)
+                for e in base.entries
+            ):
+                continue
+            ns = Stack(
+                entries=base.entries + [StackEntry(pm, grid, grid.relev)],
+                mask=base.mask | pm.mask,
+            )
+            ns.relev = base.relev + grid.relev * pm.weight
+            partials.append(ns)
+            for nxt in pms:
+                if nxt.idx > pm.idx:
+                    try_extend(ns, nxt)
+
+    for pm in pms:
+        try_extend(Stack(), pm)
+
+    # keep only maximal-quality stacks: rebalance + gap penalty
+    out: list[Stack] = []
+    for st in partials:
+        rebalanced = rebalance(st, query_len)
+        idxs = sorted(e.idx for e in rebalanced.entries)
+        if len(idxs) > 1 and any(b - a > 1 for a, b in zip(idxs, idxs[1:])):
+            rebalanced.relev = round_to(rebalanced.relev - 0.01, 8)
+        out.append(rebalanced)
+
+    out.sort(key=_stack_sort_key)
+
+    # direction dedup (spatialmatch.js:53-80): one per tmpid per direction
+    done_asc: set[int] = set()
+    done_desc: set[int] = set()
+    done_single: set[int] = set()
+    filtered: list[Stack] = []
+    for st in out:
+        covers = st.covers()
+        tmpid = covers[0].grid.tmpid
+        if len(covers) > 1 and covers[0].idx > covers[1].idx:
+            if tmpid not in done_desc:
+                done_desc.add(tmpid)
+                filtered.append(st)
+        elif len(covers) > 1:
+            if tmpid not in done_asc:
+                done_asc.add(tmpid)
+                filtered.append(st)
+        else:
+            if tmpid not in done_asc and tmpid not in done_desc and tmpid not in done_single:
+                done_single.add(tmpid)
+                filtered.append(st)
+        if len(filtered) >= max_stacks:
+            break
+    return filtered
+
+
+def _stack_sort_key(st: Stack):
+    covers = st.covers()
+    scoredist = covers[0].grid.scoredist
+    has_address = any(e.pm.address for e in st.entries)
+    idx_avg = sum(e.idx for e in st.entries) / len(st.entries)
+    return (
+        -st.relev,
+        -scoredist,
+        covers[0].idx,
+        0 if has_address else 1,
+        -idx_avg,
+        covers[0].grid.fid,
+    )
+
+
+def rebalance(stack: Stack, query_len: int) -> Stack:
+    """Bit-exact port of spatialmatch.js:98-136."""
+    stack_mask = 0
+    for e in stack.entries:
+        stack_mask |= e.pm.mask
+    coverage = bin(stack_mask).count("1")
+    missing = query_len - coverage
+    n = len(stack.entries)
+
+    stack_weight = 1.0 / n
+    if missing > 0:
+        stack_weight = 1.0 / (n + 1)
+
+    clone = Stack(mask=stack_mask)
+    total_weight = 0.0
+    expected_weight = 0.0
+    for e in stack.entries:
+        expected_weight += e.relev
+        entry_coverage = bin(e.pm.mask).count("1")
+        entry_weight = entry_coverage / query_len
+        discount = e.relev / entry_weight if entry_weight else 0.0
+        new_relev = round_to((e.relev + 1.25 * stack_weight * discount) / 2.25, 8)
+        clone.entries.append(StackEntry(e.pm, e.grid, new_relev))
+        total_weight += new_relev
+
+    penalty = expected_weight - stack.relev
+    clone.relev = min(round_to(total_weight - penalty, 8), 1.0)
+    return clone

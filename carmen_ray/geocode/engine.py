@@ -1,0 +1,441 @@
+"""Forward / reverse / id geocoding over Ray Data query batches.
+
+Fused fast path: one actor-pool stage (`ForwardGeocoder`) holds the
+compact index tables (phrase table as a sorted numpy array for
+exact/prefix binary search, grid rows, features) and runs
+phrasematch → stack&coalesce → verify → format per query batch —
+queries stream through `map_batches(ForwardGeocoder, concurrency=N)`.
+
+Staged scale path (documented in SURVEY.md §3.2; `forward_staged`):
+phrasematch emits (query_id, …) rows → groupby(query_id) shuffle →
+map_groups(coalesce+verify). Same per-query logic, two stages, used
+when the index is sharded by phrase-prefix bins across actor pools and
+a single actor can't hold a layer.
+
+Pipeline semantics parity targets (reference files):
+- phrasematch windows: lib/geocoder/phrasematch.js:98-296 (exact+prefix;
+  weight = covered-tokens / query-length, phrasematch.js:321-383)
+- coalesce: see coalesce.py
+- verify sort: lib/geocoder/verifymatch.js:986-1053 (deterministic full
+  tie-break incl. feature id)
+- dedup: format-features.js:252-318 place_name dedup
+- formatting: place_name = "text, parent text, …" (format-features.js
+  getPlaceName with the default {place_name} template)
+- proximity: scoredist (lib/util/proximity.js:95-132); ghost penalty and
+  null-address penalty (proximity.js:212-222)
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .. import constants
+from ..geom.cells import hex_cell, s2_cell
+from ..geom.ops import dist_point_to_geom_miles, point_in_geom
+from ..geom.tile import lonlat_to_tile
+from ..text.termops import get_weights
+from ..text.tokenize import as_reverse, normalize_query, parse_id_query, tokenize
+from ..util import proximity as prox
+from ..util.jsmath import round_to
+from ..util.permute import continuous_masks
+from .coalesce import Grid, Phrasematch, Stack, stack_and_coalesce
+
+TMPID_SHIFT = 1 << 25  # tmpid = idx * 2^25 + fid (context.js:2,423,501)
+
+
+class Feature:
+    """Lightweight row view over the numpy-backed feature store."""
+
+    __slots__ = ("_ix", "_d")
+
+    def __init__(self, d, ix):
+        self._d = d
+        self._ix = ix
+
+    def __getattr__(self, name):
+        return self._d[name][self._ix]
+
+
+class IndexData:
+    """Compact in-actor index: sorted numpy columns (no per-row pandas in
+    the hot path) + lookup dicts + a per-feature context cache."""
+
+    def __init__(self, features: pa.Table, phrase_grid: pa.Table,
+                 freq: dict, max_score: float, layer_zooms: dict):
+        pg = phrase_grid.to_pandas().sort_values(
+            ["phrase", "idx"], kind="mergesort").reset_index(drop=True)
+        self.phrases = pg["phrase"].to_numpy(dtype=object)
+        self.pg_cols = {
+            c: pg[c].to_numpy()
+            for c in ("idx", "layer", "zoom", "relev", "score", "x", "y",
+                      "fid", "phrase_id", "lang_set")
+        }
+        self.freq = freq
+        self.max_score = max_score
+        self.min_score = 0.0
+        self.layer_zooms = layer_zooms
+        self.max_zoom = max(layer_zooms.values()) if layer_zooms else 14
+
+        f = features.to_pandas().reset_index(drop=True)
+        self._f = {c: f[c].to_numpy() for c in f.columns}
+        self.n_features = len(f)
+        self.doc_index = {d: i for i, d in enumerate(self._f["doc_id"])}
+        self.by_fid = {
+            (int(ix), int(fid)): i
+            for i, (ix, fid) in enumerate(zip(self._f["idx"], self._f["fid"]))
+        }
+        order = sorted(set(zip(f["layer"], f["idx"])), key=lambda t: t[1])
+        self.layers = [l for l, _ in order]
+        self.layer_rows = {l: np.flatnonzero(self._f["layer"] == l) for l in self.layers}
+        self.layer_bbox = {
+            l: (
+                self._f["bbox_w"][rows], self._f["bbox_s"][rows],
+                self._f["bbox_e"][rows], self._f["bbox_n"][rows],
+            )
+            for l, rows in self.layer_rows.items()
+        }
+        self._geom_cache: dict[int, dict] = {}
+        self._context_cache: dict[int, list] = {}
+
+    def feature_at(self, row: int) -> Feature:
+        return Feature(self._f, row)
+
+    def geometry_at(self, row: int) -> dict:
+        g = self._geom_cache.get(row)
+        if g is None:
+            g = json.loads(self._f["geometry_json"][row])
+            self._geom_cache[row] = g
+        return g
+
+    def lookup(self, joined: str, prefix: bool) -> tuple[int, int]:
+        """Sorted-range lookup: [lo, hi) of rows matching phrase (or prefix)."""
+        lo = int(np.searchsorted(self.phrases, joined, side="left"))
+        if prefix:
+            hi = int(np.searchsorted(self.phrases, joined + "￿", side="right"))
+        else:
+            hi = int(np.searchsorted(self.phrases, joined, side="right"))
+        return lo, hi
+
+    def row_by_tmpid(self, tmpid: int) -> int | None:
+        idx, fid = divmod(tmpid, TMPID_SHIFT)
+        return self.by_fid.get((idx, fid))
+
+    def feature_by_tmpid(self, tmpid: int):
+        row = self.row_by_tmpid(tmpid)
+        return self.feature_at(row) if row is not None else None
+
+
+def phrasematch_query(index: IndexData, tokens: list[str], autocomplete: bool = True,
+                      languages: list[str] | None = None) -> list[Phrasematch]:
+    """All subquery-window matches against the phrase table (J1)."""
+    n = len(tokens)
+    if n == 0:
+        return []
+    out: list[Phrasematch] = []
+    seen: set[tuple[str, bool]] = set()
+    for mask in continuous_masks(n):
+        positions = [j for j in range(n) if mask & (1 << j)]
+        # continuous masks are contiguous runs
+        sub = [tokens[j] for j in positions]
+        joined = " ".join(sub)
+        ender = bool(mask & (1 << (n - 1)))
+        for use_prefix in ([False, True] if (autocomplete and ender) else [False]):
+            if (joined, use_prefix) in seen:
+                continue
+            seen.add((joined, use_prefix))
+            lo, hi = index.lookup(joined, use_prefix)
+            if use_prefix:
+                # exact rows are covered by the non-prefix pass
+                pass
+            if hi <= lo:
+                continue
+            weight = len(sub) / n
+            c = index.pg_cols
+            sl = slice(lo, hi)
+            idxs = c["idx"][sl]
+            for idx in np.unique(idxs):
+                m = idxs == idx
+                rel = np.flatnonzero(m) + lo
+                grids = [
+                    Grid(
+                        x=int(c["x"][i]), y=int(c["y"][i]),
+                        relev=float(c["relev"][i]), score=float(c["score"][i]),
+                        fid=int(c["fid"][i]),
+                        tmpid=int(idx) * TMPID_SHIFT + int(c["fid"][i]),
+                    )
+                    for i in rel
+                ]
+                out.append(Phrasematch(
+                    idx=int(idx), layer=str(c["layer"][rel[0]]),
+                    zoom=int(c["zoom"][rel[0]]),
+                    mask=mask, weight=weight, subquery=joined,
+                    phrase_id=int(c["phrase_id"][rel[0]]),
+                    prefix=use_prefix, grids=grids,
+                ))
+    return out
+
+
+def _context_for(index: IndexData, row: int, max_idx: int) -> list:
+    """Parent features containing the feature's center (J4/J6 light).
+    Cached per feature row — contexts are heavily reused across queries."""
+    cached = index._context_cache.get(row)
+    if cached is not None:
+        return cached
+    f = index._f
+    lon, lat = float(f["center_lon"][row]), float(f["center_lat"][row])
+    ctx: list[int] = []
+    for layer in index.layers:
+        rows = index.layer_rows[layer]
+        if len(rows) == 0 or int(f["idx"][rows[0]]) >= max_idx:
+            continue
+        w, s, e, n = index.layer_bbox[layer]
+        cand = rows[(w <= lon) & (e >= lon) & (s <= lat) & (n >= lat)]
+        best, best_score = None, -np.inf
+        for r in cand:
+            geom = index.geometry_at(int(r))
+            if geom["type"] in ("Polygon", "MultiPolygon", "GeometryCollection"):
+                if not point_in_geom(lon, lat, geom):
+                    continue
+            sc = float(f["score"][r])
+            if best is None or sc > best_score:
+                best, best_score = int(r), sc
+        if best is not None:
+            ctx.append(best)
+    ctx.sort(key=lambda r: -int(f["idx"][r]))  # fine → coarse
+    out = [index.feature_at(r) for r in ctx]
+    index._context_cache[row] = out
+    return out
+
+
+def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
+                autocomplete: bool = True, types: list[str] | None = None) -> list[dict]:
+    tokens = normalize_query(tokenize(query)).tokens[: constants.MAX_QUERY_TOKENS]
+    if not tokens:
+        return []
+    pms = phrasematch_query(index, tokens, autocomplete=autocomplete)
+    if types:
+        allowed = set(types)
+        pms = [p for p in pms if p.layer in allowed]
+    if not pms:
+        return []
+
+    # proximity: distance + scoredist per grid before stacking (the
+    # Rust stage does this; ordering inside coalesce depends on it)
+    f = index._f
+    for pm in pms:
+        for g in pm.grids:
+            if proximity is not None:
+                row = index.row_by_tmpid(g.tmpid)
+                if row is not None:
+                    center = (float(f["center_lon"][row]), float(f["center_lat"][row]))
+                    g.distance = prox.distance(proximity, center, g.x, g.y, pm.zoom)
+                else:
+                    g.distance = 0.0
+                g.scoredist = float(prox.scoredist(
+                    g.score, index.min_score, index.max_score, g.distance, pm.zoom))
+            else:
+                g.distance = 0.0
+                g.scoredist = g.score
+
+    stacks = stack_and_coalesce(pms, len(tokens))
+    results = []
+    seen_names: set[str] = set()
+    seen_tmpid: set[int] = set()
+    for st in stacks[: constants.VERIFYMATCH_STACK_LIMIT]:
+        covers = st.covers()
+        top = covers[0]
+        frow = index.row_by_tmpid(top.grid.tmpid)
+        if frow is None:
+            continue
+        feature = index.feature_at(frow)
+        if top.grid.tmpid in seen_tmpid:
+            continue
+        seen_tmpid.add(top.grid.tmpid)
+
+        ctx = _context_for(index, frow, int(feature.idx))
+        place_name = ", ".join([feature.text] + [c.text for c in ctx])
+        if place_name in seen_names:
+            continue
+        seen_names.add(place_name)
+
+        ghost = float(feature.score) < 0
+        relevance = round_to(st.relev, 6)
+        scoredist = top.grid.scoredist
+        composite = prox.relevance_score(relevance, scoredist if proximity else 1.0,
+                                         address="x", ghost=ghost)
+        lon, lat = float(feature.center_lon), float(feature.center_lat)
+        zoom = int(feature.zoom)
+        tx, ty = lonlat_to_tile(lon, lat, zoom)
+        results.append({
+            "feature_id": feature.doc_id,
+            "relevance": relevance,
+            "composite": composite,
+            "place_name": place_name,
+            "center_lon": lon,
+            "center_lat": lat,
+            "cell_zxy": f"{zoom}/{int(tx)}/{int(ty)}",
+            "h3_r7": hex_cell(lon, lat, 7),
+            "h3_r8": hex_cell(lon, lat, 8),
+            "h3_r9": hex_cell(lon, lat, 9),
+            "s2_cell": s2_cell(lon, lat, 12),
+            "context": [c.doc_id for c in ctx],
+            "score": float(feature.score),
+            "scoredist": float(scoredist),
+            "idx": int(feature.idx),
+            "fid": int(feature.fid),
+        })
+
+    # final deterministic sort (verifymatch.js:1003-1053 shape)
+    results.sort(key=lambda r: (
+        -r["relevance"], -r["composite"], -r["scoredist"], r["idx"], r["fid"]))
+    for rank, r in enumerate(results[:limit]):
+        r["rank"] = rank
+    return results[:limit]
+
+
+def reverse_one(index: IndexData, lon: float, lat: float, limit: int = 1,
+                types: list[str] | None = None) -> list[dict]:
+    """Reverse geocode: PIP + nearest per layer, stacked fine→coarse
+    (context.js:31-136, nearest :269-304)."""
+    hits = []
+    RADIUS_MILES = 1000.0 / 1609.344  # vtquery radius 1000 m
+    f = index._f
+    for layer in index.layers:
+        if types and layer not in types:
+            continue
+        rows = index.layer_rows[layer]
+        if len(rows) == 0:
+            continue
+        # vectorized bbox prefilter: candidates whose bbox (padded by the
+        # query radius in degrees, generous at all latitudes) is near
+        pad = 0.02
+        w, s, e, n = index.layer_bbox[layer]
+        cand = rows[(w - pad <= lon) & (e + pad >= lon) & (s - pad <= lat) & (n + pad >= lat)]
+        best = None
+        for r in cand:
+            geom = index.geometry_at(int(r))
+            if geom["type"] in ("Polygon", "MultiPolygon", "GeometryCollection"):
+                if point_in_geom(lon, lat, geom):
+                    d = 0.0
+                else:
+                    d = dist_point_to_geom_miles(lon, lat, geom)
+                    if d > RADIUS_MILES:
+                        continue
+            else:
+                d = dist_point_to_geom_miles(lon, lat, geom)
+                if d > RADIUS_MILES:
+                    continue
+            score = float(f["score"][r])
+            ds = float(prox.distscore(d * 1609.344, max(score, 0.1)))
+            if best is None or (d == 0.0 and best[0] > 0.0) or (
+                (d == 0.0) == (best[0] == 0.0) and ds > best[1]
+            ):
+                best = (d, ds, int(r))
+        if best is not None:
+            hits.append(index.feature_at(best[2]))
+
+    if not hits:
+        return []
+    hits.sort(key=lambda r: -int(r.idx))  # finest first
+    out = []
+    for i in range(min(limit, 1)):
+        top = hits[0]
+        ctx_rows = hits[1:]
+        place_name = ", ".join([top.text] + [c.text for c in ctx_rows])
+        zoom = int(top.zoom)
+        tx, ty = lonlat_to_tile(float(top.center_lon), float(top.center_lat), zoom)
+        out.append({
+            "feature_id": top.doc_id,
+            "relevance": 1.0,
+            "place_name": place_name,
+            "center_lon": float(top.center_lon),
+            "center_lat": float(top.center_lat),
+            "cell_zxy": f"{zoom}/{int(tx)}/{int(ty)}",
+            "h3_r7": hex_cell(float(top.center_lon), float(top.center_lat), 7),
+            "h3_r8": hex_cell(float(top.center_lon), float(top.center_lat), 8),
+            "h3_r9": hex_cell(float(top.center_lon), float(top.center_lat), 9),
+            "s2_cell": s2_cell(float(top.center_lon), float(top.center_lat), 12),
+            "context": [c.doc_id for c in ctx_rows],
+            "score": float(top.score),
+            "scoredist": 0.0,
+            "rank": 0,
+        })
+    return out
+
+
+RESULT_FIELDS = [
+    ("query_id", pa.string()), ("rank", pa.int32()), ("feature_id", pa.string()),
+    ("relevance", pa.float64()), ("place_name", pa.string()),
+    ("center_lon", pa.float64()), ("center_lat", pa.float64()),
+    ("cell_zxy", pa.string()), ("h3_r7", pa.uint64()), ("h3_r8", pa.uint64()),
+    ("h3_r9", pa.uint64()), ("s2_cell", pa.uint64()),
+    ("context", pa.list_(pa.string())), ("score", pa.float64()),
+    ("scoredist", pa.float64()),
+]
+RESULT_SCHEMA = pa.schema(RESULT_FIELDS)
+
+
+class ForwardGeocoder:
+    """Actor-pool stage: batch of query rows → result rows.
+
+    Constructor receives the index tables (Ray ships them to each actor
+    once — the broadcast join). At 100 TB the constructor instead takes
+    parquet paths + a prefix-bin range and memory-maps its shard.
+    """
+
+    def __init__(self, features, phrase_grid, freq, max_score, layer_zooms):
+        self.index = IndexData(features, phrase_grid, freq, max_score, layer_zooms)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = batch.column_names
+        queries = batch["query"].to_pylist()
+        qids = batch["query_id"].to_pylist() if "query_id" in cols else [str(i) for i in range(len(queries))]
+        prox_lon = batch["proximity_lon"].to_pylist() if "proximity_lon" in cols else [None] * len(queries)
+        prox_lat = batch["proximity_lat"].to_pylist() if "proximity_lat" in cols else [None] * len(queries)
+        limits = batch["limit"].to_pylist() if "limit" in cols else [5] * len(queries)
+
+        rows = {name: [] for name, _ in RESULT_FIELDS}
+        for qid, q, plon, plat, lim in zip(qids, queries, prox_lon, prox_lat, limits):
+            lim = int(lim) if lim is not None else 5
+            idq = parse_id_query(q)
+            rev = as_reverse(q)
+            if idq is not None and idq[0] in self.index.layers:
+                doc_id = f"{idq[0]}.{idq[1]}"
+                row = self.index.doc_index.get(doc_id)
+                if row is not None:
+                    f = self.index.feature_at(row)
+                    results = forward_one(self.index, f.text, limit=1)
+                    results = [r for r in results if r["feature_id"] == doc_id] or results[:1]
+                else:
+                    results = []
+            elif rev is not None:
+                results = reverse_one(self.index, rev[0], rev[1], limit=lim)
+            else:
+                p = (plon, plat) if plon is not None and plat is not None else None
+                results = forward_one(self.index, q, proximity=p, limit=lim)
+            for r in results:
+                rows["query_id"].append(qid)
+                for name, _ in RESULT_FIELDS[1:]:
+                    rows[name].append(r.get(name))
+        return pa.table({name: pa.array(rows[name], type=t) for name, t in RESULT_FIELDS})
+
+
+def forward_geocode_ds(queries_ds, index, concurrency: int = 4, batch_size: int = 256):
+    """queries Dataset → results Dataset via the fused actor pool."""
+    return queries_ds.map_batches(
+        ForwardGeocoder,
+        fn_constructor_kwargs={
+            "features": index.features,
+            "phrase_grid": index.phrase_grid,
+            "freq": index.freq,
+            "max_score": index.max_score,
+            "layer_zooms": index.layer_zooms,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,421 @@
+"""Index build pipeline — the Ray shape of carmen's Geocoder.index()
+(/root/reference/lib/indexer/index.js:30-97, indexdocs.js:43-89):
+
+    read interleaved docs
+      → map_batches(ParseDocs)            # spans → feature cols + covers (M8, M9)
+      → fork:
+        (a) term-frequency aggregate      # groupby(term).sum (ST5/A1), broadcast
+        (b) map_batches(PhraseGen)        # M10-M12 + A5: (phrase, grid) rows
+              → prefix-bin rank shuffle   # phrase_id assignment (S6)
+        (c) feature table                 # S5, partitioned by hash(doc_id)
+        (d) media cell table              # media spans → zxy/H3/S2 cells
+
+phrase_id: carmen assigns dense lexicographic ranks at finish()
+(lib/indexer/index.js:215-225). A global dense rank is a full-sort
+bottleneck at 10^12 docs, so we use order-preserving sparse ids:
+phrase_id = prefix_bin(first 2 bytes) << 40 | rank_within_bin — one
+groupby(bin) shuffle, ids still lexicographically ordered so prefix
+lookups are contiguous ranges (divergence from carmen's dense ids:
+documented; all range semantics preserved; bins mirror carmen's
+getPrefixBins(8192) sharding, index.js:221).
+
+Frequency table: carmen approximates frequencies per 10k batch
+(indexdocs.js:508-540); we compute them exactly with a global
+aggregate, keeping only terms above a count floor as an explicit map
+(rare terms get the default weight — same effect as carmen's
+approximation, bounded memory at scale).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..geom import wkb as wkbmod
+from ..geom.cells import hex_cell, s2_cell
+from ..geom.ops import center_of, geom_bbox
+from ..geom.tile import cover, lonlat_to_tile, parse_zxy
+from ..sources.synth import LAYER_IDX, LAYER_ZOOM
+from ..text.termops import encode_3bit_log, get_indexable_phrases
+from ..text.tokenize import normalize_query, tokenize
+from ..util.hashing import fnv1a_64, phrase_hash
+
+MAX_COVERS = 10000  # indexdocs.js:346-358 cap
+
+LANG_BITS = {"default": 0, "all": 63}  # bit 63 = universal
+
+
+def lang_bit(lang: str) -> int:
+    if lang in LANG_BITS:
+        return LANG_BITS[lang]
+    # stable per-language bit in 1..62
+    return 1 + (fnv1a_64(lang) % 62)
+
+
+# ------------------------------------------------------------ parse docs
+
+
+def parse_docs_batch(batch: pa.Table) -> pa.Table:
+    """spans → typed feature columns. Keeps the spans column verbatim so
+    the span-sequence invariant survives every downstream projection."""
+    doc_ids = batch["doc_id"].to_pylist()
+    spans_col = batch["spans"].to_pylist()
+
+    out = {
+        "doc_id": [], "layer": [], "idx": [], "zoom": [], "fid": [],
+        "text": [], "synonyms": [], "langs_json": [], "score": [],
+        "center_lon": [], "center_lat": [], "geometry_json": [],
+        "bbox_w": [], "bbox_s": [], "bbox_e": [], "bbox_n": [],
+        "covers_x": [], "covers_y": [], "media_refs": [], "spans": [],
+    }
+
+    for doc_id, spans in zip(doc_ids, spans_col):
+        layer = doc_id.split(".", 1)[0]
+        idx = LAYER_IDX.get(layer, len(LAYER_IDX))
+        zoom = LAYER_ZOOM.get(layer, 6)
+        try:
+            fid = int(doc_id.split(".", 1)[1])
+        except (IndexError, ValueError):
+            fid = fnv1a_64(doc_id) % (1 << 20)
+
+        text, synonyms, langs, score, media = "", [], {}, 0.0, []
+        geom, center = None, None
+        for s in sorted(spans, key=lambda s: s["offset"]):
+            k = s["kind"]
+            if k == "text" and not text:
+                text = s["text"]
+            elif k == "synonym":
+                synonyms.append(s["text"])
+            elif k.startswith("lang:"):
+                langs[k[5:]] = s["text"]
+            elif k == "geom":
+                geom = json.loads(s["text"])
+            elif k == "center":
+                lon, lat = s["text"].split(",")
+                center = (float(lon), float(lat))
+            elif k == "score":
+                score = float(s["text"])
+            elif k == "media":
+                media.append(s["media_ref"])
+
+        if geom is None and center is not None:
+            geom = {"type": "Point", "coordinates": [center[0], center[1]]}
+        if geom is None:
+            geom = {"type": "Point", "coordinates": [0.0, 0.0]}
+        if center is None:
+            center = center_of(geom)
+        bbox = geom_bbox(geom)
+        covers = cover(geom, zoom, MAX_COVERS)
+
+        out["doc_id"].append(doc_id)
+        out["layer"].append(layer)
+        out["idx"].append(idx)
+        out["zoom"].append(zoom)
+        out["fid"].append(fid % (1 << 20))
+        out["text"].append(text)
+        out["synonyms"].append(synonyms)
+        out["langs_json"].append(json.dumps(langs, sort_keys=True))
+        out["score"].append(score)
+        out["center_lon"].append(center[0])
+        out["center_lat"].append(center[1])
+        out["geometry_json"].append(json.dumps(geom))
+        out["bbox_w"].append(bbox[0])
+        out["bbox_s"].append(bbox[1])
+        out["bbox_e"].append(bbox[2])
+        out["bbox_n"].append(bbox[3])
+        out["covers_x"].append([c[0] for c in covers])
+        out["covers_y"].append([c[1] for c in covers])
+        out["media_refs"].append(media)
+        out["spans"].append(spans)
+
+    schema_overrides = {
+        "idx": pa.int32(), "zoom": pa.int32(), "fid": pa.int64(),
+        "synonyms": pa.list_(pa.string()),
+        "covers_x": pa.list_(pa.int32()), "covers_y": pa.list_(pa.int32()),
+        "media_refs": pa.list_(pa.string()),
+    }
+    arrays = {}
+    for k, v in out.items():
+        if k == "spans":
+            arrays[k] = pa.array(v, type=batch.schema.field("spans").type)
+        elif k in schema_overrides:
+            arrays[k] = pa.array(v, type=schema_overrides[k])
+        else:
+            arrays[k] = pa.array(v)
+    return pa.table(arrays)
+
+
+# ------------------------------------------------------- term frequency
+
+
+def term_rows(batch: pa.Table) -> pa.Table:
+    """Map-side partial term counts (one row per term per batch)."""
+    counts: dict[str, int] = {}
+    total = 0
+    for text, syns in zip(batch["text"].to_pylist(), batch["synonyms"].to_pylist()):
+        for t in [text] + list(syns or []):
+            toks = normalize_query(tokenize(t)).tokens
+            for tok in toks:
+                counts[tok] = counts.get(tok, 0) + 1
+                total += 1
+    counts["__COUNT__"] = total
+    return pa.table({
+        "term": pa.array(list(counts.keys()), type=pa.string()),
+        "n": pa.array(list(counts.values()), type=pa.int64()),
+    })
+
+
+def build_frequency(parsed_ds, min_count: int = 1, max_terms: int = 200_000) -> dict[str, int]:
+    """Exact global frequency via partial + final aggregate; truncated to
+    the `max_terms` most frequent (bounded broadcast at scale)."""
+    from ray.data.aggregate import Sum
+
+    agg = (
+        parsed_ds.map_batches(term_rows, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    df = agg.to_pandas()
+    if len(df) > max_terms:
+        df = df.nlargest(max_terms, "n")
+    return {t: int(n) for t, n in zip(df["term"], df["n"]) if n >= min_count}
+
+
+# ----------------------------------------------------------- phrase gen
+
+
+class PhraseGen:
+    """Stateful flat-map: feature rows → (phrase, grid) rows.
+
+    The frequency map ships once per actor via constructor args. Emits
+    one row per (indexable phrase × cover tile) with carmen's packed
+    attributes: relev bucket, 3-bit score, (x, y), fid, phrase hash,
+    lang bitset.
+    """
+
+    def __init__(self, freq: dict[str, int], max_score: float, layer_zooms: dict[str, int] | None = None):
+        self.freq = freq
+        self.max_score = max(max_score, 1.0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {
+            "phrase": [], "layer": [], "idx": [], "zoom": [], "lang_set": [],
+            "relev": [], "score3": [], "x": [], "y": [], "fid": [],
+            "phash": [], "score": [],
+        }
+        cols = {
+            k: batch[k].to_pylist()
+            for k in ("doc_id", "layer", "idx", "zoom", "text", "synonyms",
+                      "langs_json", "score", "covers_x", "covers_y", "fid")
+        }
+        for r in range(batch.num_rows):
+            texts: list[tuple[str, int]] = []
+            default_mask = (1 << lang_bit("default")) | (1 << lang_bit("all"))
+            main = cols["text"][r]
+            if main:
+                texts.append((main, default_mask))
+            for syn in cols["synonyms"][r] or []:
+                texts.append((syn, default_mask))
+            for lc, alt in json.loads(cols["langs_json"][r]).items():
+                texts.append((alt, 1 << lang_bit(lc)))
+
+            score = cols["score"][r]
+            score3 = encode_3bit_log(max(score, 0), self.max_score)
+            xs = cols["covers_x"][r]
+            ys = cols["covers_y"][r]
+            fid = cols["fid"][r]
+
+            seen: dict[str, tuple[float, int]] = {}
+            for text, lset in texts:
+                toks = normalize_query(tokenize(text)).tokens
+                if not toks:
+                    continue
+                ph = phrase_hash(text)
+                for p in get_indexable_phrases(toks, self.freq, text_hash=ph):
+                    prev = seen.get(p.phrase)
+                    if prev and prev[0] >= p.relev:
+                        seen[p.phrase] = (prev[0], prev[1] | lset)
+                    else:
+                        seen[p.phrase] = (p.relev, (prev[1] if prev else 0) | lset)
+
+            for phrase, (relev, lset) in seen.items():
+                for x, y in zip(xs, ys):
+                    out["phrase"].append(phrase)
+                    out["layer"].append(cols["layer"][r])
+                    out["idx"].append(cols["idx"][r])
+                    out["zoom"].append(cols["zoom"][r])
+                    out["lang_set"].append(lset)
+                    out["relev"].append(relev)
+                    out["score3"].append(score3)
+                    out["x"].append(x)
+                    out["y"].append(y)
+                    out["fid"].append(fid)
+                    out["phash"].append(phrase_hash(phrase))
+                    out["score"].append(score)
+
+        return pa.table({
+            "phrase": pa.array(out["phrase"], type=pa.string()),
+            "layer": pa.array(out["layer"], type=pa.string()),
+            "idx": pa.array(out["idx"], type=pa.int32()),
+            "zoom": pa.array(out["zoom"], type=pa.int32()),
+            "lang_set": pa.array(out["lang_set"], type=pa.uint64()),
+            "relev": pa.array(out["relev"], type=pa.float64()),
+            "score3": pa.array(out["score3"], type=pa.uint8()),
+            "x": pa.array(out["x"], type=pa.int32()),
+            "y": pa.array(out["y"], type=pa.int32()),
+            "fid": pa.array(out["fid"], type=pa.int64()),
+            "phash": pa.array(out["phash"], type=pa.int32()),
+            "score": pa.array(out["score"], type=pa.float64()),
+        })
+
+
+def assign_phrase_ids(phrase_grid_ds):
+    """Order-preserving sparse phrase ids via prefix-bin rank shuffle."""
+
+    def add_bin(b: pa.Table) -> pa.Table:
+        bins = [
+            (ord(p[0]) if p else 0) * 256 + (ord(p[1]) % 256 if len(p) > 1 else 0)
+            for p in b["phrase"].to_pylist()
+        ]
+        return b.append_column("pbin", pa.array(bins, type=pa.int32()))
+
+    def rank_bin(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values("phrase", kind="mergesort")
+        codes, uniques = pd.factorize(group["phrase"], sort=True)
+        pbin = int(group["pbin"].iloc[0])
+        group = group.copy()
+        group["phrase_id"] = (np.int64(pbin) << np.int64(40)) | codes.astype(np.int64)
+        return group.drop(columns=["pbin"])
+
+    return (
+        phrase_grid_ds.map_batches(add_bin, batch_format="pyarrow")
+        .groupby("pbin")
+        .map_groups(rank_bin, batch_format="pandas")
+    )
+
+
+# --------------------------------------------------------- media cells
+
+
+def media_cells_batch(batch: pa.Table) -> pa.Table:
+    """Every media_ref-bearing doc → (media_ref, zxy cell, H3 r7-9, S2)
+    keyed by the doc center — the raster↔vector join key table."""
+    out = {"doc_id": [], "media_ref": [], "zxy": [], "h3_r7": [], "h3_r8": [],
+           "h3_r9": [], "s2_cell": []}
+    for doc_id, refs, lon, lat, zoom in zip(
+        batch["doc_id"].to_pylist(), batch["media_refs"].to_pylist(),
+        batch["center_lon"].to_pylist(), batch["center_lat"].to_pylist(),
+        batch["zoom"].to_pylist(),
+    ):
+        for ref in refs or []:
+            if ref.startswith("tile://"):
+                z, x, y = parse_zxy(ref[len("tile://"):])
+            else:
+                z = zoom
+                tx, ty = lonlat_to_tile(lon, lat, z)
+                x, y = int(tx), int(ty)
+            out["doc_id"].append(doc_id)
+            out["media_ref"].append(ref)
+            out["zxy"].append(f"{z}/{x}/{y}")
+            out["h3_r7"].append(hex_cell(lon, lat, 7))
+            out["h3_r8"].append(hex_cell(lon, lat, 8))
+            out["h3_r9"].append(hex_cell(lon, lat, 9))
+            out["s2_cell"].append(s2_cell(lon, lat, 12))
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"], type=pa.string()),
+        "media_ref": pa.array(out["media_ref"], type=pa.string()),
+        "zxy": pa.array(out["zxy"], type=pa.string()),
+        "h3_r7": pa.array(out["h3_r7"], type=pa.uint64()),
+        "h3_r8": pa.array(out["h3_r8"], type=pa.uint64()),
+        "h3_r9": pa.array(out["h3_r9"], type=pa.uint64()),
+        "s2_cell": pa.array(out["s2_cell"], type=pa.uint64()),
+    })
+
+
+# -------------------------------------------------------------- facade
+
+
+@dataclass
+class CarmenIndex:
+    """Built index: Arrow tables (test scale) or parquet dirs (bench
+    scale — see write_index/load_index for the resumable layout)."""
+
+    features: pa.Table
+    phrase_grid: pa.Table
+    media_cells: pa.Table
+    freq: dict[str, int]
+    max_score: float
+    layer_zooms: dict[str, int] = field(default_factory=dict)
+
+    @property
+    def max_zoom(self) -> int:
+        return max(self.layer_zooms.values()) if self.layer_zooms else 14
+
+
+def build_index(docs_ds, freq_min_count: int = 1) -> CarmenIndex:
+    """Full index build as a Ray Data pipeline; materializes the compact
+    index tables (features + phrase_grid) at the end.
+
+    At 100 TB: replace the final to-Arrow materializations with
+    write_parquet partitioned by hash(doc_id) / prefix bin (see
+    sources/io.py checkpoint layout) — the pipeline stages are identical.
+    """
+    import ray
+    import pyarrow as _pa
+
+    parsed = docs_ds.map_batches(parse_docs_batch, batch_format="pyarrow")
+    parsed = parsed.materialize()  # reused by 3 downstream branches
+
+    # one extra execution total: frequency aggregate (vocab is capped)
+    freq = build_frequency(parsed, min_count=freq_min_count)
+
+    # features land on the driver once; max_score / layer_zooms derive
+    # from the materialized table instead of extra Dataset executions
+    feat_tbl = _pa.concat_tables(
+        ray.get(parsed.to_arrow_refs()), promote_options="permissive"
+    )
+    max_score = float(pc.max(feat_tbl["score"]).as_py() or 1.0)
+    layer_zooms = {
+        l: int(z) for l, z in zip(
+            feat_tbl["layer"].to_pylist(), feat_tbl["zoom"].to_pylist())
+    }
+
+    phrase_grid = parsed.map_batches(
+        PhraseGen,
+        fn_constructor_kwargs={"freq": freq, "max_score": max_score},
+        batch_format="pyarrow",
+        concurrency=4,
+    )
+    phrase_grid = assign_phrase_ids(phrase_grid)
+
+    media = parsed.map_batches(media_cells_batch, batch_format="pyarrow")
+
+    pg_tbl = _pa.concat_tables(
+        ray.get(phrase_grid.materialize().to_arrow_refs()),
+        promote_options="permissive",
+    )
+    media_tbl = _pa.concat_tables(
+        ray.get(media.materialize().to_arrow_refs()),
+        promote_options="permissive",
+    )
+    feature_cols = [
+        "doc_id", "layer", "idx", "zoom", "fid", "text", "synonyms",
+        "langs_json", "score", "center_lon", "center_lat", "geometry_json",
+        "bbox_w", "bbox_s", "bbox_e", "bbox_n", "spans",
+    ]
+    feat_tbl = feat_tbl.select(feature_cols)
+    pg_tbl = pg_tbl.sort_by([("phrase", "ascending"), ("idx", "ascending")])
+
+    return CarmenIndex(
+        features=feat_tbl,
+        phrase_grid=pg_tbl,
+        media_cells=media_tbl,
+        freq=freq,
+        max_score=max_score,
+        layer_zooms=layer_zooms,
+    )

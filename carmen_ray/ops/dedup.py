@@ -43,25 +43,32 @@ def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("content_hash", pa.array(hashes, type=pa.uint64()))
 
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", shards: int = 64):
     """Exact dedup: keep the min-id row per normalized-text hash.
 
     Returns a Dataset of (content_hash, doc_id, dup_count). Only the
-    narrow (hash, id) projection shuffles.
+    narrow (hash, id) projection shuffles. The shuffle key is a coarse
+    shard of the hash (`shards` groups) so the per-group Python overhead
+    is O(shards); the exact per-hash grouping is vectorized pandas
+    inside each shard — same result, none of the tiny-group tax.
     """
     hashed = ds.map_batches(
         lambda b: add_content_hash(b, text_col).select(["content_hash", id_col]),
         batch_format="pyarrow",
+    ).map_batches(
+        lambda b: b.append_column(
+            "shard", pa.array((np.asarray(b["content_hash"], dtype=np.uint64) % np.uint64(shards)).astype(np.int32))
+        ),
+        batch_format="pyarrow",
     )
 
-    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "content_hash": [group["content_hash"].iloc[0]],
-            id_col: [group[id_col].min()],
-            "dup_count": [len(group)],
-        })
+    def dedupe_shard(group: pd.DataFrame) -> pd.DataFrame:
+        agg = group.groupby("content_hash", as_index=False).agg(
+            **{id_col: (id_col, "min"), "dup_count": (id_col, "size")}
+        )
+        return agg[["content_hash", id_col, "dup_count"]]
 
-    return hashed.groupby("content_hash").map_groups(keep_first, batch_format="pandas")
+    return hashed.groupby("shard").map_groups(dedupe_shard, batch_format="pandas")
 
 
 # ----------------------------------------------------------- shingles ---
@@ -158,23 +165,40 @@ def minhash_lsh_candidates(ds, num_perm: int = 128, num_bands: int = 32, text_co
         lambda b: explode_bands(b, num_bands), batch_format="pyarrow"
     )
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(group["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
+    def pairs_in_band(group: pd.DataFrame) -> pd.DataFrame:
+        """One shuffle group per band (num_bands groups total); exact
+        band_hash bucketing is pandas inside."""
         out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
+        for _, bucket in group.groupby("band_hash", sort=False):
+            if len(bucket) < 2:
+                continue
+            ids = sorted(bucket["doc_id"].unique())
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
         return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
 
-    cand = bands.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pandas")
-    # a pair can surface from many bands — dedupe
-    def first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.head(1)
+    cand = bands.groupby("band").map_groups(pairs_in_band, batch_format="pandas")
+    return _dedupe_pairs(cand, ["doc_a", "doc_b"])
 
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(first, batch_format="pandas")
+
+def _dedupe_pairs(cand, cols: list[str], shards: int = 32):
+    """Distinct rows via coarse-shard shuffle + vectorized inner dedupe."""
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["shard"] = pd.util.hash_pandas_object(df[cols[0]], index=False).to_numpy() % shards
+        return df
+
+    def dedupe(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop_duplicates(cols).drop(columns=["shard"])
+
+    return (
+        cand.map_batches(add_shard, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(dedupe, batch_format="pandas")
+    )
 
 
 # ------------------------------------------------------------ simhash ---
@@ -200,49 +224,53 @@ def simhash_batch(batch: pa.Table, text_col: str = "text", k: int = 5) -> pa.Tab
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    x = np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64))
-    cnt = np.zeros(x.shape, dtype=np.int64)
-    for _ in range(64):
-        cnt += (x & np.uint64(1)).astype(np.int64)
-        x >>= np.uint64(1)
-    return cnt
+    x = np.bitwise_xor(np.atleast_1d(a).astype(np.uint64), np.atleast_1d(b).astype(np.uint64))
+    return np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1).astype(np.int64)
 
 
 def simhash_near_dups(ds, max_hamming: int = 3, text_col: str = "text"):
     """Near-dup pairs with hamming(simhash) ≤ max_hamming via segment blocking."""
     sh = ds.map_batches(lambda b: simhash_batch(b, text_col), batch_format="pyarrow")
 
-    def pairs_factory(seg_col):
-        def pairs(group: pd.DataFrame) -> pd.DataFrame:
-            g = group.sort_values("doc_id")
+    def explode_blocks(b: pa.Table) -> pa.Table:
+        """(doc_id, simhash, seg0..3) → 4 rows per doc keyed by
+        block = seg_index<<16 | seg_value (pigeonhole blocking)."""
+        n = b.num_rows
+        doc = np.asarray(b["doc_id"])
+        sim = np.asarray(b["simhash"], dtype=np.uint64)
+        blocks, docs, sims = [], [], []
+        for seg in range(4):
+            segv = np.asarray(b[f"seg{seg}"], dtype=np.uint64)
+            blocks.append((np.uint64(seg << 16) | segv).astype(np.uint64))
+            docs.append(doc)
+            sims.append(sim)
+        return pa.table({
+            "block": pa.array(np.concatenate(blocks)),
+            "doc_id": pa.array(np.concatenate(docs)),
+            "simhash": pa.array(np.concatenate(sims), type=pa.uint64()),
+            "shard": pa.array((np.concatenate(blocks) % np.uint64(16)).astype(np.int32)),
+        })
+
+    def pairs_in_shard(group: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_h = [], [], []
+        for _, g in group.groupby("block", sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values("doc_id")
             ids = g["doc_id"].to_numpy()
             hashes = g["simhash"].to_numpy(dtype=np.uint64)
-            out_a, out_b, out_h = [], [], []
-            for i in range(len(ids)):
-                if len(ids) > 1:
-                    d = hamming64(np.repeat(hashes[i], len(ids) - i - 1), hashes[i + 1 :])
-                    for off, dist in enumerate(d):
-                        if dist <= max_hamming:
-                            out_a.append(ids[i])
-                            out_b.append(ids[i + 1 + off])
-                            out_h.append(int(dist))
-            return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "hamming": out_h})
+            for i in range(len(ids) - 1):
+                d = hamming64(np.repeat(hashes[i], len(ids) - i - 1), hashes[i + 1 :])
+                hit = np.flatnonzero(d <= max_hamming)
+                for off in hit:
+                    out_a.append(ids[i])
+                    out_b.append(ids[i + 1 + off])
+                    out_h.append(int(d[off]))
+        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "hamming": out_h})
 
-        return pairs
-
-    parts = []
-    for seg in range(4):
-        parts.append(
-            sh.select_columns(["doc_id", "simhash", f"seg{seg}"])
-            .groupby(f"seg{seg}")
-            .map_groups(pairs_factory(seg), batch_format="pandas")
-            .select_columns(["doc_a", "doc_b", "hamming"])
-        )
-    allpairs = parts[0]
-    for p in parts[1:]:
-        allpairs = allpairs.union(p)
-
-    def first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.head(1)
-
-    return allpairs.groupby(["doc_a", "doc_b"]).map_groups(first, batch_format="pandas")
+    allpairs = (
+        sh.map_batches(explode_blocks, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(pairs_in_shard, batch_format="pandas")
+    )
+    return _dedupe_pairs(allpairs, ["doc_a", "doc_b"])

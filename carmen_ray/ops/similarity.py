@@ -135,9 +135,19 @@ def pairwise_cosine_dedup(ds, threshold: float = 0.95, dim: int = 32,
             "cosine_sim": np.round(sims[ia[mask], ib[mask]].astype(np.float64), 6),
         })
 
-    pairs = with_buckets.groupby("lsh_bucket").map_groups(bucket_pairs, batch_format="pandas")
+    def add_shard(b: pa.Table) -> pa.Table:
+        shard = (np.asarray(b["lsh_bucket"], dtype=np.uint64) % np.uint64(16)).astype(np.int32)
+        return b.append_column("shard", pa.array(shard))
 
-    def first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.head(1)
+    def shard_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        outs = [bucket_pairs(g) for _, g in group.groupby("lsh_bucket", sort=False)]
+        outs = [o for o in outs if len(o)]
+        if not outs:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []})
+        return pd.concat(outs, ignore_index=True).drop_duplicates(["id_a", "id_b"])
 
-    return pairs.groupby(["id_a", "id_b"]).map_groups(first, batch_format="pandas")
+    return (
+        with_buckets.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(shard_pairs, batch_format="pandas")
+    )

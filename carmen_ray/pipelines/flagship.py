@@ -1,0 +1,86 @@
+"""Flagship pipeline: the geocode-join.
+
+interleaved corpus → index build (phrase/grid + features + media cells)
+→ a Dataset of forward/reverse/id queries → fused geocode actor pool
+→ ranked result rows.
+
+`flagship(sf_dir)` derives its scale knob from the sf dir name so the
+driver's smoke check (sf0.001) stays fast while bench (sf0.1) exercises
+a larger corpus; the corpus itself is synthesized deterministically
+(seed 42) in the input_hint shape — see sources/synth.py.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..geocode.engine import forward_geocode_ds
+from ..index.build import build_index
+from ..sources.synth import generate_corpus
+
+_SCALE = {"sf0.001": 1, "sf0.01": 2, "sf0.1": 6}
+
+
+def corpus_scale_for(sf_dir: str) -> int:
+    for k, v in _SCALE.items():
+        if sf_dir.rstrip("/").endswith(k):
+            return v
+    return 1
+
+
+def build_corpus_and_index(scale: int = 1, blocks: int = 8):
+    tbl = generate_corpus(
+        n_places=max(40, 20 * scale),
+        n_streets=200 * scale,
+        n_pois=100 * scale,
+    )
+    ds = rd.from_arrow(tbl).repartition(blocks)
+    return tbl, build_index(ds)
+
+
+def make_queries(index, n_queries: int | None = None) -> pa.Table:
+    """Deterministic query mix derived from the corpus: 70% forward (half
+    with proximity), 20% reverse, 10% id."""
+    f = index.features.to_pandas()
+    targets = f[f.layer.isin(["street", "poi", "place"])].reset_index(drop=True)
+    if n_queries is None:
+        n_queries = len(targets)
+    qids, queries, plons, plats = [], [], [], []
+    for i in range(n_queries):
+        row = targets.iloc[i % len(targets)]
+        kind = i % 10
+        qids.append(f"q{i}")
+        if kind < 5:  # forward
+            queries.append(row.text)
+            plons.append(None)
+            plats.append(None)
+        elif kind < 7:  # forward + proximity
+            queries.append(row.text)
+            plons.append(float(row.center_lon))
+            plats.append(float(row.center_lat))
+        elif kind < 9:  # reverse
+            queries.append(f"{row.center_lon},{row.center_lat}")
+            plons.append(None)
+            plats.append(None)
+        else:  # id
+            queries.append(row.doc_id)
+            plons.append(None)
+            plats.append(None)
+    return pa.table({
+        "query_id": pa.array(qids, type=pa.string()),
+        "query": pa.array(queries, type=pa.string()),
+        "proximity_lon": pa.array(plons, type=pa.float64()),
+        "proximity_lat": pa.array(plats, type=pa.float64()),
+    })
+
+
+def flagship(sf_dir: str = "/root/testdata/sf0.001", concurrency: int = 4,
+             n_queries: int | None = None):
+    """Returns the geocode-result Dataset for the derived query batch."""
+    scale = corpus_scale_for(sf_dir)
+    _, index = build_corpus_and_index(scale=scale)
+    queries = make_queries(index, n_queries)
+    qds = rd.from_arrow(queries).repartition(max(2, concurrency))
+    return forward_geocode_ds(qds, index, concurrency=concurrency)

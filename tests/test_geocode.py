@@ -1,0 +1,188 @@
+"""End-to-end geocode engine tests over the deterministic interleaved
+corpus — the pytest analogue of the reference's geocode-unit acceptance
+suite (test/acceptance/geocode-unit.*.test.js): exact match, context
+stacking, gap penalty, proximity bias, reverse, id lookup, and the
+per-row span-sequence invariant."""
+
+import json
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from carmen_ray.sources.synth import generate_corpus, spans_signature
+
+
+@pytest.fixture(scope="module")
+def built(ray_session):
+    import ray.data as rd
+
+    from carmen_ray.index.build import build_index
+
+    tbl = generate_corpus()
+    ds = rd.from_arrow(tbl).repartition(4)
+    idx = build_index(ds)
+    return tbl, idx
+
+
+@pytest.fixture(scope="module")
+def index_data(built):
+    from carmen_ray.geocode.engine import IndexData
+
+    _, idx = built
+    return IndexData(idx.features, idx.phrase_grid, idx.freq, idx.max_score, idx.layer_zooms)
+
+
+def test_corpus_counts(built):
+    tbl, idx = built
+    assert tbl.num_rows == 4 + 12 + 40 + 200 + 100
+    assert idx.features.num_rows == tbl.num_rows
+    assert idx.phrase_grid.num_rows > 0
+    assert idx.media_cells.num_rows > 0
+
+
+def test_phrase_ids_lexicographic(built):
+    _, idx = built
+    pg = idx.phrase_grid.to_pandas().drop_duplicates("phrase").sort_values("phrase")
+    ids = pg["phrase_id"].to_numpy()
+    assert (ids[:-1] <= ids[1:]).all()
+
+
+def test_span_sequence_invariant(built):
+    """Per-row span-sequence equality (kind, text, media_ref, order)
+    between the input corpus and the feature table output."""
+    tbl, idx = built
+    inp = {d: spans_signature(s) for d, s in zip(tbl["doc_id"].to_pylist(), tbl["spans"].to_pylist())}
+    out_ids = idx.features["doc_id"].to_pylist()
+    out_spans = idx.features["spans"].to_pylist()
+    assert set(out_ids) == set(inp)
+    for d, s in zip(out_ids, out_spans):
+        assert spans_signature(s) == inp[d], f"span sequence mutated for {d}"
+
+
+def test_forward_exact_match(built, index_data):
+    from carmen_ray.geocode.engine import forward_one
+
+    _, idx = built
+    f = idx.features.to_pandas()
+    street = f[f.layer == "street"].iloc[0]
+    res = forward_one(index_data, street.text)
+    assert res, "no results"
+    assert res[0]["feature_id"] == street.doc_id
+    assert res[0]["relevance"] == 1.0
+    assert res[0]["place_name"].startswith(street.text)
+    # context is fine→coarse and ends at a country
+    assert res[0]["context"][-1].startswith("country.")
+
+
+def test_forward_partial_lower_relevance(built, index_data):
+    from carmen_ray.geocode.engine import forward_one
+
+    _, idx = built
+    f = idx.features.to_pandas()
+    street = f[(f.layer == "street") & f.text.str.contains(" ")].iloc[0]
+    first_word = street.text.split()[0]
+    res = forward_one(index_data, f"{first_word} zzzqqq")
+    if res:  # unmatched token lowers relevance below 1
+        assert res[0]["relevance"] < 1.0
+
+
+def test_forward_context_stack_relevance(built, index_data):
+    """street + its containing place stacks to relevance 1.0; a
+    non-adjacent hierarchy pairing costs the 0.01 gap penalty."""
+    from carmen_ray.geocode.engine import forward_one
+
+    _, idx = built
+    f = idx.features.to_pandas()
+    # find a street whose context includes a place
+    target = None
+    for _, street in f[f.layer == "street"].iterrows():
+        r = forward_one(index_data, street.text, limit=1)
+        if r and r[0]["feature_id"] == street.doc_id and len(r[0]["context"]) >= 2:
+            place_id = [c for c in r[0]["context"] if c.startswith("place.")]
+            region_id = [c for c in r[0]["context"] if c.startswith("region.")]
+            if place_id and region_id:
+                target = (street, place_id[0], region_id[0])
+                break
+    assert target is not None
+    street, place_id, region_id = target
+    place_text = f[f.doc_id == place_id].iloc[0].text
+    region_text = f[f.doc_id == region_id].iloc[0].text
+
+    r_place = forward_one(index_data, f"{street.text} {place_text}")
+    mine = [x for x in r_place if x["feature_id"] == street.doc_id]
+    assert mine and mine[0]["relevance"] == 1.0
+
+    r_region = forward_one(index_data, f"{street.text} {region_text}")
+    mine_r = [x for x in r_region if x["feature_id"] == street.doc_id]
+    assert mine_r and mine_r[0]["relevance"] == pytest.approx(0.99)
+
+
+def test_proximity_bias(built, index_data):
+    """Identically-named features ('cafe' synonym): proximity pulls the
+    nearby one to rank 0 (scoredist, proximity.js:95-132)."""
+    from carmen_ray.geocode.engine import forward_one
+
+    base = forward_one(index_data, "cafe", limit=5)
+    assert len(base) >= 2
+    # use the center of the LAST result as proximity → it should win
+    tgt = base[-1]
+    res = forward_one(index_data, "cafe", proximity=(tgt["center_lon"], tgt["center_lat"]), limit=5)
+    assert res[0]["feature_id"] == tgt["feature_id"]
+    assert all(r["relevance"] == res[0]["relevance"] for r in base), "same text → same relev"
+
+
+def test_reverse(built, index_data):
+    from carmen_ray.geocode.engine import reverse_one
+
+    _, idx = built
+    f = idx.features.to_pandas()
+    street = f[f.layer == "street"].iloc[0]
+    res = reverse_one(index_data, float(street.center_lon), float(street.center_lat))
+    assert res
+    assert res[0]["feature_id"] == street.doc_id
+    assert res[0]["context"], "reverse result should carry containing context"
+
+
+def test_batch_pipeline(built, ray_session):
+    import ray.data as rd
+
+    from carmen_ray.geocode.engine import forward_geocode_ds
+
+    tbl, idx = built
+    f = idx.features.to_pandas()
+    street = f[f.layer == "street"].iloc[0]
+    queries = pa.table({
+        "query_id": ["q0", "q1", "q2"],
+        "query": [
+            street.text,
+            f"{street.center_lon},{street.center_lat}",
+            f"{street.doc_id}",
+        ],
+    })
+    out = forward_geocode_ds(rd.from_arrow(queries), idx, concurrency=1).to_pandas()
+    assert set(out["query_id"]) == {"q0", "q1", "q2"}
+    q0 = out[out.query_id == "q0"].sort_values("rank")
+    assert q0.iloc[0]["feature_id"] == street.doc_id
+    q1 = out[out.query_id == "q1"]
+    assert q1.iloc[0]["feature_id"] == street.doc_id
+    q2 = out[out.query_id == "q2"]
+    assert q2.iloc[0]["feature_id"] == street.doc_id
+
+
+def test_media_cells(built):
+    """Every media span lands in the raster↔vector join table with
+    zxy + H3 r7-9 + S2 cells."""
+    tbl, idx = built
+    media_docs = {
+        d for d, spans in zip(tbl["doc_id"].to_pylist(), tbl["spans"].to_pylist())
+        if any(s["kind"] == "media" for s in spans)
+    }
+    cells = idx.media_cells.to_pandas()
+    assert set(cells["doc_id"]) == media_docs
+    assert (cells["h3_r7"] != cells["h3_r8"]).all() or len(cells) == 0
+    assert cells["s2_cell"].gt(0).all()
+    # tile:// refs keep their authored tile
+    tile_rows = cells[cells.media_ref.str.startswith("tile://")]
+    for r in tile_rows.itertuples():
+        assert r.media_ref == f"tile://{r.zxy}"
