@@ -1,0 +1,254 @@
+"""Geo operators over the driver's testdata tables, with DuckDB oracles.
+
+Coordinates derive deterministically from integer keys with arithmetic
+that is expressible identically in SQL (Knuth multiplicative hash mod
+2^32 → scaled to lon/lat), so the spatial operators — tile assignment,
+point-in-polygon join, kNN — have exact oracles. Engine-internal geo ops
+(S2/H3 cells, raster↔vector join over the interleaved corpus) are
+rows-only here and invariant-tested in pytest.
+
+Float caution: both sides use IEEE doubles and the same operation order;
+mercator-y goes through round(·, 9) before floor so a last-ulp libm
+difference between numpy and DuckDB can't flip a tile boundary.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+_A = 2654435761  # Knuth multiplicative hash constants
+_B = 2246822519
+_M = 4294967296
+
+
+def derive_lonlat(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    k = keys.astype(np.int64)
+    lon = ((k * _A) % _M) / _M * 360.0 - 180.0
+    lat = ((k * _B) % _M) / _M * 170.0 - 85.0
+    return lon, lat
+
+
+_SQL_LON = f"((c_custkey * {_A}) % {_M}) / {_M} * 360 - 180"
+_SQL_LAT = f"((c_custkey * {_B}) % {_M}) / {_M} * 170 - 85"
+
+
+def q_geo_tile_assign(sf_dir: str):
+    """Slippy-tile (z10) assignment for derived customer coordinates —
+    the M9 cover operator with an exact SQL oracle."""
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+
+    def assign(b: pa.Table) -> pa.Table:
+        keys = np.asarray(b["c_custkey"], dtype=np.int64)
+        lon, lat = derive_lonlat(keys)
+        z = 10
+        n = float(1 << z)
+        x = np.floor(np.round((lon / 360.0 + 0.5) * n, 9)).astype(np.int64)
+        s = np.sin(np.radians(lat))
+        yv = (0.5 - np.log((1 + s) / (1 - s)) / (4 * np.pi)) * n
+        y = np.floor(np.round(yv, 9)).astype(np.int64)
+        x = np.clip(x, 0, (1 << z) - 1)
+        y = np.clip(y, 0, (1 << z) - 1)
+        zxy = [f"{z}/{xi}/{yi}" for xi, yi in zip(x, y)]
+        return pa.table({
+            "c_custkey": b["c_custkey"],
+            "lon": pa.array(np.round(lon, 6)),
+            "lat": pa.array(np.round(lat, 6)),
+            "tile_x": pa.array(x),
+            "tile_y": pa.array(y),
+            "zxy": pa.array(zxy, type=pa.string()),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+SQL_GEO_TILE = f"""
+WITH pts AS (
+  SELECT c_custkey, {_SQL_LON} AS lon, {_SQL_LAT} AS lat FROM customer
+), t AS (
+  SELECT c_custkey, lon, lat,
+    GREATEST(0, LEAST(1023, CAST(floor(round((lon / 360 + 0.5) * 1024, 9)) AS BIGINT))) AS tile_x,
+    GREATEST(0, LEAST(1023, CAST(floor(round((0.5 - ln((1 + sin(radians(lat))) / (1 - sin(radians(lat)))) / (4 * pi())) * 1024, 9)) AS BIGINT))) AS tile_y
+  FROM pts
+)
+SELECT c_custkey, round(lon, 6) AS lon, round(lat, 6) AS lat,
+       tile_x, tile_y,
+       '10/' || tile_x || '/' || tile_y AS zxy
+FROM t
+"""
+
+
+def q_geo_pip_join(sf_dir: str):
+    """Point-in-polygon join: derived customer points ⋈ a 10°-lattice of
+    polygon cells. The Ray side runs the REAL even-odd PIP kernel over
+    polygon geometry (geom/ops.py); the lattice alignment makes the
+    result SQL-checkable."""
+    from ..geom.ops import points_in_ring_bulk
+
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+
+    # lattice cell polygons (36 x 17 cells of 10°x10°)
+    cells = []
+    for cx in range(36):
+        for cy in range(17):
+            w, s = -180.0 + cx * 10.0, -85.0 + cy * 10.0
+            ring = np.array([[w, s], [w + 10, s], [w + 10, s + 10], [w, s + 10], [w, s]])
+            cells.append((cx * 17 + cy, ring))
+
+    def pip(b: pa.Table) -> pa.Table:
+        keys = np.asarray(b["c_custkey"], dtype=np.int64)
+        lon, lat = derive_lonlat(keys)
+        pts = np.stack([lon, lat], axis=1)
+        assigned = np.full(len(keys), -1, dtype=np.int64)
+        for cell_id, ring in cells:
+            # bbox prefilter, then the real ray-casting kernel
+            w, s = ring[0]
+            mask = (lon >= w) & (lon < w + 10) & (lat >= s) & (lat < s + 10)
+            if mask.any():
+                inside = points_in_ring_bulk(pts[mask], ring)
+                idxs = np.flatnonzero(mask)[inside]
+                assigned[idxs] = cell_id
+        return pa.table({"c_custkey": b["c_custkey"], "cell_id": pa.array(assigned)})
+
+    return (
+        ds.map_batches(pip, batch_format="pyarrow")
+        .groupby("cell_id")
+        .count()
+        .map_batches(lambda b: b.rename_columns(["cell_id", "n_points"]), batch_format="pyarrow")
+    )
+
+
+SQL_GEO_PIP = f"""
+WITH pts AS (
+  SELECT c_custkey, {_SQL_LON} AS lon, {_SQL_LAT} AS lat FROM customer
+)
+SELECT CAST(floor((lon + 180) / 10) * 17 + floor((lat + 85) / 10) AS BIGINT) AS cell_id,
+       count(*) AS n_points
+FROM pts
+GROUP BY cell_id
+"""
+
+
+def q_geo_knn(sf_dir: str):
+    """kNN proximity join: nearest supplier (haversine) per customer —
+    the J5 operator with a broadcast small side and a SQL oracle."""
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+    skeys = np.asarray(sup["s_suppkey"], dtype=np.int64)
+    slon, slat = derive_lonlat(skeys)
+
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+
+    R = 6371.0088
+
+    def nearest(b: pa.Table) -> pa.Table:
+        keys = np.asarray(b["c_custkey"], dtype=np.int64)
+        lon, lat = derive_lonlat(keys)
+        lat1 = np.radians(lat)[:, None]
+        lat2 = np.radians(slat)[None, :]
+        dlat = lat2 - lat1
+        dlon = np.radians(slon)[None, :] - np.radians(lon)[:, None]
+        h = np.sin(dlat / 2) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2) ** 2
+        d = 2 * R * np.arcsin(np.sqrt(h))
+        best = np.argmin(d, axis=1)
+        return pa.table({
+            "c_custkey": b["c_custkey"],
+            "nearest_supp": pa.array(skeys[best]),
+            "dist_km": pa.array(np.round(d[np.arange(len(best)), best], 3)),
+        })
+
+    return ds.map_batches(nearest, batch_format="pyarrow")
+
+
+SQL_GEO_KNN = f"""
+WITH c AS (
+  SELECT c_custkey, radians({_SQL_LON}) AS lon, radians({_SQL_LAT}) AS lat FROM customer
+), s AS (
+  SELECT s_suppkey,
+         radians(((s_suppkey * {_A}) % {_M}) / {_M} * 360 - 180) AS lon,
+         radians(((s_suppkey * {_B}) % {_M}) / {_M} * 170 - 85) AS lat
+  FROM supplier
+), d AS (
+  SELECT c.c_custkey, s.s_suppkey,
+         2 * 6371.0088 * asin(sqrt(
+            sin((s.lat - c.lat) / 2) ^ 2 +
+            cos(c.lat) * cos(s.lat) * sin((s.lon - c.lon) / 2) ^ 2
+         )) AS dist
+  FROM c CROSS JOIN s
+)
+SELECT c_custkey,
+       arg_min(s_suppkey, dist) AS nearest_supp,
+       round(min(dist), 3) AS dist_km
+FROM d GROUP BY c_custkey
+"""
+
+
+def q_geo_cells(sf_dir: str):
+    """S2 + hex cell assignment for derived customer coords (rows-only:
+    the cell codes are engine-internal; invariants pytest-checked)."""
+    from ..geom.cells import hex_cell, s2_cell
+
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+
+    def assign(b: pa.Table) -> pa.Table:
+        keys = np.asarray(b["c_custkey"], dtype=np.int64)
+        lon, lat = derive_lonlat(keys)
+        return pa.table({
+            "c_custkey": b["c_custkey"],
+            "s2_l12": pa.array([s2_cell(x, y, 12) for x, y in zip(lon, lat)], type=pa.uint64()),
+            "h3_r7": pa.array([hex_cell(x, y, 7) for x, y in zip(lon, lat)], type=pa.uint64()),
+            "h3_r8": pa.array([hex_cell(x, y, 8) for x, y in zip(lon, lat)], type=pa.uint64()),
+            "h3_r9": pa.array([hex_cell(x, y, 9) for x, y in zip(lon, lat)], type=pa.uint64()),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def q_raster_vector_join(sf_dir: str):
+    """Raster↔vector join over the interleaved corpus: media cells table
+    ⋈ feature covers by tile containment (scaled zoom equality). Returns
+    (media_ref, doc_id, vector_doc) hit rows. Rows-only (engine
+    internal)."""
+    from ..geocode.coalesce import _aligned
+    from ..pipelines.flagship import build_corpus_and_index, corpus_scale_for
+
+    _, index = build_corpus_and_index(scale=corpus_scale_for(sf_dir))
+    media = index.media_cells.to_pandas()
+    pg = index.phrase_grid.to_pandas()[["layer", "zoom", "x", "y", "fid"]].drop_duplicates()
+
+    media_ds = rd.from_pandas(media)
+
+    covers = pg.to_records(index=False)
+
+    def join(b: pd.DataFrame) -> pd.DataFrame:
+        out = {"media_ref": [], "media_doc": [], "vector_doc_fid": [], "vector_layer": []}
+        for row in b.itertuples():
+            z, x, y = (int(v) for v in row.zxy.split("/"))
+            for c in covers:
+                if _aligned(x, y, z, int(c.x), int(c.y), int(c.zoom)):
+                    out["media_ref"].append(row.media_ref)
+                    out["media_doc"].append(row.doc_id)
+                    out["vector_doc_fid"].append(int(c.fid))
+                    out["vector_layer"].append(str(c.layer))
+        return pd.DataFrame(out)
+
+    return media_ds.map_batches(join, batch_format="pandas")
+
+
+GEO_QUERIES = {
+    "geo_tile_assign": q_geo_tile_assign,
+    "geo_pip_join": q_geo_pip_join,
+    "geo_knn": q_geo_knn,
+    "geo_cells": q_geo_cells,
+    "raster_vector_join": q_raster_vector_join,
+}
+
+GEO_ORACLES = {
+    "geo_tile_assign": SQL_GEO_TILE,
+    "geo_pip_join": SQL_GEO_PIP,
+    "geo_knn": SQL_GEO_KNN,
+}

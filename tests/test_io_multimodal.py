@@ -1,0 +1,104 @@
+"""Checkpoint/lineage + resume semantics, and the multimodal plumbing."""
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+
+def test_partition_write_resume(tmp_path):
+    from carmen_ray.sources import io
+
+    out = str(tmp_path / "t")
+    os.makedirs(out)
+    t1 = pa.table({"a": [1, 2], "b": ["x", "y"]})
+    rec = io.write_partition(out, "00", t1)
+    assert rec["rows"] == 2
+    assert io.is_complete(out, "00")
+    assert not io.is_complete(out, "01")
+    assert io.remaining_partitions(out, ["00", "01", "02"]) == ["01", "02"]
+
+    # manifest written and consistent
+    with open(os.path.join(out, "_manifest.json")) as f:
+        manifest = json.load(f)
+    assert "00" in manifest["partitions"]
+
+    # idempotent rewrite keeps the same digest
+    rec2 = io.write_partition(out, "00", t1)
+    assert rec2["input_digest"] == rec["input_digest"]
+
+    back = io.read_partitions(out)
+    assert back.num_rows == 2
+
+
+def test_index_roundtrip_resume(tmp_path, ray_session):
+    import ray.data as rd
+
+    from carmen_ray.index.build import build_index
+    from carmen_ray.sources import io
+    from carmen_ray.sources.synth import generate_corpus
+
+    tbl = generate_corpus(n_streets=30, n_pois=10)
+    idx = build_index(rd.from_arrow(tbl).repartition(2))
+    out = str(tmp_path / "idx")
+    io.write_index(idx, out)
+    # all shards committed
+    parts = io.completed_partitions(out)
+    assert sum(k.startswith("features-") for k in parts) == 16
+    assert sum(k.startswith("phrasegrid-") for k in parts) == 16
+
+    # resume: deleting one shard's lineage → only that shard is redone
+    victim = os.path.join(out, "part=features-03", "_lineage.json")
+    os.remove(victim)
+    assert io.remaining_partitions(out, [f"features-{i:02d}" for i in range(16)]) == ["features-03"]
+    io.write_index(idx, out, resume=True)
+    assert io.is_complete(out, "features-03")
+
+    loaded = io.load_index(out)
+    assert loaded.features.num_rows == idx.features.num_rows
+    assert loaded.phrase_grid.num_rows == idx.phrase_grid.num_rows
+    assert loaded.max_score == idx.max_score
+
+    # the loaded index geocodes identically
+    from carmen_ray.geocode.engine import IndexData, forward_one
+
+    f = idx.features.to_pandas()
+    street = f[f.layer == "street"].iloc[0]
+    a = forward_one(IndexData(idx.features, idx.phrase_grid, idx.freq, idx.max_score, idx.layer_zooms), street.text)
+    b = forward_one(IndexData(loaded.features, loaded.phrase_grid, loaded.freq, loaded.max_score, loaded.layer_zooms), street.text)
+    assert [(r["feature_id"], r["relevance"]) for r in a] == [(r["feature_id"], r["relevance"]) for r in b]
+
+
+def test_media_pipeline(ray_session):
+    import ray.data as rd
+
+    from carmen_ray.ops.multimodal import frame_sample_batch, media_feature_pipeline, fake_media_batch
+
+    refs = pa.table({"media_ref": [f"img://x/{i}" for i in range(20)]})
+    out = media_feature_pipeline(rd.from_arrow(refs), embed_dim=8, concurrency=1).to_pandas()
+    assert len(out) == 20
+    assert all(len(e) == 8 for e in out["embedding"])
+    assert (out["mean_luma"] >= 0).all() and (out["mean_luma"] <= 255).all()
+    # determinism: same ref → same features
+    out2 = media_feature_pipeline(rd.from_arrow(refs), embed_dim=8, concurrency=1).to_pandas()
+    m1 = out.sort_values("media_ref").reset_index(drop=True)
+    m2 = out2.sort_values("media_ref").reset_index(drop=True)
+    assert (m1["mean_luma"] == m2["mean_luma"]).all()
+
+
+def test_frame_sample():
+    from carmen_ray.ops.multimodal import fake_media_batch, frame_sample_batch
+
+    media = fake_media_batch(["vid://1", "vid://2"], media_type="video")
+    frames = frame_sample_batch(media, every_ms=5000)
+    assert frames.num_rows > 0
+    df = frames.to_pandas()
+    assert (df.groupby("media_ref")["frame_ts_ms"].is_monotonic_increasing).all()
+
+
+def test_resize_is_explicit_stub(ray_session):
+    from carmen_ray.ops.multimodal import Resize, fake_media_batch
+
+    with pytest.raises(NotImplementedError):
+        Resize()(fake_media_batch(["img://a"]))
