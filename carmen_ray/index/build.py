@@ -173,12 +173,11 @@ def term_rows(batch: pa.Table) -> pa.Table:
 def build_frequency(parsed_ds, min_count: int = 1, max_terms: int = 200_000) -> dict[str, int]:
     """Exact global frequency via partial + final aggregate; truncated to
     the `max_terms` most frequent (bounded broadcast at scale)."""
-    from ray.data.aggregate import Sum
+    from ..ops.agg import Spec, grouped_aggregate
 
-    agg = (
-        parsed_ds.map_batches(term_rows, batch_format="pyarrow")
-        .groupby("term")
-        .aggregate(Sum("n", alias_name="n"))
+    agg = grouped_aggregate(
+        parsed_ds.map_batches(term_rows, batch_format="pyarrow"),
+        ["term"], [Spec("n", "n", "sum")],
     )
     df = agg.to_pandas()
     if len(df) > max_terms:
@@ -282,20 +281,25 @@ def assign_phrase_ids(phrase_grid_ds):
             (ord(p[0]) if p else 0) * 256 + (ord(p[1]) % 256 if len(p) > 1 else 0)
             for p in b["phrase"].to_pylist()
         ]
-        return b.append_column("pbin", pa.array(bins, type=pa.int32()))
+        b = b.append_column("pbin", pa.array(bins, type=pa.int32()))
+        # coarse shuffle key: many prefix bins share a shard; the exact
+        # per-bin ranking is vectorized pandas inside the shard
+        return b.append_column(
+            "pshard", pa.array([x % 64 for x in bins], type=pa.int32()))
 
-    def rank_bin(group: pd.DataFrame) -> pd.DataFrame:
-        group = group.sort_values("phrase", kind="mergesort")
-        codes, uniques = pd.factorize(group["phrase"], sort=True)
-        pbin = int(group["pbin"].iloc[0])
-        group = group.copy()
-        group["phrase_id"] = (np.int64(pbin) << np.int64(40)) | codes.astype(np.int64)
-        return group.drop(columns=["pbin"])
+    def rank_shard(group: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for pbin, g in group.groupby("pbin", sort=False):
+            g = g.sort_values("phrase", kind="mergesort").copy()
+            codes, _ = pd.factorize(g["phrase"], sort=True)
+            g["phrase_id"] = (np.int64(int(pbin)) << np.int64(40)) | codes.astype(np.int64)
+            out.append(g)
+        return pd.concat(out, ignore_index=True).drop(columns=["pbin", "pshard"])
 
     return (
         phrase_grid_ds.map_batches(add_bin, batch_format="pyarrow")
-        .groupby("pbin")
-        .map_groups(rank_bin, batch_format="pandas")
+        .groupby("pshard")
+        .map_groups(rank_shard, batch_format="pandas")
     )
 
 

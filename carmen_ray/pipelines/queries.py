@@ -57,16 +57,18 @@ def q_pricing_summary(sf_dir: str):
             "charge": charge,
         })
 
-    agg = (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Sum("charge", alias_name="sum_charge"),
-            Count(alias_name="count_order"),
-        )
+    from ..ops.agg import Spec, grouped_aggregate
+
+    agg = grouped_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        [
+            Spec("sum_qty", "l_quantity", "sum"),
+            Spec("sum_base_price", "l_extendedprice", "sum"),
+            Spec("sum_disc_price", "disc_price", "sum"),
+            Spec("sum_charge", "charge", "sum"),
+            Spec("count_order", None, "count"),
+        ],
     )
 
     def round_cols(b: pa.Table) -> pa.Table:
@@ -117,10 +119,12 @@ def q_customer_nation(sf_dir: str):
             "c_acctbal": b["c_acctbal"],
         })
 
-    agg = (
-        ds.map_batches(join, batch_format="pyarrow")
-        .groupby("n_name")
-        .aggregate(Count(alias_name="n_customers"), Sum("c_acctbal", alias_name="total_acctbal"))
+    from ..ops.agg import Spec, grouped_aggregate
+
+    agg = grouped_aggregate(
+        ds.map_batches(join, batch_format="pyarrow"),
+        ["n_name"],
+        [Spec("n_customers", None, "count"), Spec("total_acctbal", "c_acctbal", "sum")],
     )
     return agg.map_batches(
         lambda b: b.set_column(b.schema.get_field_index("total_acctbal"),
@@ -137,9 +141,12 @@ GROUP BY n_name
 
 
 def q_order_lineitem_join(sf_dir: str):
-    """Large-large join expressed as explicit partitioned hash join:
-    revenue per order priority. Both sides bucketed by hash(orderkey) —
-    the portable Ray Data pattern for big joins (groupby co-location)."""
+    """Large-large join as an explicit partitioned hash join (ops/joins):
+    both sides shuffle once by hash(orderkey) % B, pandas merge inside
+    each bucket, then a combined aggregate — revenue per order priority."""
+    from ..ops.agg import Spec, grouped_aggregate
+    from ..ops.joins import hash_join
+
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     items = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
@@ -150,26 +157,24 @@ def q_order_lineitem_join(sf_dir: str):
         df = t.to_pandas().groupby("o_orderkey", as_index=False)["rev"].sum()
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    item_rev = (
-        items.map_batches(item_partial, batch_format="pyarrow")
-        .groupby("o_orderkey")
-        .aggregate(Sum("rev", alias_name="revenue"))
+    # collapse to exactly one row per orderkey (narrow keyed aggregate),
+    # then join — so the downstream count is exact
+    item_rev = grouped_aggregate(
+        items.map_batches(item_partial, batch_format="pyarrow"),
+        ["o_orderkey"],
+        [Spec("rev", "rev", "sum")],
+        partial_blocks=8,
     )
 
-    # join on orderkey: orders side is ~1/4 the rows of lineitem; at this
-    # scale a broadcast of the priority map per actor is the efficient
-    # join (at 100 TB swap to the bucketed map_groups join in ops/joins).
-    prio_tbl = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"])
-    prio = dict(zip(prio_tbl["o_orderkey"].to_pylist(), prio_tbl["o_orderpriority"].to_pylist()))
-
-    def attach(b: pa.Table) -> pa.Table:
-        pr = [prio.get(k) for k in b["o_orderkey"].to_pylist()]
-        return pa.table({"o_orderpriority": pa.array(pr, type=pa.string()), "revenue": b["revenue"]})
+    joined = hash_join(item_rev, orders, on="o_orderkey", buckets=16)
 
     return (
-        item_rev.map_batches(attach, batch_format="pyarrow")
-        .groupby("o_orderpriority")
-        .aggregate(Sum("revenue", alias_name="revenue"), Count(alias_name="n_orders"))
+        grouped_aggregate(
+            joined,
+            ["o_orderpriority"],
+            [Spec("revenue", "rev", "sum"), Spec("n_orders", None, "count")],
+            partial_blocks=4,
+        )
         .map_batches(
             lambda b: b.set_column(b.schema.get_field_index("revenue"),
                                    "revenue", pc.round(b["revenue"], 2)),
@@ -204,10 +209,14 @@ def q_events_hourly(sf_dir: str):
             "value": b["value"],
         })
 
+    from ..ops.agg import Spec, grouped_aggregate
+
     return (
-        ds.map_batches(bucket, batch_format="pyarrow")
-        .groupby(["event_type", "hour_bucket"])
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        grouped_aggregate(
+            ds.map_batches(bucket, batch_format="pyarrow"),
+            ["event_type", "hour_bucket"],
+            [Spec("n_events", None, "count"), Spec("sum_value", "value", "sum")],
+        )
         .map_batches(
             lambda b: b.set_column(b.schema.get_field_index("sum_value"),
                                    "sum_value", pc.round(b["sum_value"], 4)),
@@ -228,9 +237,14 @@ FROM events GROUP BY event_type, hour_bucket
 def q_events_user_topk(sf_dir: str):
     """Per-key aggregation + global top-k: the 10 most active users."""
     ds = _read(sf_dir, "events", ["user_id", "value"])
+    from ..ops.agg import Spec, grouped_aggregate
+
     return (
-        ds.groupby("user_id")
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        grouped_aggregate(
+            ds,
+            ["user_id"],
+            [Spec("n_events", None, "count"), Spec("sum_value", "value", "sum")],
+        )
         .map_batches(
             lambda b: b.set_column(b.schema.get_field_index("sum_value"),
                                    "sum_value", pc.round(b["sum_value"], 4)),
@@ -251,14 +265,19 @@ ORDER BY n_events DESC, user_id ASC LIMIT 10
 def q_part_stats(sf_dir: str):
     """Multi-aggregate per group: min/max/mean retailprice per brand."""
     ds = _read(sf_dir, "part", ["p_brand", "p_retailprice", "p_size"])
+    from ..ops.agg import Spec, grouped_aggregate
+
     return (
-        ds.groupby("p_brand")
-        .aggregate(
-            Count(alias_name="n_parts"),
-            Min("p_retailprice", alias_name="min_price"),
-            Max("p_retailprice", alias_name="max_price"),
-            Mean("p_retailprice", alias_name="avg_price"),
-            Sum("p_size", alias_name="sum_size"),
+        grouped_aggregate(
+            ds,
+            ["p_brand"],
+            [
+                Spec("n_parts", None, "count"),
+                Spec("min_price", "p_retailprice", "min"),
+                Spec("max_price", "p_retailprice", "max"),
+                Spec("avg_price", "p_retailprice", "mean"),
+                Spec("sum_size", "p_size", "sum"),
+            ],
         )
         .map_batches(
             lambda b: b.set_column(b.schema.get_field_index("avg_price"),
