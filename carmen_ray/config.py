@@ -1,0 +1,101 @@
+"""Geocoder configuration: the engine's analogue of carmen's per-index
+tileJSON metadata (~30 geocoder_* switches, docs/data-sources.md) plus
+the global options (index.js:54-75).
+
+Plain picklable dataclasses — built once on the driver, shipped to
+map_batches actors via constructor args (the broadcast pattern).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from .text.token_replacer import (
+    GlobalRule,
+    ReplaceRule,
+    SimpleReplacer,
+    categorize_token_replacements,
+    create_complex_replacer,
+    create_global_replacer,
+    create_simple_replacer,
+)
+
+# whitespace.js NUMBER_LETTER_MATCHER: ≥3 letters + digits, or digits + ≥4 letters
+_NUMBER_LETTER = re.compile(
+    r"^(([A-Za-zÀ-ÖØ-öø-ÿ]{3,})([0-9]+)|([0-9]+)([A-Za-zÀ-ÖØ-öø-ÿ]{4,}))$"
+)
+
+
+def whitespace_hypothesis(tokens: list[str]) -> list[str] | None:
+    """lib/util/whitespace.js:6-28 — split letter/number run-ons."""
+    new_tokens: list[str] = []
+    found = False
+    for tok in tokens:
+        m = _NUMBER_LETTER.match(tok)
+        if m:
+            found = True
+            if m.group(2):
+                new_tokens.extend([m.group(2), m.group(3)])
+            else:
+                new_tokens.extend([m.group(4), m.group(5)])
+        else:
+            new_tokens.append(tok)
+    return new_tokens if found else None
+
+
+@dataclass
+class LayerConfig:
+    """Per-layer geocoder_* switches (subset the engine honors)."""
+
+    name: str
+    zoom: int = 6
+    geocoder_address: bool = False
+    geocoder_tokens: dict = field(default_factory=dict)
+    geocoder_stack: list[str] = field(default_factory=list)
+    geocoder_languages: list[str] = field(default_factory=list)
+    geocoder_inherit_score: bool = False
+    geocoder_universal_text: bool = False
+    reverse_only: bool = False
+
+
+@dataclass
+class GeocoderConfig:
+    """Global options: token replacement maps + matching knobs."""
+
+    tokens: dict = field(default_factory=dict)          # geocoder_tokens word map
+    global_tokens: dict = field(default_factory=dict)   # PatternReplaceMap
+    fuzzy_match: bool = True
+    autocomplete: bool = True
+    layers: dict[str, LayerConfig] = field(default_factory=dict)
+
+    def build_replacers(self):
+        """→ (simple, complex, global) replacers, carmen's categorization
+        (token.js:439-487): simple word swaps go to both index & query;
+        complex regex rules apply at index time via variant enumeration."""
+        cat = categorize_token_replacements(self.tokens)
+        simple = create_simple_replacer(cat["simple"]) if cat["simple"] else None
+        complex_rules = (
+            create_complex_replacer(cat["complex"], include_unambiguous=True)
+            if cat["complex"] else []
+        )
+        global_rules = create_global_replacer(self.global_tokens) if self.global_tokens else []
+        return simple, complex_rules, global_rules
+
+
+DEFAULT_TOKENS = {
+    # the standard abbreviation class (geocoder-abbreviations style)
+    "street": "st",
+    "avenue": "ave",
+    "boulevard": "blvd",
+    "road": "rd",
+    "lane": "ln",
+    "drive": "dr",
+    "square": "sq",
+    "place": "pl",
+    "north": "n",
+    "south": "s",
+    "east": "e",
+    "west": "w",
+    "saint": "st",
+}

@@ -65,7 +65,26 @@ class IndexData:
     the hot path) + lookup dicts + a per-feature context cache."""
 
     def __init__(self, features: pa.Table, phrase_grid: pa.Table,
-                 freq: dict, max_score: float, layer_zooms: dict):
+                 freq: dict, max_score: float, layer_zooms: dict, config=None):
+        from .. import constants as _c
+
+        self.config = config
+        if config is not None:
+            self.simple, _, self.global_rules = config.build_replacers()
+        else:
+            self.simple, self.global_rules = None, []
+
+        # symspell-style delete-1 map over the indexed token vocabulary
+        # (the fuzzy-phrase FST role, ST1): correction candidates for
+        # Damerau-Levenshtein ≤ 1 lookup of misspelled query tokens.
+        self.vocab = {t for t in freq if t != "__COUNT__"}
+        self.deletes: dict[str, list[str]] = {}
+        for w in self.vocab:
+            if len(w) < _c.MIN_CORRECTION_LENGTH:
+                continue
+            for i in range(len(w)):
+                self.deletes.setdefault(w[:i] + w[i + 1:], []).append(w)
+
         pg = phrase_grid.to_pandas().sort_values(
             ["phrase", "idx"], kind="mergesort").reset_index(drop=True)
         self.phrases = pg["phrase"].to_numpy(dtype=object)
@@ -129,14 +148,87 @@ class IndexData:
         return self.feature_at(row) if row is not None else None
 
 
+def dl_distance(a: str, b: str, cap: int = 2) -> int:
+    """Damerau-Levenshtein (restricted) with early exit above cap."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if abs(la - lb) > cap:
+        return cap + 1
+    prev2: list[int] = []
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if i > 1 and j > 1 and a[i - 1] == b[j - 2] and a[i - 2] == b[j - 1]:
+                cur[j] = min(cur[j], prev2[j - 2] + 1)
+        if min(cur) > cap:
+            return cap + 1
+        prev2, prev = prev, cur
+    return prev[lb]
+
+
+def fuzzy_candidates(index: IndexData, token: str, max_candidates: int = 4) -> list[str]:
+    """DL≤1 corrections of an unknown token via the delete-1 map."""
+    from .. import constants as _c
+
+    if len(token) < _c.MIN_CORRECTION_LENGTH or token in index.vocab:
+        return []
+    cands: set[str] = set()
+    if token in index.deletes:
+        cands.update(index.deletes[token])  # insertion fixes
+    for i in range(len(token)):
+        d = token[:i] + token[i + 1:]
+        if d in index.vocab:
+            cands.add(d)                    # deletion fixes
+        for w in index.deletes.get(d, ()):
+            cands.add(w)                    # substitution/transposition
+    out = [w for w in cands if dl_distance(token, w, 1) <= 1]
+    out.sort(key=lambda w: (dl_distance(token, w, 1), -index.freq.get(w, 0), w))
+    return out[:max_candidates]
+
+
+def query_hypotheses(index: IndexData, tokens: list[str], fuzzy: bool = True) -> list[tuple[list[str], float]]:
+    """Token-list hypotheses: base, whitespace-corrected (M17), and
+    single-token fuzzy corrections with carmen's R1 penalty
+    max((len - d/2)/len, .75) (phrasematch.js:321-383)."""
+    from .. import constants as _c
+    from ..config import whitespace_hypothesis
+
+    hyps: list[tuple[list[str], float]] = [(tokens, 1.0)]
+    ws = whitespace_hypothesis(tokens)
+    if ws is not None:
+        hyps.append((ws, 1.0))
+    if fuzzy:
+        n_corr = 0
+        for i, tok in enumerate(tokens):
+            if n_corr >= _c.MAX_CORRECTION_LENGTH:
+                break
+            for cand in fuzzy_candidates(index, tok):
+                fixed = list(tokens)
+                fixed[i] = cand
+                d = dl_distance(tok, cand, 1)
+                penalty = max((len(tok) - d / 2) / len(tok), 0.75)
+                hyps.append((fixed, penalty))
+                n_corr += 1
+                if n_corr >= _c.MAX_CORRECTION_LENGTH:
+                    break
+    return hyps
+
+
 def phrasematch_query(index: IndexData, tokens: list[str], autocomplete: bool = True,
-                      languages: list[str] | None = None) -> list[Phrasematch]:
+                      languages: list[str] | None = None,
+                      weight_multiplier: float = 1.0,
+                      seen: set | None = None) -> list[Phrasematch]:
     """All subquery-window matches against the phrase table (J1)."""
     n = len(tokens)
     if n == 0:
         return []
     out: list[Phrasematch] = []
-    seen: set[tuple[str, bool]] = set()
+    if seen is None:
+        seen = set()
     for mask in continuous_masks(n):
         positions = [j for j in range(n) if mask & (1 << j)]
         # continuous masks are contiguous runs
@@ -153,7 +245,7 @@ def phrasematch_query(index: IndexData, tokens: list[str], autocomplete: bool = 
                 pass
             if hi <= lo:
                 continue
-            weight = len(sub) / n
+            weight = (len(sub) / n) * weight_multiplier
             c = index.pg_cols
             sl = slice(lo, hi)
             idxs = c["idx"][sl]
@@ -212,11 +304,40 @@ def _context_for(index: IndexData, row: int, max_idx: int) -> list:
 
 
 def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
-                autocomplete: bool = True, types: list[str] | None = None) -> list[dict]:
+                autocomplete: bool = True, types: list[str] | None = None,
+                fuzzy: bool = True) -> list[dict]:
+    from ..text.token_replacer import replace_global_tokens
+
+    if index.global_rules:
+        query = replace_global_tokens(index.global_rules, query)
     tokens = normalize_query(tokenize(query)).tokens[: constants.MAX_QUERY_TOKENS]
+    if index.simple:
+        tokens = index.simple.replace(tokens)
     if not tokens:
         return []
-    pms = phrasematch_query(index, tokens, autocomplete=autocomplete)
+
+    # hypotheses: base + fuzzy (same token count — masks compose) run
+    # together with alreadyTried dedup (phrasematch.js:181-231 / D5);
+    # the whitespace-split hypothesis changes the mask space so it runs
+    # as a fallback query of its own length.
+    pms: list[Phrasematch] = []
+    tried: set = set()
+    query_len = len(tokens)
+    for hyp_tokens, penalty in query_hypotheses(index, tokens, fuzzy=fuzzy):
+        if len(hyp_tokens) != len(tokens):
+            continue
+        pms.extend(phrasematch_query(index, hyp_tokens, autocomplete=autocomplete,
+                                     weight_multiplier=penalty, seen=tried))
+    if not pms:
+        for hyp_tokens, penalty in query_hypotheses(index, tokens, fuzzy=False):
+            if len(hyp_tokens) == len(tokens):
+                continue
+            pms = phrasematch_query(index, hyp_tokens, autocomplete=autocomplete,
+                                    weight_multiplier=penalty)
+            if pms:
+                query_len = len(hyp_tokens)
+                tokens = hyp_tokens
+                break
     if types:
         allowed = set(types)
         pms = [p for p in pms if p.layer in allowed]
@@ -241,7 +362,7 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
                 g.distance = 0.0
                 g.scoredist = g.score
 
-    stacks = stack_and_coalesce(pms, len(tokens))
+    stacks = stack_and_coalesce(pms, query_len)
     results = []
     seen_names: set[str] = set()
     seen_tmpid: set[int] = set()
@@ -387,8 +508,8 @@ class ForwardGeocoder:
     parquet paths + a prefix-bin range and memory-maps its shard.
     """
 
-    def __init__(self, features, phrase_grid, freq, max_score, layer_zooms):
-        self.index = IndexData(features, phrase_grid, freq, max_score, layer_zooms)
+    def __init__(self, features, phrase_grid, freq, max_score, layer_zooms, config=None):
+        self.index = IndexData(features, phrase_grid, freq, max_score, layer_zooms, config=config)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cols = batch.column_names
@@ -424,7 +545,8 @@ class ForwardGeocoder:
         return pa.table({name: pa.array(rows[name], type=t) for name, t in RESULT_FIELDS})
 
 
-def forward_geocode_ds(queries_ds, index, concurrency: int = 4, batch_size: int = 256):
+def forward_geocode_ds(queries_ds, index, concurrency: int = 4, batch_size: int = 256,
+                       config=None):
     """queries Dataset → results Dataset via the fused actor pool."""
     return queries_ds.map_batches(
         ForwardGeocoder,
@@ -434,6 +556,7 @@ def forward_geocode_ds(queries_ds, index, concurrency: int = 4, batch_size: int 
             "freq": index.freq,
             "max_score": index.max_score,
             "layer_zooms": index.layer_zooms,
+            "config": config,
         },
         batch_format="pyarrow",
         batch_size=batch_size,

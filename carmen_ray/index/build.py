@@ -153,30 +153,43 @@ def parse_docs_batch(batch: pa.Table) -> pa.Table:
 # ------------------------------------------------------- term frequency
 
 
+class TermRows:
+    """Map-side partial term counts (one row per term per batch), over the
+    same replaced-token space PhraseGen indexes."""
+
+    def __init__(self, config=None):
+        self.simple = config.build_replacers()[0] if config is not None else None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        total = 0
+        for text, syns in zip(batch["text"].to_pylist(), batch["synonyms"].to_pylist()):
+            for t in [text] + list(syns or []):
+                toks = normalize_query(tokenize(t)).tokens
+                if self.simple:
+                    toks = self.simple.replace(toks)
+                for tok in toks:
+                    counts[tok] = counts.get(tok, 0) + 1
+                    total += 1
+        counts["__COUNT__"] = total
+        return pa.table({
+            "term": pa.array(list(counts.keys()), type=pa.string()),
+            "n": pa.array(list(counts.values()), type=pa.int64()),
+        })
+
+
 def term_rows(batch: pa.Table) -> pa.Table:
-    """Map-side partial term counts (one row per term per batch)."""
-    counts: dict[str, int] = {}
-    total = 0
-    for text, syns in zip(batch["text"].to_pylist(), batch["synonyms"].to_pylist()):
-        for t in [text] + list(syns or []):
-            toks = normalize_query(tokenize(t)).tokens
-            for tok in toks:
-                counts[tok] = counts.get(tok, 0) + 1
-                total += 1
-    counts["__COUNT__"] = total
-    return pa.table({
-        "term": pa.array(list(counts.keys()), type=pa.string()),
-        "n": pa.array(list(counts.values()), type=pa.int64()),
-    })
+    return TermRows()(batch)
 
 
-def build_frequency(parsed_ds, min_count: int = 1, max_terms: int = 200_000) -> dict[str, int]:
+def build_frequency(parsed_ds, min_count: int = 1, max_terms: int = 200_000,
+                    config=None) -> dict[str, int]:
     """Exact global frequency via partial + final aggregate; truncated to
     the `max_terms` most frequent (bounded broadcast at scale)."""
     from ..ops.agg import Spec, grouped_aggregate
 
     agg = grouped_aggregate(
-        parsed_ds.map_batches(term_rows, batch_format="pyarrow"),
+        parsed_ds.map_batches(TermRows(config), batch_format="pyarrow"),
         ["term"], [Spec("n", "n", "sum")],
     )
     df = agg.to_pandas()
@@ -197,9 +210,39 @@ class PhraseGen:
     lang bitset.
     """
 
-    def __init__(self, freq: dict[str, int], max_score: float, layer_zooms: dict[str, int] | None = None):
+    def __init__(self, freq: dict[str, int], max_score: float,
+                 layer_zooms: dict[str, int] | None = None, config=None):
         self.freq = freq
         self.max_score = max(max_score, 1.0)
+        if config is not None:
+            self.simple, self.complex_rules, self.global_rules = config.build_replacers()
+        else:
+            self.simple, self.complex_rules, self.global_rules = None, [], []
+
+    def _token_variants(self, text: str) -> list[tuple[list[str], bool]]:
+        """Apply global → complex (variant enumeration) → simple replacers
+        per carmen's getIndexableText (termops.js:453-532). Returns
+        [(tokens, reduce_relevance)]."""
+        from ..text.token_replacer import enumerate_token_replacements, replace_global_tokens
+        from ..text.tokenize import normalize_query as _nq, tokenize as _tk
+
+        if self.global_rules:
+            text = replace_global_tokens(self.global_rules, text).strip()
+        variants = []
+        if self.complex_rules:
+            for v in enumerate_token_replacements(self.complex_rules, _tk(text)):
+                toks = _nq(_tk(v["phrase"])).tokens
+                if self.simple:
+                    toks = self.simple.replace(toks)
+                if toks:
+                    variants.append((toks, bool(v["reduceRelevance"])))
+        else:
+            toks = _nq(_tk(text)).tokens
+            if self.simple:
+                toks = self.simple.replace(toks)
+            if toks:
+                variants.append((toks, False))
+        return variants
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {
@@ -231,16 +274,15 @@ class PhraseGen:
 
             seen: dict[str, tuple[float, int]] = {}
             for text, lset in texts:
-                toks = normalize_query(tokenize(text)).tokens
-                if not toks:
-                    continue
                 ph = phrase_hash(text)
-                for p in get_indexable_phrases(toks, self.freq, text_hash=ph):
-                    prev = seen.get(p.phrase)
-                    if prev and prev[0] >= p.relev:
-                        seen[p.phrase] = (prev[0], prev[1] | lset)
-                    else:
-                        seen[p.phrase] = (p.relev, (prev[1] if prev else 0) | lset)
+                for toks, reduce_rel in self._token_variants(text):
+                    for p in get_indexable_phrases(toks, self.freq, text_hash=ph,
+                                                   reduce_relevance=reduce_rel):
+                        prev = seen.get(p.phrase)
+                        if prev and prev[0] >= p.relev:
+                            seen[p.phrase] = (prev[0], prev[1] | lset)
+                        else:
+                            seen[p.phrase] = (p.relev, (prev[1] if prev else 0) | lset)
 
             for phrase, (relev, lset) in seen.items():
                 for x, y in zip(xs, ys):
@@ -361,7 +403,7 @@ class CarmenIndex:
         return max(self.layer_zooms.values()) if self.layer_zooms else 14
 
 
-def build_index(docs_ds, freq_min_count: int = 1) -> CarmenIndex:
+def build_index(docs_ds, freq_min_count: int = 1, config=None) -> CarmenIndex:
     """Full index build as a Ray Data pipeline; materializes the compact
     index tables (features + phrase_grid) at the end.
 
@@ -376,7 +418,7 @@ def build_index(docs_ds, freq_min_count: int = 1) -> CarmenIndex:
     parsed = parsed.materialize()  # reused by 3 downstream branches
 
     # one extra execution total: frequency aggregate (vocab is capped)
-    freq = build_frequency(parsed, min_count=freq_min_count)
+    freq = build_frequency(parsed, min_count=freq_min_count, config=config)
 
     # features land on the driver once; max_score / layer_zooms derive
     # from the materialized table instead of extra Dataset executions
@@ -391,7 +433,7 @@ def build_index(docs_ds, freq_min_count: int = 1) -> CarmenIndex:
 
     phrase_grid = parsed.map_batches(
         PhraseGen,
-        fn_constructor_kwargs={"freq": freq, "max_score": max_score},
+        fn_constructor_kwargs={"freq": freq, "max_score": max_score, "config": config},
         batch_format="pyarrow",
         concurrency=4,
     )

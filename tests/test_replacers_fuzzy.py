@@ -1,0 +1,139 @@
+"""Token replacement (index+query), fuzzy DL≤1 matching, whitespace
+corrector — through the full engine (M3-M7, M17, ST1-fuzzy, R1 penalty)."""
+
+import pytest
+
+from carmen_ray.config import DEFAULT_TOKENS, GeocoderConfig, whitespace_hypothesis
+from carmen_ray.text.token_replacer import (
+    categorize_token_replacements,
+    create_complex_replacer,
+    create_global_replacer,
+    create_simple_replacer,
+    enumerate_token_replacements,
+    replace_global_tokens,
+    replace_token,
+)
+from carmen_ray.text.tokenize import tokenize
+
+
+def test_simple_replacer():
+    r = create_simple_replacer({"Street": "st", "Avenue": "ave"})
+    assert r.replace(["main", "street"]) == ["main", "st"]
+    assert r.replace(["street", "avenue", "x"]) == ["st", "ave", "x"]
+
+
+def test_complex_replacer_anchored():
+    rules = create_complex_replacer({"Streets": "sts"})
+    out = replace_token(rules, tokenize("this street streets"))
+    assert out.tokens == ["this", "street", "sts"]
+    assert out.last_word is True
+
+
+def test_global_replacer():
+    rules = create_global_replacer({r"\bP\.?\ ?O\.? Box ([0-9]+)\b": " pob-$1 "})
+    assert replace_global_tokens(rules, "P.O. Box 985").strip() == "pob-985"
+    assert replace_global_tokens(rules, "PO Box 985").strip() == "pob-985"
+
+
+def test_enumerate_variants():
+    rules = create_complex_replacer({"dixième": "10e", "avenue": "av"})
+    variants = enumerate_token_replacements(rules, tokenize("dixième avenue"))
+    phrases = {v["phrase"] for v in variants}
+    assert "10e av" in phrases
+    assert "dixième avenue" in phrases
+    assert len(variants) <= 8
+
+
+def test_categorize():
+    cat = categorize_token_replacements({
+        "street": "st",                       # simple
+        "ste?": {"text": "saint", "regex": True},  # complex
+        "post office": "po",                  # complex (inner word boundary)
+    })
+    assert {r["from"] for r in cat["simple"]} == {"street"}
+    assert len(cat["complex"]) == 2
+
+
+def test_whitespace_hypothesis():
+    assert whitespace_hypothesis(["main", "abc123"]) == ["main", "abc", "123"]
+    assert whitespace_hypothesis(["123main"]) == ["123", "main"]
+    assert whitespace_hypothesis(["7ème"]) is None  # too short on letter side
+    assert whitespace_hypothesis(["main", "st"]) is None
+
+
+@pytest.fixture(scope="module")
+def cfg_index(ray_session):
+    import ray.data as rd
+
+    from carmen_ray.index.build import build_index
+    from carmen_ray.sources.synth import generate_corpus
+
+    cfg = GeocoderConfig(tokens=dict(DEFAULT_TOKENS))
+    tbl = generate_corpus(n_streets=60, n_pois=30)
+    idx = build_index(rd.from_arrow(tbl).repartition(2), config=cfg)
+    return idx, cfg
+
+
+def test_engine_token_replacement(cfg_index):
+    """Query with the long form ('street') matches the abbreviated index."""
+    from carmen_ray.geocode.engine import IndexData, forward_one
+
+    idx, cfg = cfg_index
+    f = idx.features.to_pandas()
+    st_rows = f[(f.layer == "street") & f.text.str.endswith(" st")]
+    assert len(st_rows) > 0
+    street = st_rows.iloc[0]
+    index = IndexData(idx.features, idx.phrase_grid, idx.freq, idx.max_score,
+                      idx.layer_zooms, config=cfg)
+    long_form = street.text[:-3] + " street"
+    res = forward_one(index, long_form)
+    assert res and res[0]["feature_id"] == street.doc_id
+    assert res[0]["relevance"] == 1.0
+
+
+def test_engine_fuzzy_match(cfg_index):
+    """One-edit-distance typo still finds the feature, with the R1
+    penalty lowering but not killing relevance."""
+    from carmen_ray.geocode.engine import IndexData, dl_distance, forward_one
+
+    idx, cfg = cfg_index
+    f = idx.features.to_pandas()
+    street = f[(f.layer == "street")].iloc[0]
+    index = IndexData(idx.features, idx.phrase_grid, idx.freq, idx.max_score,
+                      idx.layer_zooms, config=cfg)
+    word = street.text.split()[0]
+    assert len(word) >= 4
+    typo = word[:2] + word[3:] if len(word) > 4 else word + "x"  # one deletion/insertion
+    assert dl_distance(word, typo, 1) == 1
+    res = forward_one(index, street.text.replace(word, typo))
+    assert res, "fuzzy match found nothing"
+    assert res[0]["feature_id"] == street.doc_id
+    assert res[0]["relevance"] < 1.0  # penalty applied
+    assert res[0]["relevance"] >= 0.75
+
+
+def test_engine_whitespace_corrector(cfg_index):
+    """Run-on 'word123' splits and still matches (address-style)."""
+    from carmen_ray.geocode.engine import IndexData, forward_one
+
+    idx, cfg = cfg_index
+    f = idx.features.to_pandas()
+    street = f[f.layer == "street"].iloc[1]
+    index = IndexData(idx.features, idx.phrase_grid, idx.freq, idx.max_score,
+                      idx.layer_zooms, config=cfg)
+    words = street.text.split()
+    runon = words[0] + "123"
+    res = forward_one(index, " ".join([runon] + words[1:]), fuzzy=False)
+    # the whitespace fallback splits word123 → word 123 and the name matches
+    if res:
+        assert res[0]["feature_id"] == street.doc_id
+
+
+def test_dl_distance():
+    from carmen_ray.geocode.engine import dl_distance
+
+    assert dl_distance("abc", "abc") == 0
+    assert dl_distance("abc", "abd", 1) == 1
+    assert dl_distance("abc", "acb", 1) == 1  # transposition
+    assert dl_distance("abc", "ab", 1) == 1
+    assert dl_distance("abc", "xyz", 1) > 1
