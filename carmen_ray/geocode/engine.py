@@ -35,7 +35,7 @@ import pyarrow as pa
 
 from .. import constants
 from ..geom.cells import hex_cell, s2_cell
-from ..geom.ops import dist_point_to_geom_miles, point_in_geom
+from ..geom.ops import dist_point_to_geom_miles, nearest_point_on_multiline, point_in_geom
 from ..geom.tile import lonlat_to_tile
 from ..text.termops import get_weights
 from ..text.tokenize import as_reverse, normalize_query, parse_id_query, tokenize
@@ -221,7 +221,8 @@ def query_hypotheses(index: IndexData, tokens: list[str], fuzzy: bool = True) ->
 def phrasematch_query(index: IndexData, tokens: list[str], autocomplete: bool = True,
                       languages: list[str] | None = None,
                       weight_multiplier: float = 1.0,
-                      seen: set | None = None) -> list[Phrasematch]:
+                      seen: set | None = None,
+                      address: str | None = None) -> list[Phrasematch]:
     """All subquery-window matches against the phrase table (J1)."""
     n = len(tokens)
     if n == 0:
@@ -267,6 +268,7 @@ def phrasematch_query(index: IndexData, tokens: list[str], autocomplete: bool = 
                     mask=mask, weight=weight, subquery=joined,
                     phrase_id=int(c["phrase_id"][rel[0]]),
                     prefix=use_prefix, grids=grids,
+                    address=address,
                 ))
     return out
 
@@ -303,6 +305,82 @@ def _context_for(index: IndexData, row: int, max_idx: int) -> list:
     return out
 
 
+def _interp_line(line: list, t: float) -> tuple[float, float]:
+    """Point at cumulative-length fraction t ∈ [0,1] along a polyline."""
+    import math as _m
+
+    if len(line) == 1:
+        return float(line[0][0]), float(line[0][1])
+    seg_len = [
+        _m.hypot(line[i + 1][0] - line[i][0], line[i + 1][1] - line[i][1])
+        for i in range(len(line) - 1)
+    ]
+    total = sum(seg_len) or 1.0
+    target = max(0.0, min(1.0, t)) * total
+    acc = 0.0
+    for i, sl in enumerate(seg_len):
+        if acc + sl >= target or i == len(seg_len) - 1:
+            f = (target - acc) / sl if sl else 0.0
+            return (
+                line[i][0] + (line[i + 1][0] - line[i][0]) * f,
+                line[i][1] + (line[i + 1][1] - line[i][1]) * f,
+            )
+        acc += sl
+    return float(line[-1][0]), float(line[-1][1])
+
+
+def resolve_address(feature, number: str) -> dict | None:
+    """Address cluster exact match (R5, addresscluster.js:61-218) then
+    TIGER-range interpolation with parity masks (R6, addressitp.js:35-169;
+    nearest-fallback ≤400 housenumbers)."""
+    anj = feature.addr_numbers_json
+    if anj:
+        nums = json.loads(anj)
+        if number in nums:
+            geom = json.loads(feature.geometry_json)
+            coords = geom["coordinates"] if geom["type"] == "MultiPoint" else []
+            if len(coords) > nums.index(number):
+                pt = coords[nums.index(number)]
+                return {"address": number, "lon": float(pt[0]), "lat": float(pt[1]),
+                        "omitted": False, "line": None}
+
+    arj = feature.addr_range_json
+    if arj and number.isdigit():
+        rng = json.loads(arj)
+        num = int(number)
+        geom = json.loads(feature.geometry_json)
+        lines = geom["coordinates"] if geom["type"] == "MultiLineString" else [geom["coordinates"]]
+        best_fallback = None
+        for side in ("l", "r"):
+            frs = rng.get(f"{side}fromhn") or []
+            tos = rng.get(f"{side}tohn") or []
+            pars = rng.get(f"parity{side}") or []
+            for mi, (fr_list, to_list) in enumerate(zip(frs, tos)):
+                line = lines[mi] if mi < len(lines) else lines[0]
+                for fr_s, to_s in zip(fr_list, to_list):
+                    fr, to = int(fr_s), int(to_s)
+                    parity = (pars[mi][0] if mi < len(pars) and pars[mi] else "B")
+                    lo, hi = min(fr, to), max(fr, to)
+                    parity_ok = (
+                        parity == "B" or
+                        (parity == "E" and num % 2 == 0) or
+                        (parity == "O" and num % 2 == 1)
+                    )
+                    if lo <= num <= hi and parity_ok:
+                        t = (num - fr) / (to - fr) if to != fr else 0.0
+                        lon, lat = _interp_line(line, t)
+                        return {"address": number, "lon": lon, "lat": lat,
+                                "omitted": False, "line": line}
+                    if lo - 400 <= num <= hi + 400:  # loose/nearest fallback
+                        t = 0.0 if num < lo else 1.0
+                        lon, lat = _interp_line(line, t if fr < to else 1.0 - t)
+                        best_fallback = {"address": number, "lon": lon, "lat": lat,
+                                         "omitted": True, "line": line}
+        if best_fallback:
+            return best_fallback
+    return None
+
+
 def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
                 autocomplete: bool = True, types: list[str] | None = None,
                 fuzzy: bool = True) -> list[dict]:
@@ -328,6 +406,21 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
             continue
         pms.extend(phrasematch_query(index, hyp_tokens, autocomplete=autocomplete,
                                      weight_multiplier=penalty, seen=tried))
+
+    # address variants (M13): waffle each numeric token; trailing numbers
+    # also try the indexed leading form with the 0.99 number-order
+    # penalty (phrasematch.js R1)
+    from ..text.termops import num_tokenize
+
+    for var_tokens, addr in num_tokenize(tokens):
+        pms.extend(phrasematch_query(index, var_tokens, autocomplete=autocomplete,
+                                     seen=tried, address=addr["number"]))
+        if addr["position"] > 0:
+            swapped = [var_tokens[addr["position"]]] + [
+                t for i, t in enumerate(var_tokens) if i != addr["position"]]
+            pms.extend(phrasematch_query(index, swapped, autocomplete=autocomplete,
+                                         weight_multiplier=0.99, seen=tried,
+                                         address=addr["number"]))
     if not pms:
         for hyp_tokens, penalty in query_hypotheses(index, tokens, fuzzy=False):
             if len(hyp_tokens) == len(tokens):
@@ -378,7 +471,20 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
         seen_tmpid.add(top.grid.tmpid)
 
         ctx = _context_for(index, frow, int(feature.idx))
-        place_name = ", ".join([feature.text] + [c.text for c in ctx])
+
+        # address resolution (R5/R6) + routable point (R8)
+        addr_number = next((e.pm.address for e in covers if e.pm.address), None)
+        resolved = None
+        if addr_number is not None:
+            resolved = resolve_address(feature, addr_number)
+        matched_address = resolved["address"] if resolved else None
+        routable = None
+        if resolved and resolved.get("line"):
+            routable = nearest_point_on_multiline(
+                resolved["lon"], resolved["lat"], [resolved["line"]])
+
+        name_prefix = f"{matched_address} " if matched_address else ""
+        place_name = name_prefix + ", ".join([feature.text] + [c.text for c in ctx])
         if place_name in seen_names:
             continue
         seen_names.add(place_name)
@@ -386,9 +492,14 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
         ghost = float(feature.score) < 0
         relevance = round_to(st.relev, 6)
         scoredist = top.grid.scoredist
-        composite = prox.relevance_score(relevance, scoredist if proximity else 1.0,
-                                         address="x", ghost=ghost)
-        lon, lat = float(feature.center_lon), float(feature.center_lat)
+        composite = prox.relevance_score(
+            relevance, scoredist if proximity else 1.0,
+            address=matched_address if addr_number is not None else "n/a",
+            ghost=ghost)
+        if resolved:
+            lon, lat = resolved["lon"], resolved["lat"]
+        else:
+            lon, lat = float(feature.center_lon), float(feature.center_lat)
         zoom = int(feature.zoom)
         tx, ty = lonlat_to_tile(lon, lat, zoom)
         results.append({
@@ -408,6 +519,9 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
             "scoredist": float(scoredist),
             "idx": int(feature.idx),
             "fid": int(feature.fid),
+            "address": matched_address,
+            "routable_lon": routable[0] if routable else None,
+            "routable_lat": routable[1] if routable else None,
         })
 
     # final deterministic sort (verifymatch.js:1003-1053 shape)
@@ -495,7 +609,8 @@ RESULT_FIELDS = [
     ("cell_zxy", pa.string()), ("h3_r7", pa.uint64()), ("h3_r8", pa.uint64()),
     ("h3_r9", pa.uint64()), ("s2_cell", pa.uint64()),
     ("context", pa.list_(pa.string())), ("score", pa.float64()),
-    ("scoredist", pa.float64()),
+    ("scoredist", pa.float64()), ("address", pa.string()),
+    ("routable_lon", pa.float64()), ("routable_lat", pa.float64()),
 ]
 RESULT_SCHEMA = pa.schema(RESULT_FIELDS)
 

@@ -72,6 +72,7 @@ def parse_docs_batch(batch: pa.Table) -> pa.Table:
         "center_lon": [], "center_lat": [], "geometry_json": [],
         "bbox_w": [], "bbox_s": [], "bbox_e": [], "bbox_n": [],
         "covers_x": [], "covers_y": [], "media_refs": [], "spans": [],
+        "addr_numbers_json": [], "addr_range_json": [],
     }
 
     for doc_id, spans in zip(doc_ids, spans_col):
@@ -85,6 +86,7 @@ def parse_docs_batch(batch: pa.Table) -> pa.Table:
 
         text, synonyms, langs, score, media = "", [], {}, 0.0, []
         geom, center = None, None
+        addr_numbers, addr_range = None, None
         for s in sorted(spans, key=lambda s: s["offset"]):
             k = s["kind"]
             if k == "text" and not text:
@@ -102,6 +104,10 @@ def parse_docs_batch(batch: pa.Table) -> pa.Table:
                 score = float(s["text"])
             elif k == "media":
                 media.append(s["media_ref"])
+            elif k == "addr_numbers":
+                addr_numbers = s["text"].split(",")
+            elif k == "addr_range":
+                addr_range = json.loads(s["text"])
 
         if geom is None and center is not None:
             geom = {"type": "Point", "coordinates": [center[0], center[1]]}
@@ -132,6 +138,8 @@ def parse_docs_batch(batch: pa.Table) -> pa.Table:
         out["covers_y"].append([c[1] for c in covers])
         out["media_refs"].append(media)
         out["spans"].append(spans)
+        out["addr_numbers_json"].append(json.dumps(addr_numbers) if addr_numbers else "")
+        out["addr_range_json"].append(json.dumps(addr_range) if addr_range else "")
 
     schema_overrides = {
         "idx": pa.int32(), "zoom": pa.int32(), "fid": pa.int64(),
@@ -253,7 +261,8 @@ class PhraseGen:
         cols = {
             k: batch[k].to_pylist()
             for k in ("doc_id", "layer", "idx", "zoom", "text", "synonyms",
-                      "langs_json", "score", "covers_x", "covers_y", "fid")
+                      "langs_json", "score", "covers_x", "covers_y", "fid",
+                      "addr_numbers_json", "addr_range_json")
         }
         for r in range(batch.num_rows):
             texts: list[tuple[str, int]] = []
@@ -272,12 +281,35 @@ class PhraseGen:
             ys = cols["covers_y"][r]
             fid = cols["fid"][r]
 
+        # housenumber waffle tokens for address docs (termops.js:300-363,
+        # prepended per getIndexableText keys, termops.js:509-515)
+            housenums = None
+            anj = cols["addr_numbers_json"][r]
+            arj = cols["addr_range_json"][r]
+            if anj or arj:
+                from ..text.termops import get_housenum_range
+                addressnumbers = [json.loads(anj)] if anj else None
+                range_props = None
+                if arj:
+                    rng = json.loads(arj)
+                    range_props = []
+                    for side in ("l", "r"):
+                        fr = rng.get(f"{side}fromhn") or []
+                        to = rng.get(f"{side}tohn") or []
+                        for a_list, b_list in zip(fr, to):
+                            range_props.append((a_list, b_list))
+                housenums = get_housenum_range(addressnumbers, range_props)
+
             seen: dict[str, tuple[float, int]] = {}
             for text, lset in texts:
                 ph = phrase_hash(text)
                 for toks, reduce_rel in self._token_variants(text):
-                    for p in get_indexable_phrases(toks, self.freq, text_hash=ph,
-                                                   reduce_relevance=reduce_rel):
+                    variants = [(toks, reduce_rel)]
+                    if housenums:
+                        variants += [([hn] + toks, reduce_rel) for hn in housenums]
+                    for vtoks, vrel in variants:
+                     for p in get_indexable_phrases(vtoks, self.freq, text_hash=ph,
+                                                   reduce_relevance=vrel):
                         prev = seen.get(p.phrase)
                         if prev and prev[0] >= p.relev:
                             seen[p.phrase] = (prev[0], prev[1] | lset)
@@ -453,6 +485,7 @@ def build_index(docs_ds, freq_min_count: int = 1, config=None) -> CarmenIndex:
         "doc_id", "layer", "idx", "zoom", "fid", "text", "synonyms",
         "langs_json", "score", "center_lon", "center_lat", "geometry_json",
         "bbox_w", "bbox_s", "bbox_e", "bbox_n", "spans",
+        "addr_numbers_json", "addr_range_json",
     ]
     feat_tbl = feat_tbl.select(feature_cols)
     pg_tbl = pg_tbl.sort_by([("phrase", "ascending"), ("idx", "ascending")])

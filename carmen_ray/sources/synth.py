@@ -36,8 +36,8 @@ import math
 import numpy as np
 import pyarrow as pa
 
-LAYERS = ("country", "region", "place", "street", "poi")
-LAYER_ZOOM = {"country": 1, "region": 4, "place": 6, "street": 10, "poi": 10}
+LAYERS = ("country", "region", "place", "street", "address", "poi")
+LAYER_ZOOM = {"country": 1, "region": 4, "place": 6, "street": 10, "address": 12, "poi": 12}
 LAYER_IDX = {name: i for i, name in enumerate(LAYERS)}
 
 _NAME_A = ("west", "east", "north", "south", "new", "old", "lake", "fair", "spring", "oak")
@@ -104,11 +104,15 @@ def generate_corpus(
     n_pois: int = 100,
     seed: int = 42,
     media_every: int = 3,
+    n_addresses: int | None = None,
 ) -> pa.Table:
     """Build the interleaved corpus as one Arrow table (small scales); for
     bench scales use `generate_corpus_ds` which builds it as a Dataset."""
+    if n_addresses is None:
+        n_addresses = n_streets // 4
     rows = list(
-        _gen_rows(n_countries, n_regions, n_places, n_streets, n_pois, seed, media_every)
+        _gen_rows(n_countries, n_regions, n_places, n_streets, n_pois, seed,
+                  media_every, n_addresses)
     )
     doc_ids = [r[0] for r in rows]
     spans = [r[1] for r in rows]
@@ -116,7 +120,8 @@ def generate_corpus(
                      "spans": pa.array(spans, type=pa.list_(SPAN_TYPE))})
 
 
-def _gen_rows(n_countries, n_regions, n_places, n_streets, n_pois, seed, media_every):
+def _gen_rows(n_countries, n_regions, n_places, n_streets, n_pois, seed,
+              media_every, n_addresses=0):
     # world: countries are big lattice squares; regions subdivide them;
     # places cluster inside regions; streets/pois cluster inside places
     # (Zipf over places → hot cells).
@@ -182,6 +187,7 @@ def _gen_rows(n_countries, n_regions, n_places, n_streets, n_pois, seed, media_e
             entries.append(("media", "", f"img://place/{i}"))
         yield f"place.{i}", _mk_spans(entries)
 
+    street_geoms = []
     for i in range(n_streets):
         pi = _zipf_city(seed, i, n_places)
         cx, cy, _ = places[pi]
@@ -198,9 +204,44 @@ def _gen_rows(n_countries, n_regions, n_places, n_streets, n_pois, seed, media_e
             ("center", f"{(x0+x1)/2},{(y0+y1)/2}", ""),
             ("score", str(int(50 * _rand(seed, 3, i, 6))), ""),
         ]
+        street_geoms.append((name, geom))
         if i % media_every == 1:
             entries.append(("media", "", f"tile://14/{i % 16384}/{(i * 7) % 16384}"))
         yield f"street.{i}", _mk_spans(entries)
+
+    for i in range(n_addresses):
+        # address cluster (even i) or TIGER-style ITP range (odd i) on street i
+        sname, sgeom = street_geoms[i % len(street_geoms)]
+        coords = sgeom["coordinates"]
+        (x0, y0), (x1, y1) = coords[0], coords[-1]
+        if i % 2 == 0:
+            nums = [str(3 + 2 * j) for j in range(6)]  # 3,5,...,13
+            pts = [
+                [x0 + (x1 - x0) * (j + 1) / 7.0, y0 + (y1 - y0) * (j + 1) / 7.0]
+                for j in range(6)
+            ]
+            geom = {"type": "MultiPoint", "coordinates": pts}
+            entries = [
+                ("text", sname, ""),
+                ("geom", json.dumps(geom), ""),
+                ("center", f"{pts[2][0]},{pts[2][1]}", ""),
+                ("score", "5", ""),
+                ("addr_numbers", ",".join(nums), ""),
+            ]
+        else:
+            geom = {"type": "MultiLineString", "coordinates": [coords]}
+            entries = [
+                ("text", sname, ""),
+                ("geom", json.dumps(geom), ""),
+                ("center", f"{(x0+x1)/2},{(y0+y1)/2}", ""),
+                ("score", "5", ""),
+                ("addr_range", json.dumps({
+                    "lfromhn": [["1"]], "ltohn": [["99"]],
+                    "rfromhn": [["2"]], "rtohn": [["100"]],
+                    "parityl": [["O"]], "parityr": [["E"]],
+                }), ""),
+            ]
+        yield f"address.{i}", _mk_spans(entries)
 
     for i in range(n_pois):
         pi = _zipf_city(seed, i * 31 + 7, n_places)

@@ -35,7 +35,7 @@ def index_data(built):
 
 def test_corpus_counts(built):
     tbl, idx = built
-    assert tbl.num_rows == 4 + 12 + 40 + 200 + 100
+    assert tbl.num_rows == 4 + 12 + 40 + 200 + 100 + 50  # incl. address layer
     assert idx.features.num_rows == tbl.num_rows
     assert idx.phrase_grid.num_rows > 0
     assert idx.media_cells.num_rows > 0
@@ -140,7 +140,10 @@ def test_reverse(built, index_data):
     street = f[f.layer == "street"].iloc[0]
     res = reverse_one(index_data, float(street.center_lon), float(street.center_lat))
     assert res
-    assert res[0]["feature_id"] == street.doc_id
+    # the nearest feature may be the street itself or an address cluster
+    # sitting on it (finer layer wins, as in carmen's context ordering)
+    top = res[0]
+    assert top["feature_id"] == street.doc_id or top["place_name"].startswith(street.text)
     assert res[0]["context"], "reverse result should carry containing context"
 
 
@@ -165,7 +168,8 @@ def test_batch_pipeline(built, ray_session):
     q0 = out[out.query_id == "q0"].sort_values("rank")
     assert q0.iloc[0]["feature_id"] == street.doc_id
     q1 = out[out.query_id == "q1"]
-    assert q1.iloc[0]["feature_id"] == street.doc_id
+    assert (q1.iloc[0]["feature_id"] == street.doc_id
+            or q1.iloc[0]["place_name"].startswith(street.text))
     q2 = out[out.query_id == "q2"]
     assert q2.iloc[0]["feature_id"] == street.doc_id
 
