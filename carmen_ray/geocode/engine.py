@@ -532,10 +532,57 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
     return results[:limit]
 
 
+def reverse_multi(index: IndexData, lon: float, lat: float, limit: int,
+                  types: list[str] | None = None) -> list[dict]:
+    """Multi-result reverse (J5, context.js:269-304 `nearest`): kNN over
+    one type — per-layer candidate gen → sort by distscore → limit, each
+    hit expanded to a full context result."""
+    layer = types[0] if types else index.layers[-1]
+    rows = index.layer_rows.get(layer, [])
+    f = index._f
+    cands: list[tuple[float, float, int]] = []
+    for r in rows:
+        geom = index.geometry_at(int(r))
+        d = dist_point_to_geom_miles(lon, lat, geom)
+        ds_ = float(prox.distscore(d * 1609.344, max(float(f["score"][r]), 0.1)))
+        cands.append((d, -ds_, int(r)))
+    cands.sort()
+    out = []
+    seen: set[str] = set()
+    for d, neg_ds, r in cands[: limit * 2]:
+        feature = index.feature_at(r)
+        if feature.doc_id in seen:  # D4 dedup by tmpid
+            continue
+        seen.add(feature.doc_id)
+        ctx = _context_for(index, r, int(feature.idx))
+        zoom = int(feature.zoom)
+        flon, flat = float(feature.center_lon), float(feature.center_lat)
+        tx, ty = lonlat_to_tile(flon, flat, zoom)
+        out.append({
+            "feature_id": feature.doc_id,
+            "relevance": 1.0,
+            "place_name": ", ".join([feature.text] + [c.text for c in ctx]),
+            "center_lon": flon, "center_lat": flat,
+            "cell_zxy": f"{zoom}/{int(tx)}/{int(ty)}",
+            "h3_r7": hex_cell(flon, flat, 7), "h3_r8": hex_cell(flon, flat, 8),
+            "h3_r9": hex_cell(flon, flat, 9), "s2_cell": s2_cell(flon, flat, 12),
+            "context": [c.doc_id for c in ctx],
+            "score": float(feature.score), "scoredist": -neg_ds,
+            "rank": len(out),
+            "address": None, "routable_lon": None, "routable_lat": None,
+        })
+        if len(out) >= limit:
+            break
+    return out
+
+
 def reverse_one(index: IndexData, lon: float, lat: float, limit: int = 1,
                 types: list[str] | None = None) -> list[dict]:
     """Reverse geocode: PIP + nearest per layer, stacked fine→coarse
-    (context.js:31-136, nearest :269-304)."""
+    (context.js:31-136, nearest :269-304). limit>1 → multi-result kNN
+    path (geocode.js:216-220 requires a single type for limit>1)."""
+    if limit > 1:
+        return reverse_multi(index, lon, lat, limit, types)
     hits = []
     RADIUS_MILES = 1000.0 / 1609.344  # vtquery radius 1000 m
     f = index._f

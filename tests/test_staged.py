@@ -1,0 +1,73 @@
+"""Staged (sharded scale path) vs fused forward pipeline equivalence,
+and reverse multi-result (J5)."""
+
+import pyarrow as pa
+import pytest
+
+from carmen_ray.sources.synth import generate_corpus
+
+
+@pytest.fixture(scope="module")
+def built(ray_session):
+    import ray.data as rd
+
+    from carmen_ray.index.build import build_index
+
+    tbl = generate_corpus(n_streets=40, n_pois=20)
+    return build_index(rd.from_arrow(tbl).repartition(2))
+
+
+def test_staged_matches_fused(built, ray_session):
+    import ray.data as rd
+
+    from carmen_ray.geocode.engine import forward_geocode_ds
+    from carmen_ray.geocode.staged import forward_geocode_staged
+
+    idx = built
+    f = idx.features.to_pandas()
+    texts = f[f.layer.isin(["street", "poi", "place"])]["text"].head(25).tolist()
+    queries = pa.table({"query_id": [f"q{i}" for i in range(len(texts))], "query": texts})
+
+    fused = forward_geocode_ds(rd.from_arrow(queries), idx, concurrency=1).to_pandas()
+    staged = forward_geocode_staged(rd.from_arrow(queries), idx, concurrency=1).to_pandas()
+
+    top_f = fused[fused["rank"] == 0].set_index("query_id")[["feature_id", "relevance"]]
+    top_s = staged[staged["rank"] == 0].set_index("query_id")[["feature_id", "relevance"]]
+    assert set(top_f.index) == set(top_s.index)
+    joined = top_f.join(top_s, lsuffix="_f", rsuffix="_s")
+    assert (joined["feature_id_f"] == joined["feature_id_s"]).all()
+    assert (joined["relevance_f"] == joined["relevance_s"]).all()
+
+
+def test_phrase_sharded_stage_covers_all(built, ray_session):
+    """A PhrasematchStage holding only shard k of N emits a subset; the
+    union over shards equals the unsharded output (the fan-out contract)."""
+    from carmen_ray.geocode.staged import PhrasematchStage
+
+    idx = built
+    f = idx.features.to_pandas()
+    text = f[f.layer == "street"].iloc[0].text
+    queries = pa.table({"query_id": ["q0"], "query": [text]})
+
+    kwargs = dict(features=idx.features, phrase_grid=idx.phrase_grid, freq=idx.freq,
+                  max_score=idx.max_score, layer_zooms=idx.layer_zooms)
+    full = PhrasematchStage(**kwargs)(queries)
+    parts = [PhrasematchStage(**kwargs, shard=k, of_n=4)(queries) for k in range(4)]
+    n_parts = sum(p.num_rows for p in parts)
+    assert n_parts == full.num_rows
+
+
+def test_reverse_multi(built, ray_session):
+    from carmen_ray.geocode.engine import IndexData, reverse_one
+
+    idx = built
+    index = IndexData(idx.features, idx.phrase_grid, idx.freq, idx.max_score, idx.layer_zooms)
+    f = idx.features.to_pandas()
+    poi = f[f.layer == "poi"].iloc[0]
+    res = reverse_one(index, float(poi.center_lon), float(poi.center_lat),
+                      limit=3, types=["poi"])
+    assert 1 <= len(res) <= 3
+    assert res[0]["feature_id"] == poi.doc_id
+    # ranked by distance-adjusted score, ranks sequential
+    assert [r["rank"] for r in res] == list(range(len(res)))
+    assert all(r["feature_id"].startswith("poi.") for r in res)
