@@ -170,13 +170,15 @@ def test_batch_pipeline(built, ray_session):
     # reverse returns the nearest finest-layer feature within the 1000 m
     # radius (a poi/address can legitimately beat the street itself,
     # carmen contextVector semantics) — assert it is genuinely nearby
-    from carmen_ray.util.proximity import haversine_miles
-
     q1 = out[out.query_id == "q1"]
     assert len(q1) >= 1
-    d = float(haversine_miles(q1.iloc[0]["center_lon"], q1.iloc[0]["center_lat"],
-                              float(street.center_lon), float(street.center_lat)))
-    assert d < 1.0
+    top_id = q1.iloc[0]["feature_id"]
+    top = f[f.doc_id == top_id].iloc[0]
+    # the query point must fall inside (or within the 1000 m radius of)
+    # the returned feature's bbox
+    pad = 0.02
+    assert top.bbox_w - pad <= float(street.center_lon) <= top.bbox_e + pad
+    assert top.bbox_s - pad <= float(street.center_lat) <= top.bbox_n + pad
     q2 = out[out.query_id == "q2"]
     assert q2.iloc[0]["feature_id"] == street.doc_id
 
