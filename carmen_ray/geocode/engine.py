@@ -579,9 +579,10 @@ def reverse_multi(index: IndexData, lon: float, lat: float, limit: int,
 def reverse_one(index: IndexData, lon: float, lat: float, limit: int = 1,
                 types: list[str] | None = None) -> list[dict]:
     """Reverse geocode: PIP + nearest per layer, stacked fine→coarse
-    (context.js:31-136, nearest :269-304). limit>1 → multi-result kNN
-    path (geocode.js:216-220 requires a single type for limit>1)."""
-    if limit > 1:
+    (context.js:31-136, nearest :269-304). Multi-result reverse requires
+    an explicit single type (geocode.js:216-220); without one the limit
+    clamps to 1 like the reference."""
+    if limit > 1 and types and len(types) == 1:
         return reverse_multi(index, lon, lat, limit, types)
     hits = []
     RADIUS_MILES = 1000.0 / 1609.344  # vtquery radius 1000 m
@@ -680,9 +681,10 @@ class ForwardGeocoder:
         prox_lon = batch["proximity_lon"].to_pylist() if "proximity_lon" in cols else [None] * len(queries)
         prox_lat = batch["proximity_lat"].to_pylist() if "proximity_lat" in cols else [None] * len(queries)
         limits = batch["limit"].to_pylist() if "limit" in cols else [5] * len(queries)
+        types_col = batch["types"].to_pylist() if "types" in cols else [None] * len(queries)
 
         rows = {name: [] for name, _ in RESULT_FIELDS}
-        for qid, q, plon, plat, lim in zip(qids, queries, prox_lon, prox_lat, limits):
+        for qid, q, plon, plat, lim, qtypes in zip(qids, queries, prox_lon, prox_lat, limits, types_col):
             lim = int(lim) if lim is not None else 5
             idq = parse_id_query(q)
             rev = as_reverse(q)
@@ -696,10 +698,12 @@ class ForwardGeocoder:
                 else:
                     results = []
             elif rev is not None:
-                results = reverse_one(self.index, rev[0], rev[1], limit=lim)
+                results = reverse_one(self.index, rev[0], rev[1], limit=lim,
+                                      types=list(qtypes) if qtypes is not None and len(qtypes) else None)
             else:
                 p = (plon, plat) if plon is not None and plat is not None else None
-                results = forward_one(self.index, q, proximity=p, limit=lim)
+                results = forward_one(self.index, q, proximity=p, limit=lim,
+                                      types=list(qtypes) if qtypes is not None and len(qtypes) else None)
             for r in results:
                 rows["query_id"].append(qid)
                 for name, _ in RESULT_FIELDS[1:]:
