@@ -381,9 +381,27 @@ def resolve_address(feature, number: str) -> dict | None:
     return None
 
 
+def _display_text(feature, language: str | None) -> tuple[str, str | None]:
+    """→ (display text, matched language key) honoring carmen's
+    closest-lang fallback (format-features.js getPlaceName language
+    selection)."""
+    if not language:
+        return feature.text, None
+    from ..text.closest_lang import closest_lang
+
+    try:
+        langs = json.loads(feature.langs_json) if feature.langs_json else {}
+    except (TypeError, ValueError):
+        langs = {}
+    available = {"default": feature.text, **langs}
+    key, text = closest_lang(language, available)
+    return (text or feature.text), (None if key == "default" else key)
+
+
 def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
                 autocomplete: bool = True, types: list[str] | None = None,
-                fuzzy: bool = True) -> list[dict]:
+                fuzzy: bool = True, language: str | None = None,
+                language_mode: str | None = None) -> list[dict]:
     from ..text.token_replacer import replace_global_tokens
 
     if index.global_rules:
@@ -483,8 +501,21 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
             routable = nearest_point_on_multiline(
                 resolved["lon"], resolved["lat"], [resolved["line"]])
 
+        display, matched_lang = _display_text(feature, language)
+        if language_mode == "strict" and language and matched_lang is None:
+            # strict language mode drops features without the language
+            # (filter-sources.js languageMode semantics)
+            continue
         name_prefix = f"{matched_address} " if matched_address else ""
-        place_name = name_prefix + ", ".join([feature.text] + [c.text for c in ctx])
+        place_name = name_prefix + ", ".join(
+            [display] + [_display_text(c, language)[0] for c in ctx])
+        # matching_text: the indexed synonym/translation that matched,
+        # when it differs from the display form (getMatchingText,
+        # format-features.js:383-488)
+        matched_sub = covers[0].pm.subquery
+        matching_text = None
+        if matched_sub and matched_sub not in display.lower():
+            matching_text = matched_sub
         if place_name in seen_names:
             continue
         seen_names.add(place_name)
@@ -522,6 +553,8 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
             "address": matched_address,
             "routable_lon": routable[0] if routable else None,
             "routable_lat": routable[1] if routable else None,
+            "matching_text": matching_text,
+            "language": matched_lang,
         })
 
     # final deterministic sort (verifymatch.js:1003-1053 shape)
@@ -659,6 +692,7 @@ RESULT_FIELDS = [
     ("context", pa.list_(pa.string())), ("score", pa.float64()),
     ("scoredist", pa.float64()), ("address", pa.string()),
     ("routable_lon", pa.float64()), ("routable_lat", pa.float64()),
+    ("matching_text", pa.string()), ("language", pa.string()),
 ]
 RESULT_SCHEMA = pa.schema(RESULT_FIELDS)
 
@@ -682,9 +716,11 @@ class ForwardGeocoder:
         prox_lat = batch["proximity_lat"].to_pylist() if "proximity_lat" in cols else [None] * len(queries)
         limits = batch["limit"].to_pylist() if "limit" in cols else [5] * len(queries)
         types_col = batch["types"].to_pylist() if "types" in cols else [None] * len(queries)
+        lang_col = batch["language"].to_pylist() if "language" in cols else [None] * len(queries)
 
         rows = {name: [] for name, _ in RESULT_FIELDS}
-        for qid, q, plon, plat, lim, qtypes in zip(qids, queries, prox_lon, prox_lat, limits, types_col):
+        for qid, q, plon, plat, lim, qtypes, qlang in zip(
+                qids, queries, prox_lon, prox_lat, limits, types_col, lang_col):
             lim = int(lim) if lim is not None else 5
             idq = parse_id_query(q)
             rev = as_reverse(q)
@@ -703,7 +739,8 @@ class ForwardGeocoder:
             else:
                 p = (plon, plat) if plon is not None and plat is not None else None
                 results = forward_one(self.index, q, proximity=p, limit=lim,
-                                      types=list(qtypes) if qtypes is not None and len(qtypes) else None)
+                                      types=list(qtypes) if qtypes is not None and len(qtypes) else None,
+                                      language=qlang)
             for r in results:
                 rows["query_id"].append(qid)
                 for name, _ in RESULT_FIELDS[1:]:
