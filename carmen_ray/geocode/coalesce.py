@@ -91,43 +91,62 @@ def _aligned(ax: int, ay: int, az: int, bx: int, by: int, bz: int) -> bool:
     return ax == (bx >> (bz - az)) and ay == (by >> (bz - az))
 
 
+MAX_GRIDS_PER_PM = 64     # stacking considers the top grids per phrasematch
+_MAX_PARTIALS = constants.STACKABLE_LIMIT * 8
+
+
 def stack_and_coalesce(
     phrasematches: list[Phrasematch],
     query_len: int,
     max_stacks: int = constants.SPATIALMATCH_STACK_LIMIT,
 ) -> list[Stack]:
-    """Enumerate consistent stacks with caps, rebalance, dedup, sort."""
+    """Enumerate consistent stacks with caps, rebalance, dedup, sort.
+
+    Hot-phrase guardrails (carmen-core truncates similarly): per
+    phrasematch only the best MAX_GRIDS_PER_PM grids (by relev, then
+    scoredist) enter the combinatorial stacking; coarser-zoom grids are
+    bucketed by cell so extensions probe a dict instead of scanning
+    every grid (the zoom-scaled containment join)."""
     if not phrasematches:
         return []
     pms = sorted(phrasematches, key=lambda p: (p.idx, p.mask))
 
+    # prune + pre-bucket grids per pm
+    pm_grids: dict[int, list[Grid]] = {}
+    for i, pm in enumerate(pms):
+        grids = pm.grids
+        if len(grids) > MAX_GRIDS_PER_PM:
+            grids = sorted(grids, key=lambda g: (-g.relev, -g.scoredist, g.tmpid))[:MAX_GRIDS_PER_PM]
+        pm_grids[i] = grids
+
     partials: list[Stack] = []
 
-    def try_extend(base: Stack, pm: Phrasematch) -> None:
-        if len(partials) >= constants.STACKABLE_LIMIT * 8:
-            return
-        if base.mask & pm.mask:
-            return
-        if base.entries and pm.idx <= base.entries[-1].idx:
-            return
-        for grid in pm.grids:
-            if base.entries and not all(
-                _aligned(grid.x, grid.y, pm.zoom, e.grid.x, e.grid.y, e.pm.zoom)
-                for e in base.entries
-            ):
+    def try_extend(base: Stack, start_i: int) -> None:
+        for i in range(start_i, len(pms)):
+            if len(partials) >= _MAX_PARTIALS:
+                return
+            pm = pms[i]
+            if base.mask & pm.mask:
                 continue
-            ns = Stack(
-                entries=base.entries + [StackEntry(pm, grid, grid.relev)],
-                mask=base.mask | pm.mask,
-            )
-            ns.relev = base.relev + grid.relev * pm.weight
-            partials.append(ns)
-            for nxt in pms:
-                if nxt.idx > pm.idx:
-                    try_extend(ns, nxt)
+            if base.entries and pm.idx <= base.entries[-1].idx:
+                continue
+            for grid in pm_grids[i]:
+                if base.entries and not all(
+                    _aligned(grid.x, grid.y, pm.zoom, e.grid.x, e.grid.y, e.pm.zoom)
+                    for e in base.entries
+                ):
+                    continue
+                ns = Stack(
+                    entries=base.entries + [StackEntry(pm, grid, grid.relev)],
+                    mask=base.mask | pm.mask,
+                )
+                ns.relev = base.relev + grid.relev * pm.weight
+                partials.append(ns)
+                if len(partials) >= _MAX_PARTIALS:
+                    return
+                try_extend(ns, i + 1)
 
-    for pm in pms:
-        try_extend(Stack(), pm)
+    try_extend(Stack(), 0)
 
     # keep only maximal-quality stacks: rebalance + gap penalty
     out: list[Stack] = []

@@ -86,7 +86,8 @@ class IndexData:
                 self.deletes.setdefault(w[:i] + w[i + 1:], []).append(w)
 
         pg = phrase_grid.to_pandas().sort_values(
-            ["phrase", "idx"], kind="mergesort").reset_index(drop=True)
+            ["phrase", "idx", "fid", "x", "y", "lang_set"],
+            kind="mergesort").reset_index(drop=True)
         self.phrases = pg["phrase"].to_numpy(dtype=object)
         self.pg_cols = {
             c: pg[c].to_numpy()

@@ -38,8 +38,26 @@ def _all_coords(geom: dict) -> list:
     raise ValueError(t)
 
 
-def point_in_ring(px: float, py: float, ring: np.ndarray) -> bool:
-    """Ray-casting even-odd test; ring = (n,2) float array."""
+def point_in_ring(px: float, py: float, ring) -> bool:
+    """Ray-casting even-odd test; ring = (n,2) array-like.
+
+    Scalar loop under 64 vertices (numpy's per-call overhead dwarfs the
+    math there); vectorized kernel above.
+    """
+    n = len(ring)
+    if n < 64:
+        inside = False
+        j = n - 1
+        for i in range(n):
+            xi, yi = ring[i][0], ring[i][1]
+            xj, yj = ring[j][0], ring[j][1]
+            if (yi > py) != (yj > py):
+                xint = (xj - xi) * (py - yi) / (yj - yi) + xi
+                if px < xint:
+                    inside = not inside
+            j = i
+        return inside
+    ring = np.asarray(ring, dtype=np.float64)
     x = ring[:, 0]
     y = ring[:, 1]
     x2 = np.roll(x, -1)
@@ -53,10 +71,9 @@ def point_in_ring(px: float, py: float, ring: np.ndarray) -> bool:
 
 def point_in_polygon(px: float, py: float, polygon) -> bool:
     """polygon = list of rings (first exterior, rest holes)."""
-    rings = [np.asarray(r, dtype=np.float64) for r in polygon]
-    if not rings or not point_in_ring(px, py, rings[0]):
+    if not polygon or not point_in_ring(px, py, polygon[0]):
         return False
-    for hole in rings[1:]:
+    for hole in polygon[1:]:
         if point_in_ring(px, py, hole):
             return False
     return True

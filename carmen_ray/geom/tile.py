@@ -29,9 +29,19 @@ def lonlat_to_tile_f(lon, lat, z: int):
 
 
 def lonlat_to_tile(lon, lat, z: int):
-    """Integer tile containing the point (floor semantics, tile-cover style)."""
-    x, y = lonlat_to_tile_f(lon, lat, z)
+    """Integer tile containing the point (floor semantics, tile-cover style).
+    Scalar fast path (hot in per-result formatting); numpy for arrays."""
     n = int(2 ** z)
+    if isinstance(lon, (int, float)) and isinstance(lat, (int, float)):
+        lonc = min(180.0, max(-180.0, float(lon)))
+        latc = min(MAX_LAT, max(-MAX_LAT, float(lat)))
+        xf = (lonc / 360.0 + 0.5) * n
+        s = math.sin(math.radians(latc))
+        yf = (0.5 - 0.25 * math.log((1 + s) / (1 - s)) / math.pi) * n
+        xi = min(n - 1, max(0, int(math.floor(xf))))
+        yi = min(n - 1, max(0, int(math.floor(yf))))
+        return xi, yi
+    x, y = lonlat_to_tile_f(lon, lat, z)
     xi = np.clip(np.floor(x).astype(np.int64), 0, n - 1)
     yi = np.clip(np.floor(y).astype(np.int64), 0, n - 1)
     return xi, yi

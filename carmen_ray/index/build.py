@@ -488,7 +488,18 @@ def build_index(docs_ds, freq_min_count: int = 1, config=None) -> CarmenIndex:
         "addr_numbers_json", "addr_range_json",
     ]
     feat_tbl = feat_tbl.select(feature_cols)
-    pg_tbl = pg_tbl.sort_by([("phrase", "ascending"), ("idx", "ascending")])
+    # canonical feature order: context/reverse tie-breaks are
+    # first-seen-wins, so row order must not depend on block arrival
+    feat_tbl = feat_tbl.sort_by([
+        ("idx", "ascending"), ("fid", "ascending"), ("doc_id", "ascending"),
+    ])
+    # total-order sort: block arrival order varies with parallelism, and
+    # any tie in the sort would leak that into grid-list order (and into
+    # stacking-cap truncation) -> nondeterministic results across runs
+    pg_tbl = pg_tbl.sort_by([
+        ("phrase", "ascending"), ("idx", "ascending"), ("fid", "ascending"),
+        ("x", "ascending"), ("y", "ascending"), ("lang_set", "ascending"),
+    ])
 
     return CarmenIndex(
         features=feat_tbl,

@@ -201,9 +201,15 @@ def load_index(out_dir: str):
         promote_options="permissive",
     )
     media = pq.read_table(os.path.join(partition_dir(out_dir, "mediacells"), "data.parquet"))
+    feats = feats.sort_by([
+        ("idx", "ascending"), ("fid", "ascending"), ("doc_id", "ascending"),
+    ])
     return CarmenIndex(
         features=feats,
-        phrase_grid=pg.sort_by([("phrase", "ascending"), ("idx", "ascending")]),
+        phrase_grid=pg.sort_by([
+            ("phrase", "ascending"), ("idx", "ascending"), ("fid", "ascending"),
+            ("x", "ascending"), ("y", "ascending"), ("lang_set", "ascending"),
+        ]),
         media_cells=media,
         freq=meta["freq"],
         max_score=meta["max_score"],

@@ -42,6 +42,16 @@ def tile_corner_lonlat(x, y, z):
     return lon, lat
 
 
+def _haversine_scalar(lon1, lat1, lon2, lat2) -> float:
+    """Pure-scalar haversine (math module) — numpy overhead dominates at
+    n=1, and distance() runs per grid in the hot path."""
+    rl1, rl2 = math.radians(lat1), math.radians(lat2)
+    dlat = rl2 - rl1
+    dlon = math.radians(lon2) - math.radians(lon1)
+    h = math.sin(dlat / 2) ** 2 + math.cos(rl1) * math.cos(rl2) * math.sin(dlon / 2) ** 2
+    return 2 * EARTH_RADIUS_MILES * math.asin(math.sqrt(h))
+
+
 def distance(proximity, center, cover_x, cover_y, cover_zoom):
     """min(dist to center, dist to furthest cover corner), miles.
 
@@ -51,13 +61,17 @@ def distance(proximity, center, cover_x, cover_y, cover_zoom):
     if proximity is None:
         return 0.0
     px, py = float(proximity[0]), float(proximity[1])
-    center_dist = float(haversine_miles(px, py, center[0], center[1]))
-    corners = []
+    center_dist = _haversine_scalar(px, py, float(center[0]), float(center[1]))
+    n = 2.0 ** cover_zoom
+    max_corner = 0.0
     for dx in (0, 1):
         for dy in (0, 1):
-            lon, lat = tile_corner_lonlat(cover_x + dx, cover_y + dy, cover_zoom)
-            corners.append(float(haversine_miles(px, py, lon, lat)))
-    return min(center_dist, max(corners))
+            lon = (cover_x + dx) / n * 360.0 - 180.0
+            lat = math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * (cover_y + dy) / n))))
+            d = _haversine_scalar(px, py, lon, lat)
+            if d > max_corner:
+                max_corner = d
+    return min(center_dist, max_corner)
 
 
 def center2zxy(lon: float, lat: float, z: int) -> tuple[int, int, int]:
