@@ -26,7 +26,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-N_QUERIES = int(os.environ.get("GRAFT_BENCH_QUERIES", "120000"))
+N_QUERIES = int(os.environ.get("GRAFT_BENCH_QUERIES", "240000"))
 
 BENCH_QUERIES = [
     "pricing_summary",

@@ -752,10 +752,14 @@ class ForwardGeocoder:
 def forward_geocode_ds(queries_ds, index, concurrency: int = 4, batch_size: int = 256,
                        config=None):
     """queries Dataset → results Dataset via the fused actor pool."""
+    # the query actors never touch the spans payload — don't ship it
+    feats = index.features
+    if "spans" in feats.column_names:
+        feats = feats.drop_columns(["spans"])
     return queries_ds.map_batches(
         ForwardGeocoder,
         fn_constructor_kwargs={
-            "features": index.features,
+            "features": feats,
             "phrase_grid": index.phrase_grid,
             "freq": index.freq,
             "max_score": index.max_score,

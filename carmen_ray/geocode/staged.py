@@ -293,8 +293,11 @@ class VerifyStage:
 def forward_geocode_staged(queries_ds, index, concurrency: int = 4, config=None,
                            phrase_shards: int = 1):
     """The three-stage pipeline with the explicit per-query shuffle."""
+    feats = index.features
+    if "spans" in feats.column_names:
+        feats = feats.drop_columns(["spans"])
     kwargs = {
-        "features": index.features, "phrase_grid": index.phrase_grid,
+        "features": feats, "phrase_grid": index.phrase_grid,
         "freq": index.freq, "max_score": index.max_score,
         "layer_zooms": index.layer_zooms, "config": config,
     }
