@@ -426,6 +426,32 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
         pms.extend(phrasematch_query(index, hyp_tokens, autocomplete=autocomplete,
                                      weight_multiplier=penalty, seen=tried))
 
+    # intersection queries (R7, termops.js:872-902): "f st and 9th st"
+    # → "+intersection f st , 9th st" exact-phrase lookup (full phrase
+    # only, mask covers the whole query)
+    INTERSECTION_TOKEN = "and"
+    for i in range(1, len(tokens) - 1):
+        if tokens[i] == INTERSECTION_TOKEN:
+            joined = " ".join(["+intersection"] + tokens[:i] + [","] + tokens[i + 1 :])
+            lo_, hi_ = index.lookup(joined, False)
+            if hi_ > lo_:
+                c = index.pg_cols
+                for idx_v in np.unique(c["idx"][lo_:hi_]):
+                    rel = np.flatnonzero(c["idx"][lo_:hi_] == idx_v) + lo_
+                    grids = [
+                        Grid(x=int(c["x"][j]), y=int(c["y"][j]),
+                             relev=float(c["relev"][j]), score=float(c["score"][j]),
+                             fid=int(c["fid"][j]),
+                             tmpid=int(idx_v) * TMPID_SHIFT + int(c["fid"][j]))
+                        for j in rel
+                    ]
+                    pms.append(Phrasematch(
+                        idx=int(idx_v), layer=str(c["layer"][rel[0]]),
+                        zoom=int(c["zoom"][rel[0]]), mask=(1 << len(tokens)) - 1,
+                        weight=1.0, subquery=joined,
+                        phrase_id=int(c["phrase_id"][rel[0]]), prefix=False,
+                        grids=grids))
+
     # address variants (M13): waffle each numeric token; trailing numbers
     # also try the indexed leading form with the 0.99 number-order
     # penalty (phrasematch.js R1)

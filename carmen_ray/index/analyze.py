@@ -76,31 +76,65 @@ def duplicate_grids(phrase_grid_ds, num_shards: int = 16):
     )
 
 
-def cell_geometry_pack(features_ds, zoom: int = 10, num_shards: int = 32):
-    """features → one row per cell: (cell_x, cell_y, zoom, doc_ids,
-    layers, geometries). The shuffle key is a coarse shard of the cell;
-    exact per-cell packing is vectorized inside. Output partitions are
-    the unit of the reverse-geocode actor LRU and of resumable writes
-    (sources/io.write_dataset_partitioned keyed by cell shard)."""
+def cell_geometry_pack(features_ds, zoom: int = 10, num_shards: int = 32,
+                       salt_threshold: int | None = None, salt_factor: int = 4):
+    """features → one row per (cell [, salt]): (cell_x, cell_y, zoom,
+    salt, doc_ids, layers, geometries). The shuffle key is a coarse
+    shard of the cell; exact per-cell packing is vectorized inside.
+
+    Hot-cell salting (the north rule's skew handling): when
+    `salt_threshold` is set, a first cheap counting pass finds cells
+    with more than `salt_threshold` features (dense urban tiles under
+    the Zipf skew); their rows get salt = hash(doc_id) % salt_factor
+    appended to the shuffle key, splitting each hot cell into
+    `salt_factor` balanced sub-partitions instead of one straggler
+    group. Readers merge sub-partitions by (cell_x, cell_y).
+    """
     from ..geom.tile import lonlat_to_tile
+    from ..util.hashing import fnv1a_64
+
+    hot_cells: frozenset = frozenset()
+    if salt_threshold is not None:
+        # pass 1: tiny count-per-cell aggregate → broadcast hot set
+        def count_cells(b: pa.Table) -> pa.Table:
+            xs, ys = lonlat_to_tile(b["center_lon"].to_pylist(), b["center_lat"].to_pylist(), zoom)
+            df = pd.DataFrame({"cell_x": np.asarray(xs), "cell_y": np.asarray(ys)})
+            g = df.groupby(["cell_x", "cell_y"], as_index=False).size()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        from ..ops.agg import Spec, grouped_aggregate
+
+        counts = grouped_aggregate(
+            features_ds.map_batches(count_cells, batch_format="pyarrow"),
+            ["cell_x", "cell_y"], [Spec("n", "size", "sum")],
+        ).to_pandas()
+        hot = counts[counts["n"] > salt_threshold]
+        hot_cells = frozenset(zip(hot["cell_x"].astype(int), hot["cell_y"].astype(int)))
 
     def explode(b: pa.Table) -> pa.Table:
-        out = {"cell_x": [], "cell_y": [], "doc_id": [], "layer": [], "geometry_json": []}
+        out = {"cell_x": [], "cell_y": [], "salt": [], "doc_id": [], "layer": [], "geometry_json": []}
         lons = b["center_lon"].to_pylist()
         lats = b["center_lat"].to_pylist()
         xs, ys = lonlat_to_tile(lons, lats, zoom)
         for i in range(b.num_rows):
-            out["cell_x"].append(int(xs[i]))
-            out["cell_y"].append(int(ys[i]))
-            out["doc_id"].append(b["doc_id"][i].as_py())
+            cx, cy = int(xs[i]), int(ys[i])
+            doc = b["doc_id"][i].as_py()
+            out["cell_x"].append(cx)
+            out["cell_y"].append(cy)
+            out["salt"].append(fnv1a_64(doc) % salt_factor if (cx, cy) in hot_cells else 0)
+            out["doc_id"].append(doc)
             out["layer"].append(b["layer"][i].as_py())
             out["geometry_json"].append(b["geometry_json"][i].as_py())
         t = pa.table({k: pa.array(v) for k, v in out.items()})
-        shard = (np.asarray(t["cell_x"], dtype=np.int64) * 31 + np.asarray(t["cell_y"], dtype=np.int64)) % num_shards
+        shard = (
+            np.asarray(t["cell_x"], dtype=np.int64) * 31
+            + np.asarray(t["cell_y"], dtype=np.int64) * 7
+            + np.asarray(t["salt"], dtype=np.int64)
+        ) % num_shards
         return t.append_column("shard", pa.array(shard.astype(np.int32)))
 
     def pack_cells(group: pd.DataFrame) -> pd.DataFrame:
-        packed = group.groupby(["cell_x", "cell_y"]).agg(
+        packed = group.groupby(["cell_x", "cell_y", "salt"]).agg(
             doc_ids=("doc_id", list),
             layers=("layer", list),
             geometries=("geometry_json", list),

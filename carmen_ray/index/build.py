@@ -73,6 +73,7 @@ def parse_docs_batch(batch: pa.Table) -> pa.Table:
         "bbox_w": [], "bbox_s": [], "bbox_e": [], "bbox_n": [],
         "covers_x": [], "covers_y": [], "media_refs": [], "spans": [],
         "addr_numbers_json": [], "addr_range_json": [],
+        "intersections_json": [],
     }
 
     for doc_id, spans in zip(doc_ids, spans_col):
@@ -87,6 +88,7 @@ def parse_docs_batch(batch: pa.Table) -> pa.Table:
         text, synonyms, langs, score, media = "", [], {}, 0.0, []
         geom, center = None, None
         addr_numbers, addr_range = None, None
+        intersections = []
         for s in sorted(spans, key=lambda s: s["offset"]):
             k = s["kind"]
             if k == "text" and not text:
@@ -108,6 +110,8 @@ def parse_docs_batch(batch: pa.Table) -> pa.Table:
                 addr_numbers = s["text"].split(",")
             elif k == "addr_range":
                 addr_range = json.loads(s["text"])
+            elif k == "intersection":
+                intersections.append(s["text"])
 
         if geom is None and center is not None:
             geom = {"type": "Point", "coordinates": [center[0], center[1]]}
@@ -140,6 +144,7 @@ def parse_docs_batch(batch: pa.Table) -> pa.Table:
         out["spans"].append(spans)
         out["addr_numbers_json"].append(json.dumps(addr_numbers) if addr_numbers else "")
         out["addr_range_json"].append(json.dumps(addr_range) if addr_range else "")
+        out["intersections_json"].append(json.dumps(intersections) if intersections else "")
 
     schema_overrides = {
         "idx": pa.int32(), "zoom": pa.int32(), "fid": pa.int64(),
@@ -262,7 +267,7 @@ class PhraseGen:
             k: batch[k].to_pylist()
             for k in ("doc_id", "layer", "idx", "zoom", "text", "synonyms",
                       "langs_json", "score", "covers_x", "covers_y", "fid",
-                      "addr_numbers_json", "addr_range_json")
+                      "addr_numbers_json", "addr_range_json", "intersections_json")
         }
         for r in range(batch.num_rows):
             texts: list[tuple[str, int]] = []
@@ -300,6 +305,16 @@ class PhraseGen:
                             range_props.append((a_list, b_list))
                 housenums = get_housenum_range(addressnumbers, range_props)
 
+            inters = []
+            inj = cols["intersections_json"][r]
+            if inj:
+                for cross in json.loads(inj):
+                    cross_toks = normalize_query(tokenize(cross)).tokens
+                    if self.simple:
+                        cross_toks = self.simple.replace(cross_toks)
+                    if cross_toks:
+                        inters.append(["+intersection"] + cross_toks + [","])
+
             seen: dict[str, tuple[float, int]] = {}
             for text, lset in texts:
                 ph = phrase_hash(text)
@@ -307,6 +322,8 @@ class PhraseGen:
                     variants = [(toks, reduce_rel)]
                     if housenums:
                         variants += [([hn] + toks, reduce_rel) for hn in housenums]
+                    for itoks in inters:
+                        variants.append((itoks + toks, reduce_rel))
                     for vtoks, vrel in variants:
                      for p in get_indexable_phrases(vtoks, self.freq, text_hash=ph,
                                                    reduce_relevance=vrel):
@@ -485,7 +502,7 @@ def build_index(docs_ds, freq_min_count: int = 1, config=None) -> CarmenIndex:
         "doc_id", "layer", "idx", "zoom", "fid", "text", "synonyms",
         "langs_json", "score", "center_lon", "center_lat", "geometry_json",
         "bbox_w", "bbox_s", "bbox_e", "bbox_n", "spans",
-        "addr_numbers_json", "addr_range_json",
+        "addr_numbers_json", "addr_range_json", "intersections_json",
     ]
     feat_tbl = feat_tbl.select(feature_cols)
     # canonical feature order: context/reverse tie-breaks are

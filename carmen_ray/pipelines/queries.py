@@ -469,3 +469,146 @@ ORACLES = {
     # minhash / simhash / knn_lsh / embedding_dedup: non-SQL-expressible
     # (heuristic models, hash internals, LSH) → rows-only check.
 }
+
+
+# --------------------------------------------------- streaming-shaped ops
+
+
+def q_events_asof(sf_dir: str):
+    """As-of join (ops/joins.asof_join): each event matched to the user's
+    latest order at event time — bucket by user, merge_asof per bucket."""
+    from ..ops.joins import asof_join
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    from ..ops.agg import Spec, grouped_aggregate
+
+    # unique right side per (user, date): keep max orderkey (both sides
+    # must break as-of ties identically) — a keyed aggregate, not a
+    # per-batch dedupe (ties can span batches)
+    renamed = orders.map_batches(
+        lambda df: df.rename(columns={"o_custkey": "user_id", "o_orderdate": "ts"}),
+        batch_format="pandas",
+    )
+    right = grouped_aggregate(renamed, ["user_id", "ts"],
+                              [Spec("o_orderkey", "o_orderkey", "max")])
+    joined = asof_join(events, right, on="ts", by="user_id", direction="backward")
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["event_id", "o_orderkey"]].copy()
+        out["o_orderkey"] = out["o_orderkey"].astype("Int64")
+        return out.rename(columns={"o_orderkey": "matched_order"})
+
+    return joined.map_batches(project, batch_format="pandas")
+
+
+SQL_EVENTS_ASOF = """
+WITH r AS (
+  SELECT o_custkey AS user_id, o_orderdate AS ts, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, r.o_orderkey AS matched_order
+FROM events e ASOF LEFT JOIN r
+  ON e.user_id = r.user_id AND e.ts >= r.ts
+"""
+
+
+def q_events_sessionize(sf_dir: str):
+    """Session windows (30-min inactivity gap): per-user gaps-and-islands
+    inside a user-sharded groupby — the streaming-window operator over
+    the ordered event log."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    GAP_US = 30 * 60 * 1_000_000
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        shard = (np.asarray(b["user_id"], dtype=np.int64) % 16).astype(np.int32)
+        return b.append_column("shard", pa.array(shard))
+
+    def sessionize(group: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for uid, g in group.groupby("user_id", sort=False):
+            g = g.sort_values(["ts", "event_id"], kind="mergesort")
+            ts_us = g["ts"].astype("int64").to_numpy()
+            new_session = np.ones(len(g), dtype=bool)
+            new_session[1:] = (ts_us[1:] - ts_us[:-1]) > GAP_US
+            session_no = np.cumsum(new_session)
+            gg = pd.DataFrame({
+                "user_id": uid,
+                "session_no": session_no,
+                "ts_us": ts_us,
+                "value": g["value"].to_numpy(),
+            })
+            agg = gg.groupby("session_no", as_index=False).agg(
+                session_start=("ts_us", "min"),
+                n_events=("ts_us", "size"),
+                sum_value=("value", "sum"),
+            )
+            agg["user_id"] = uid
+            out.append(agg[["user_id", "session_no", "session_start", "n_events", "sum_value"]])
+        if not out:
+            return pd.DataFrame()
+        res = pd.concat(out, ignore_index=True)
+        res["sum_value"] = res["sum_value"].round(4)
+        res["session_no"] = res["session_no"].astype("int64")
+        res["n_events"] = res["n_events"].astype("int64")
+        return res
+
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .repartition(8)
+        .groupby("shard")
+        .map_groups(sessionize, batch_format="pandas")
+        .map_batches(lambda df: df.drop(columns=["shard"], errors="ignore"), batch_format="pandas")
+    )
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH ordered AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT user_id, ts_us, value,
+         CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000 THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+), numbered AS (
+  SELECT user_id, ts_us, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       min(ts_us) AS session_start,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM numbered GROUP BY user_id, session_no
+"""
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal pipeline (rows-only): media refs → stub decode →
+    actor-pool feature extraction (ops/multimodal)."""
+    from ..ops.multimodal import media_feature_pipeline
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def to_refs(b: pa.Table) -> pa.Table:
+        return pa.table({"media_ref": pa.array(
+            [f"img://doc/{d}" for d in b["doc_id"].to_pylist()], type=pa.string())})
+
+    refs = ds.map_batches(to_refs, batch_format="pyarrow")
+    out = media_feature_pipeline(refs, embed_dim=8, concurrency=2)
+    return out.select_columns(["media_ref", "mean_luma"])
+
+
+QUERIES.update({
+    "events_asof": q_events_asof,
+    "events_sessionize": q_events_sessionize,
+    "media_features": q_media_features,
+})
+
+ORACLES.update({
+    "events_asof": SQL_EVENTS_ASOF,
+    "events_sessionize": SQL_EVENTS_SESSIONIZE,
+})

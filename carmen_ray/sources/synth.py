@@ -188,6 +188,8 @@ def _gen_rows(n_countries, n_regions, n_places, n_streets, n_pois, seed,
         yield f"place.{i}", _mk_spans(entries)
 
     street_geoms = []
+    street_place = []
+    street_names = []
     for i in range(n_streets):
         pi = _zipf_city(seed, i, n_places)
         cx, cy, _ = places[pi]
@@ -205,6 +207,12 @@ def _gen_rows(n_countries, n_regions, n_places, n_streets, n_pois, seed,
             ("score", str(int(50 * _rand(seed, 3, i, 6))), ""),
         ]
         street_geoms.append((name, geom))
+        street_place.append(pi)
+        street_names.append(name)
+        # cross-street: every 5th street intersects the previous street
+        # in the same place (geocode-unit.address-intersections shape)
+        if i % 5 == 4 and street_place[i - 1] == pi and street_names[i - 1] != name:
+            entries.append(("intersection", street_names[i - 1], ""))
         if i % media_every == 1:
             entries.append(("media", "", f"tile://14/{i % 16384}/{(i * 7) % 16384}"))
         yield f"street.{i}", _mk_spans(entries)

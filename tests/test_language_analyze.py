@@ -118,3 +118,25 @@ def test_cell_geometry_pack(built, ray_session):
     # every cell row carries parallel doc/geometry lists
     row = packed.iloc[0]
     assert len(row["doc_ids"]) == len(row["geometries"]) == row["n_features"]
+
+
+def test_cell_pack_salting(built, ray_session):
+    """Hot cells split into salted sub-partitions; union of sub-rows
+    equals the unsalted pack."""
+    import ray.data as rd
+
+    from carmen_ray.index.analyze import cell_geometry_pack
+
+    idx = built
+    plain = cell_geometry_pack(rd.from_arrow(idx.features), zoom=6).to_pandas()
+    salted = cell_geometry_pack(rd.from_arrow(idx.features), zoom=6,
+                                salt_threshold=5, salt_factor=4).to_pandas()
+    assert salted["n_features"].sum() == plain["n_features"].sum()
+    # at least one hot cell actually split
+    sub_counts = salted.groupby(["cell_x", "cell_y"]).size()
+    assert (sub_counts > 1).any(), "no cell was salted despite Zipf skew"
+    # every salted sub-partition is smaller than the hot threshold's
+    # original cell
+    merged = salted.groupby(["cell_x", "cell_y"])["n_features"].sum()
+    plain_counts = plain.set_index(["cell_x", "cell_y"])["n_features"]
+    assert (merged == plain_counts.reindex(merged.index)).all()
