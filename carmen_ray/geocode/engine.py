@@ -399,6 +399,69 @@ def _display_text(feature, language: str | None) -> tuple[str, str | None]:
     return (text or feature.text), (None if key == "default" else key)
 
 
+# layers whose features can inherit / grant score for the squishy logic
+# (verifymatch.js:758-821: geocoder_inherit_score / geocoder_grant_score)
+INHERIT_SCORE_LAYERS = {"place"}
+GRANT_SCORE_LAYERS = {"region", "country"}
+
+
+def _direction_effects(covers, relevance: float) -> float:
+    """Backy ×0.5 + direction bonus (verifymatch.js:847-933):
+    walk the matched covers in hierarchy order (fine→coarse); establish
+    the typed direction from the first pair of masks; each
+    order-contradicting cover contributes only half its relev; a
+    directioned match costs 0.01, refunded when it matches the expected
+    address order (ascending by default)."""
+    if len(covers) < 2:
+        return relevance
+    direction = None
+    lastmask = -1
+    lasttext = None
+    adj = 0.0
+    for k, e in enumerate(covers):
+        backy = False
+        if k > 0:
+            if direction is None:
+                direction = "ascending" if lastmask < e.pm.mask else "descending"
+            if e.pm.subquery != lasttext:
+                if direction == "ascending":
+                    backy = lastmask > e.pm.mask
+                else:
+                    backy = lastmask < e.pm.mask
+        if backy:
+            adj -= 0.5 * e.relev
+        lastmask = e.pm.mask
+        lasttext = e.pm.subquery
+    relevance = relevance + adj
+    if direction:
+        relevance -= 0.01
+        if direction == "ascending":  # default geocoder_address_order
+            relevance += 0.01
+    return max(relevance, 0.0)
+
+
+def _squishy_boost(index: IndexData, feature, ctx, covers) -> float:
+    """Score inheritance for nested identically-named features
+    ("new york, new york" — verifymatch.js:813-821, 938-965)."""
+    if feature.layer not in INHERIT_SCORE_LAYERS:
+        return 0.0
+    target = feature.text.lower()
+    matched_tmpids = {e.grid.tmpid for e in covers}
+    boost = 0.0
+    for parent in ctx:
+        if parent.layer not in GRANT_SCORE_LAYERS:
+            continue
+        prow = index.doc_index.get(parent.doc_id)
+        if prow is None:
+            continue
+        ptmpid = int(parent.idx) * TMPID_SHIFT + int(parent.fid)
+        if ptmpid not in matched_tmpids:
+            continue
+        if str(parent.text).lower() == target:
+            boost += max(float(parent.score), 0.0)
+    return boost
+
+
 def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
                 autocomplete: bool = True, types: list[str] | None = None,
                 fuzzy: bool = True, language: str | None = None,
@@ -548,8 +611,19 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
         seen_names.add(place_name)
 
         ghost = float(feature.score) < 0
-        relevance = round_to(st.relev, 6)
+        relevance = round_to(_direction_effects(covers, st.relev), 6)
         scoredist = top.grid.scoredist
+
+        # squishy: identically-named matched parent grants its score
+        squishy = _squishy_boost(index, feature, ctx, covers)
+        if squishy > 0:
+            boosted = min(float(feature.score) + squishy, index.max_score)
+            if proximity is not None:
+                scoredist = float(prox.scoredist(
+                    boosted, index.min_score, index.max_score,
+                    top.grid.distance, int(feature.zoom)))
+            else:
+                scoredist = scoredist + squishy
         composite = prox.relevance_score(
             relevance, scoredist if proximity else 1.0,
             address=matched_address if addr_number is not None else "n/a",
@@ -583,6 +657,18 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
             "matching_text": matching_text,
             "language": matched_lang,
         })
+
+    # ghost-vs-scored text dedup (D3, verifymatch.js:659-672): drop
+    # score<0 features when a non-ghost with identical text survived
+    scored_texts = {
+        r["place_name"].split(",")[0].strip().lower()
+        for r in results if r["score"] >= 0
+    }
+    results = [
+        r for r in results
+        if r["score"] >= 0
+        or r["place_name"].split(",")[0].strip().lower() not in scored_texts
+    ]
 
     # final deterministic sort (verifymatch.js:1003-1053 shape)
     results.sort(key=lambda r: (
