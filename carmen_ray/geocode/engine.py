@@ -529,6 +529,17 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
             pms.extend(phrasematch_query(index, swapped, autocomplete=autocomplete,
                                          weight_multiplier=0.99, seen=tried,
                                          address=addr["number"]))
+    # single-number prefix waffling (numTokenizePrefix, termops.js:917-943)
+    if autocomplete and len(tokens) == 1:
+        from ..text.termops import num_tokenize_prefix
+
+        for var in num_tokenize_prefix(tokens):
+            pms.extend(phrasematch_query(index, var, autocomplete=True,
+                                         seen=tried, address=tokens[0]))
+
+    # R2: single-char subqueries are noise against high-zoom indexes
+    # (phrasematch.js:385-402)
+    pms = [p for p in pms if not (len(p.subquery) == 1 and p.zoom >= 14)]
     if not pms:
         for hyp_tokens, penalty in query_hypotheses(index, tokens, fuzzy=False):
             if len(hyp_tokens) == len(tokens):

@@ -152,3 +152,23 @@ def test_num_tokenize_prefix():
     assert flat == ["##", "1#"]
     assert num_tokenize_prefix(["main"]) == []
     assert num_tokenize_prefix(["19", "x"]) == []
+
+
+def test_outlier_fences():
+    """A7 — indexdocs getNonOutlierBounds: the 5000 outlier in
+    [9,10,11,100,5000] is fenced out (the FIXTURES.md clamp case)."""
+    from carmen_ray.index.standardize import clamp_range, non_outlier_bounds
+
+    # a realistic cluster: 20 in-range numbers + one 5000 outlier (the
+    # percentile fences need enough mass to isolate the tail)
+    cluster = [str(2 * i + 1) for i in range(20)] + ["5000"]
+    bounds = non_outlier_bounds([cluster])
+    lower_limit, lower_bound, upper_limit, upper_bound, n_out = bounds
+    assert n_out >= 1
+    assert upper_bound is not None and upper_bound < 5000
+    lo, hi = clamp_range(1, 5000, bounds)
+    assert hi <= upper_bound
+    # clean clusters pass through untouched
+    clean = non_outlier_bounds([["1", "3", "5", "7", "9"]])
+    assert clean[4] == 0
+    assert clamp_range(1, 9, clean) == (1, 9)
