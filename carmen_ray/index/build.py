@@ -526,3 +526,85 @@ def build_index(docs_ds, freq_min_count: int = 1, config=None) -> CarmenIndex:
         max_score=max_score,
         layer_zooms=layer_zooms,
     )
+
+
+def build_index_streaming(docs_ds, out_dir: str, freq_min_count: int = 1,
+                          config=None) -> None:
+    """Fully streaming index build: every table lands as partitioned
+    parquet via Ray-native write_parquet sinks — nothing materializes on
+    the driver except the (capped) frequency map and scalar metadata.
+    This is the 100 TB shape; `build_index` is the compact in-memory
+    variant tests and the fused query path use.
+
+    Layout: {out}/features/, {out}/phrasegrid/, {out}/mediacells/
+    (part files per block) + index_meta.json. Resume with
+    sources/io.write_index/load_index for the lineage-tracked variant.
+    """
+    import json as _json
+    import os
+
+    parsed = docs_ds.map_batches(parse_docs_batch, batch_format="pyarrow")
+    parsed = parsed.materialize()  # block refs only; reused by branches
+
+    freq = build_frequency(parsed, min_count=freq_min_count, config=config)
+    max_score_row = parsed.max("score")
+    max_score = float(max_score_row if max_score_row is not None else 1.0)
+
+    feature_cols = [
+        "doc_id", "layer", "idx", "zoom", "fid", "text", "synonyms",
+        "langs_json", "score", "center_lon", "center_lat", "geometry_json",
+        "bbox_w", "bbox_s", "bbox_e", "bbox_n", "spans",
+        "addr_numbers_json", "addr_range_json", "intersections_json",
+    ]
+    os.makedirs(out_dir, exist_ok=True)
+    parsed.select_columns(feature_cols).write_parquet(f"{out_dir}/features")
+
+    phrase_grid = parsed.map_batches(
+        PhraseGen,
+        fn_constructor_kwargs={"freq": freq, "max_score": max_score, "config": config},
+        batch_format="pyarrow",
+        concurrency=4,
+    )
+    assign_phrase_ids(phrase_grid).write_parquet(f"{out_dir}/phrasegrid")
+
+    parsed.map_batches(media_cells_batch, batch_format="pyarrow").write_parquet(
+        f"{out_dir}/mediacells")
+
+    layer_zooms = {}
+    for row in parsed.select_columns(["layer", "zoom"]).take_all():
+        layer_zooms[row["layer"]] = int(row["zoom"])
+    with open(f"{out_dir}/index_meta.json", "w") as f:
+        _json.dump({"freq": freq, "max_score": max_score, "layer_zooms": layer_zooms}, f)
+
+
+def load_index_streaming(out_dir: str) -> "CarmenIndex":
+    """Load a streaming-built index directory into a compact CarmenIndex
+    (test-scale convenience; at scale, actors read their shard of the
+    parquet directly)."""
+    import glob
+    import json as _json
+
+    import pyarrow.parquet as _pq
+
+    with open(f"{out_dir}/index_meta.json") as f:
+        meta = _json.load(f)
+    feats = pa.concat_tables(
+        [_pq.read_table(p) for p in sorted(glob.glob(f"{out_dir}/features/*.parquet"))],
+        promote_options="permissive",
+    ).sort_by([("idx", "ascending"), ("fid", "ascending"), ("doc_id", "ascending")])
+    pg = pa.concat_tables(
+        [_pq.read_table(p) for p in sorted(glob.glob(f"{out_dir}/phrasegrid/*.parquet"))],
+        promote_options="permissive",
+    ).sort_by([
+        ("phrase", "ascending"), ("idx", "ascending"), ("fid", "ascending"),
+        ("x", "ascending"), ("y", "ascending"), ("lang_set", "ascending"),
+    ])
+    media = pa.concat_tables(
+        [_pq.read_table(p) for p in sorted(glob.glob(f"{out_dir}/mediacells/*.parquet"))],
+        promote_options="permissive",
+    )
+    return CarmenIndex(
+        features=feats, phrase_grid=pg, media_cells=media,
+        freq=meta["freq"], max_score=meta["max_score"],
+        layer_zooms=meta["layer_zooms"],
+    )

@@ -102,3 +102,32 @@ def test_resize_is_explicit_stub(ray_session):
 
     with pytest.raises(NotImplementedError):
         Resize()(fake_media_batch(["img://a"]))
+
+
+def test_streaming_build_matches_compact(tmp_path, ray_session):
+    """build_index_streaming (write_parquet sinks, no driver
+    materialization) produces the same index as the compact build."""
+    import ray.data as rd
+
+    from carmen_ray.geocode.engine import IndexData, forward_one
+    from carmen_ray.index.build import build_index, build_index_streaming, load_index_streaming
+    from carmen_ray.sources.synth import generate_corpus
+
+    tbl = generate_corpus(n_streets=20, n_pois=5)
+    compact = build_index(rd.from_arrow(tbl).repartition(2))
+    out = str(tmp_path / "sidx")
+    build_index_streaming(rd.from_arrow(tbl).repartition(2), out)
+    loaded = load_index_streaming(out)
+
+    assert loaded.features.num_rows == compact.features.num_rows
+    assert loaded.phrase_grid.num_rows == compact.phrase_grid.num_rows
+    assert loaded.max_score == compact.max_score
+
+    f = compact.features.to_pandas()
+    street = f[f.layer == "street"].iloc[0]
+    a = forward_one(IndexData(compact.features, compact.phrase_grid, compact.freq,
+                              compact.max_score, compact.layer_zooms), street.text)
+    b = forward_one(IndexData(loaded.features, loaded.phrase_grid, loaded.freq,
+                              loaded.max_score, loaded.layer_zooms), street.text)
+    assert [(r["feature_id"], r["relevance"]) for r in a] == \
+           [(r["feature_id"], r["relevance"]) for r in b]
