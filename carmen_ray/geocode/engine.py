@@ -534,8 +534,11 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
         from ..text.termops import num_tokenize_prefix
 
         for var in num_tokenize_prefix(tokens):
-            pms.extend(phrasematch_query(index, var, autocomplete=True,
-                                         seen=tried, address=tokens[0]))
+            partial_pms = phrasematch_query(index, var, autocomplete=True,
+                                            seen=tried, address=tokens[0])
+            for pm in partial_pms:
+                pm.partial_number = True
+            pms.extend(partial_pms)
 
     # R2: single-char subqueries are noise against high-zoom indexes
     # (phrasematch.js:385-402)
@@ -624,6 +627,10 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
         ghost = float(feature.score) < 0
         relevance = round_to(_direction_effects(covers, st.relev), 6)
         scoredist = top.grid.scoredist
+        # partial-number matches from address indexes get an artificial
+        # scoredist boost so they can surface (spatialmatch.js:198-204)
+        if any(e.pm.partial_number for e in covers):
+            scoredist *= 300
 
         # squishy: identically-named matched parent grants its score
         squishy = _squishy_boost(index, feature, ctx, covers)

@@ -116,3 +116,33 @@ def test_address_query_trailing_number(addr_index):
     hit = next((r for r in res if r["feature_id"] == doc.doc_id), None)
     assert hit is not None
     assert hit["address"] == "5"
+
+
+def test_autocomplete_prefix(addr_index):
+    """Autocomplete: a name prefix matches via the ender-prefix range
+    lookup (fuzzy-phrase prefix semantics)."""
+    from carmen_ray.geocode.engine import forward_one
+
+    idx, index = addr_index
+    f = idx.features.to_pandas()
+    street = f[f.layer == "street"].iloc[0]
+    word = street.text.split()[0]
+    res = forward_one(index, word[:-1], fuzzy=False)  # drop last char
+    assert res, "prefix query found nothing"
+    assert any(r["feature_id"] == street.doc_id or r["place_name"].split(",")[0].startswith(word[:-1])
+               for r in res)
+    # autocomplete off → prefix no longer matches
+    res_off = forward_one(index, word[:-1], fuzzy=False, autocomplete=False)
+    assert not any(r["place_name"].split(",")[0].startswith(word) for r in res_off)
+
+
+def test_partial_number_boost(addr_index):
+    """Single-number query: prefix-waffled address matches surface with
+    the ×300 scoredist boost (R4)."""
+    from carmen_ray.geocode.engine import forward_one
+
+    idx, index = addr_index
+    res = forward_one(index, "5")
+    addr_hits = [r for r in res if r["feature_id"].startswith("address.")]
+    if addr_hits:  # clusters index '#' for single digits
+        assert addr_hits[0]["scoredist"] > 0
