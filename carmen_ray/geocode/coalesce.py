@@ -81,6 +81,11 @@ class Stack:
         """Finest index first (the result feature is covers[0])."""
         return sorted(self.entries, key=lambda e: (-e.idx, e.pm.mask))
 
+    def covers_typed(self) -> list[StackEntry]:
+        """Query-typed order (lowest mask bit first) — the order carmen's
+        Rust coalesce returns entries in; drives direction dedup."""
+        return sorted(self.entries, key=lambda e: (e.pm.mask & -e.pm.mask, e.idx))
+
 
 def _aligned(ax: int, ay: int, az: int, bx: int, by: int, bz: int) -> bool:
     """Tile containment: equal when both scaled to the coarser zoom."""
@@ -159,13 +164,15 @@ def stack_and_coalesce(
 
     out.sort(key=_stack_sort_key)
 
-    # direction dedup (spatialmatch.js:53-80): one per tmpid per direction
+    # direction dedup (spatialmatch.js:53-80): one per tmpid per typed
+    # direction — covers in QUERY order ("address place region" =
+    # descending hierarchy typed first vs "region place address")
     done_asc: set[int] = set()
     done_desc: set[int] = set()
     done_single: set[int] = set()
     filtered: list[Stack] = []
     for st in out:
-        covers = st.covers()
+        covers = st.covers_typed()
         tmpid = covers[0].grid.tmpid
         if len(covers) > 1 and covers[0].idx > covers[1].idx:
             if tmpid not in done_desc:

@@ -578,9 +578,11 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
                 g.scoredist = g.score
 
     stacks = stack_and_coalesce(pms, query_len)
-    results = []
-    seen_names: set[str] = set()
-    seen_tmpid: set[int] = set()
+    # verify EVERY candidate stack and keep the best per feature — a
+    # feature can be reached by several mask assignments ("new york new
+    # york") and carmen scores them all, keeping the max
+    # (verifymatch.js loads all contexts, then sorts).
+    best_by_tmpid: dict[int, dict] = {}
     for st in stacks[: constants.VERIFYMATCH_STACK_LIMIT]:
         covers = st.covers()
         top = covers[0]
@@ -588,9 +590,6 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
         if frow is None:
             continue
         feature = index.feature_at(frow)
-        if top.grid.tmpid in seen_tmpid:
-            continue
-        seen_tmpid.add(top.grid.tmpid)
 
         ctx = _context_for(index, frow, int(feature.idx))
 
@@ -620,9 +619,6 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
         matching_text = None
         if matched_sub and matched_sub not in display.lower():
             matching_text = matched_sub
-        if place_name in seen_names:
-            continue
-        seen_names.add(place_name)
 
         ghost = float(feature.score) < 0
         relevance = round_to(_direction_effects(covers, st.relev), 6)
@@ -652,7 +648,7 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
             lon, lat = float(feature.center_lon), float(feature.center_lat)
         zoom = int(feature.zoom)
         tx, ty = lonlat_to_tile(lon, lat, zoom)
-        results.append({
+        candidate = {
             "feature_id": feature.doc_id,
             "relevance": relevance,
             "composite": composite,
@@ -674,7 +670,22 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
             "routable_lat": routable[1] if routable else None,
             "matching_text": matching_text,
             "language": matched_lang,
-        })
+            "place_name": place_name,
+        }
+        prev = best_by_tmpid.get(top.grid.tmpid)
+        if prev is None or (candidate["relevance"], candidate["composite"]) > (
+                prev["relevance"], prev["composite"]):
+            best_by_tmpid[top.grid.tmpid] = candidate
+
+    # place-name dedup (D2): best candidate per display name
+    results = []
+    seen_names: set[str] = set()
+    for cand in sorted(best_by_tmpid.values(), key=lambda r: (
+            -r["relevance"], -r["composite"], -r["scoredist"], r["idx"], r["fid"])):
+        if cand["place_name"] in seen_names:
+            continue
+        seen_names.add(cand["place_name"])
+        results.append(cand)
 
     # ghost-vs-scored text dedup (D3, verifymatch.js:659-672): drop
     # score<0 features when a non-ghost with identical text survived
