@@ -230,14 +230,11 @@ class VerifyStage:
         for qid, g in df.groupby("query_id", sort=False):
             g = g.sort_values(["relev", "scoredist0"], ascending=[False, False], kind="mergesort")
             lim = int(g["limit"].iloc[0])
-            results = []
-            seen_names: set[str] = set()
-            seen_tmpid: set[int] = set()
+            best: dict[int, dict] = {}
             for r in g.itertuples():
                 frow = self.index.row_by_tmpid(int(r.top_tmpid))
-                if frow is None or int(r.top_tmpid) in seen_tmpid:
+                if frow is None:
                     continue
-                seen_tmpid.add(int(r.top_tmpid))
                 feature = self.index.feature_at(frow)
                 ctx = _context_for(self.index, frow, int(feature.idx))
                 addr_number = r.address if isinstance(r.address, str) else None
@@ -257,9 +254,6 @@ class VerifyStage:
                     scoredist = float(feature.score)
                 name_prefix = f"{matched_address} " if matched_address else ""
                 place_name = name_prefix + ", ".join([feature.text] + [c.text for c in ctx])
-                if place_name in seen_names:
-                    continue
-                seen_names.add(place_name)
                 relevance = round_to(float(r.relev), 6)
                 ghost = float(feature.score) < 0
                 composite = prox.relevance_score(
@@ -267,7 +261,7 @@ class VerifyStage:
                     address=matched_address if addr_number else "n/a", ghost=ghost)
                 zoom = int(feature.zoom)
                 tx, ty = lonlat_to_tile(lon, lat, zoom)
-                results.append({
+                cand = ({
                     "feature_id": feature.doc_id, "relevance": relevance,
                     "composite": composite, "place_name": place_name,
                     "center_lon": lon, "center_lat": lat,
@@ -279,7 +273,21 @@ class VerifyStage:
                     "idx": int(feature.idx), "fid": int(feature.fid),
                     "address": matched_address,
                     "routable_lon": None, "routable_lat": None,
+                    "place_name": place_name,
                 })
+                prev = best.get(int(r.top_tmpid))
+                if prev is None or (cand["relevance"], cand["composite"]) > (
+                        prev["relevance"], prev["composite"]):
+                    best[int(r.top_tmpid)] = cand
+            # place-name dedup after best-per-feature (matches fused path)
+            results = []
+            seen_names: set[str] = set()
+            for cand in sorted(best.values(), key=lambda x: (
+                    -x["relevance"], -x["composite"], -x["scoredist"], x["idx"], x["fid"])):
+                if cand["place_name"] in seen_names:
+                    continue
+                seen_names.add(cand["place_name"])
+                results.append(cand)
             results.sort(key=lambda x: (
                 -x["relevance"], -x["composite"], -x["scoredist"], x["idx"], x["fid"]))
             for rank, res in enumerate(results[:lim]):

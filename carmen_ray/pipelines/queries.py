@@ -612,3 +612,54 @@ ORACLES.update({
     "events_asof": SQL_EVENTS_ASOF,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
 })
+
+
+def q_events_topk_per_type(sf_dir: str):
+    """Per-group top-k (K1's per-query top-k shape as a generic op):
+    top-3 events by value per event_type, exact ties broken by event_id.
+    Coarse-shard shuffle + per-batch pre-pruning (each batch keeps only
+    its local top-k per key before the shuffle)."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["value", "event_id"], ascending=[False, True])
+        return df.groupby("event_type", sort=False).head(3)
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in group.groupby("event_type", sort=False):
+            g = g.sort_values(["value", "event_id"], ascending=[False, True]).head(3).copy()
+            g["rank"] = range(1, len(g) + 1)
+            out.append(g)
+        return pd.concat(out, ignore_index=True) if out else pd.DataFrame()
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["shard"] = (
+            pd.util.hash_pandas_object(df["event_type"], index=False).to_numpy() % 8
+        ).astype("int32")
+        return df
+
+    return (
+        ds.map_batches(local_topk, batch_format="pandas")
+        .map_batches(add_shard, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(final_topk, batch_format="pandas")
+        .map_batches(lambda df: df.drop(columns=["shard"], errors="ignore")
+                     .astype({"rank": "int64"}), batch_format="pandas")
+    )
+
+
+SQL_EVENTS_TOPK_PER_TYPE = """
+SELECT event_id, event_type, value, CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT event_id, event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id ASC) AS rn
+  FROM events
+)
+WHERE rn <= 3
+"""
+
+QUERIES["events_topk_per_type"] = q_events_topk_per_type
+ORACLES["events_topk_per_type"] = SQL_EVENTS_TOPK_PER_TYPE
