@@ -465,7 +465,8 @@ def _squishy_boost(index: IndexData, feature, ctx, covers) -> float:
 def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
                 autocomplete: bool = True, types: list[str] | None = None,
                 fuzzy: bool = True, language: str | None = None,
-                language_mode: str | None = None) -> list[dict]:
+                language_mode: str | None = None,
+                stacks: list[str] | None = None) -> list[dict]:
     from ..text.token_replacer import replace_global_tokens
 
     if index.global_rules:
@@ -577,13 +578,13 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
                 g.distance = 0.0
                 g.scoredist = g.score
 
-    stacks = stack_and_coalesce(pms, query_len)
+    cand_stacks = stack_and_coalesce(pms, query_len)
     # verify EVERY candidate stack and keep the best per feature — a
     # feature can be reached by several mask assignments ("new york new
     # york") and carmen scores them all, keeping the max
     # (verifymatch.js loads all contexts, then sorts).
     best_by_tmpid: dict[int, dict] = {}
-    for st in stacks[: constants.VERIFYMATCH_STACK_LIMIT]:
+    for st in cand_stacks[: constants.VERIFYMATCH_STACK_LIMIT]:
         covers = st.covers()
         top = covers[0]
         frow = index.row_by_tmpid(top.grid.tmpid)
@@ -603,6 +604,18 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
         if resolved and resolved.get("line"):
             routable = nearest_point_on_multiline(
                 resolved["lon"], resolved["lat"], [resolved["line"]])
+
+        # stacks filter (R11, filter-sources.js geocoder_stack): keep
+        # only features whose containing country matches a requested
+        # stack (by country doc_id or name)
+        if stacks:
+            country = next((c for c in ctx if c.layer == "country"), None)
+            if feature.layer == "country":
+                country = feature
+            if country is None or (
+                country.doc_id not in stacks and str(country.text) not in stacks
+            ):
+                continue
 
         display, matched_lang = _display_text(feature, language)
         if language_mode == "strict" and language and matched_lang is None:

@@ -92,3 +92,19 @@ def test_ghost_text_dedup(ghost_index):
     ids = [r["feature_id"] for r in res]
     assert scored_doc in ids
     assert "poi.900" not in ids, "ghost with identical text must be dropped"
+
+
+def test_stacks_filter(ghost_index):
+    """R11: the stacks option restricts results to features inside the
+    named country."""
+    from carmen_ray.geocode.engine import IndexData, forward_one
+
+    idx, scored_doc, text = ghost_index
+    index = IndexData(idx.features, idx.phrase_grid, idx.freq, idx.max_score, idx.layer_zooms)
+    base = forward_one(index, text)
+    assert base
+    country = base[0]["context"][-1]
+    keep = forward_one(index, text, stacks=[country])
+    assert keep and all(r["context"][-1] == country or r["feature_id"] == country for r in keep)
+    none = forward_one(index, text, stacks=["country.999"])
+    assert none == []
