@@ -153,6 +153,14 @@ def stack_and_coalesce(
 
     try_extend(Stack(), 0)
 
+    # STACKABLE_LIMIT pre-scoring cap (constants.js:20-21): only the best
+    # raw-relev partials proceed to rebalance — hot duplicate names can
+    # produce hundreds of single-cover partials per query otherwise
+    if len(partials) > constants.STACKABLE_LIMIT:
+        partials.sort(key=lambda s: (
+            -s.relev, -s.entries[0].grid.scoredist, s.entries[0].grid.tmpid))
+        partials = partials[: constants.STACKABLE_LIMIT]
+
     # keep only maximal-quality stacks: rebalance + gap penalty
     out: list[Stack] = []
     for st in partials:

@@ -108,6 +108,11 @@ class IndexData:
             (int(ix), int(fid)): i
             for i, (ix, fid) in enumerate(zip(self._f["idx"], self._f["fid"]))
         }
+        # vectorized tmpid → row lookup (sorted array + searchsorted)
+        tmpids = self._f["idx"].astype(np.int64) * TMPID_SHIFT + self._f["fid"].astype(np.int64)
+        order = np.argsort(tmpids, kind="mergesort")
+        self._tmpids_sorted = tmpids[order]
+        self._tmpid_rows = order
         order = sorted(set(zip(f["layer"], f["idx"])), key=lambda t: t[1])
         self.layers = [l for l, _ in order]
         self.layer_rows = {l: np.flatnonzero(self._f["layer"] == l) for l in self.layers}
@@ -462,6 +467,41 @@ def _squishy_boost(index: IndexData, feature, ctx, covers) -> float:
     return boost
 
 
+def attach_proximity(index: IndexData, pms, proximity) -> None:
+    """Vectorized distance + scoredist for every grid of every pm."""
+    px, py = float(proximity[0]), float(proximity[1])
+    for pm in pms:
+        n = len(pm.grids)
+        if n == 0:
+            continue
+        tmpids = np.fromiter((g.tmpid for g in pm.grids), dtype=np.int64, count=n)
+        pos = np.searchsorted(index._tmpids_sorted, tmpids)
+        pos = np.clip(pos, 0, len(index._tmpids_sorted) - 1)
+        found = index._tmpids_sorted[pos] == tmpids
+        rows = index._tmpid_rows[pos]
+        clon = np.where(found, index._f["center_lon"][rows], 0.0)
+        clat = np.where(found, index._f["center_lat"][rows], 0.0)
+        center_d = prox.haversine_miles(px, py, clon, clat)
+        # furthest cover corner bound (vectorized over the 4 corners)
+        xs = np.fromiter((g.x for g in pm.grids), dtype=np.float64, count=n)
+        ys = np.fromiter((g.y for g in pm.grids), dtype=np.float64, count=n)
+        nz = 2.0 ** pm.zoom
+        max_corner = np.zeros(n)
+        for dx in (0.0, 1.0):
+            for dy in (0.0, 1.0):
+                lon = (xs + dx) / nz * 360.0 - 180.0
+                lat = np.degrees(np.arctan(np.sinh(np.pi * (1 - 2 * (ys + dy) / nz))))
+                d = prox.haversine_miles(px, py, lon, lat)
+                max_corner = np.maximum(max_corner, d)
+        dist = np.where(found, np.minimum(center_d, max_corner), 0.0)
+        sd = prox.scoredist(
+            np.fromiter((g.score for g in pm.grids), dtype=np.float64, count=n),
+            index.min_score, index.max_score, dist, pm.zoom)
+        for i, g in enumerate(pm.grids):
+            g.distance = float(dist[i])
+            g.scoredist = float(sd[i])
+
+
 def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
                 autocomplete: bool = True, types: list[str] | None = None,
                 fuzzy: bool = True, language: str | None = None,
@@ -561,20 +601,14 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
         return []
 
     # proximity: distance + scoredist per grid before stacking (the
-    # Rust stage does this; ordering inside coalesce depends on it)
-    f = index._f
-    for pm in pms:
-        for g in pm.grids:
-            if proximity is not None:
-                row = index.row_by_tmpid(g.tmpid)
-                if row is not None:
-                    center = (float(f["center_lon"][row]), float(f["center_lat"][row]))
-                    g.distance = prox.distance(proximity, center, g.x, g.y, pm.zoom)
-                else:
-                    g.distance = 0.0
-                g.scoredist = float(prox.scoredist(
-                    g.score, index.min_score, index.max_score, g.distance, pm.zoom))
-            else:
+    # Rust stage does this; ordering inside coalesce depends on it) —
+    # vectorized per phrasematch (one haversine batch instead of 5×N
+    # scalar calls; matters for hot names with hundreds of grids)
+    if proximity is not None:
+        attach_proximity(index, pms, proximity)
+    else:
+        for pm in pms:
+            for g in pm.grids:
                 g.distance = 0.0
                 g.scoredist = g.score
 
