@@ -1,0 +1,97 @@
+"""E2E acceptance fixture: proximity vs score ordering for
+identically-named features across layers — the geocode-unit.proximity /
+scoredist shape ("kansas" the region vs "kansas" the city)."""
+
+import json
+
+import pyarrow as pa
+import pytest
+
+from carmen_ray.sources.synth import SPAN_TYPE, _mk_spans
+
+
+def _doc(doc_id, text, geom, center, score):
+    return doc_id, _mk_spans([
+        ("text", text, ""),
+        ("geom", json.dumps(geom), ""),
+        ("center", f"{center[0]},{center[1]}", ""),
+        ("score", str(score), ""),
+    ])
+
+
+@pytest.fixture(scope="module")
+def kansas_index(ray_session):
+    import ray.data as rd
+
+    from carmen_ray.index.build import build_index
+
+    def poly(w, s, e, n):
+        return {"type": "Polygon", "coordinates": [[[w, s], [e, s], [e, n], [w, n], [w, s]]]}
+
+    rows = [
+        _doc("country.1", "united states", poly(-130, 20, -60, 55), (-95, 38), 1000),
+        # the region: big score, big polygon
+        _doc("region.1", "kansas", poly(-102, 37, -94.6, 40), (-98.3, 38.5), 800),
+        _doc("region.2", "eastland", poly(-80, 35, -70, 42), (-75, 38.5), 750),
+        # the identically-named city ~1,700 mi east of the region — far
+        # enough that the z≤6 gaussian (radius 1800 mi) decays hard
+        _doc("place.1", "kansas", poly(-75.2, 38.9, -74.8, 39.3), (-75.0, 39.1), 200),
+        # a distractor place
+        _doc("place.2", "topeka", poly(-95.8, 38.9, -95.5, 39.1), (-95.68, 39.05), 150),
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.string()),
+        "spans": pa.array([r[1] for r in rows], type=pa.list_(SPAN_TYPE)),
+    })
+    return build_index(rd.from_arrow(tbl).repartition(1))
+
+
+def _index(idx):
+    from carmen_ray.geocode.engine import IndexData
+
+    return IndexData(idx.features, idx.phrase_grid, idx.freq, idx.max_score, idx.layer_zooms)
+
+
+def test_no_proximity_score_wins(kansas_index):
+    """Without proximity the high-scored region outranks the city."""
+    from carmen_ray.geocode.engine import forward_one
+
+    res = forward_one(_index(kansas_index), "kansas")
+    assert res[0]["feature_id"] == "region.1"
+    assert any(r["feature_id"] == "place.1" for r in res)
+
+
+def test_proximity_near_city_flips(kansas_index):
+    """Proximity next to the city pulls the city to rank 0
+    (scoredist gaussian decay beats raw score)."""
+    from carmen_ray.geocode.engine import forward_one
+
+    res = forward_one(_index(kansas_index), "kansas", proximity=(-75.0, 39.1))
+    assert res[0]["feature_id"] == "place.1"
+    # both candidates still present, same textual relevance
+    ids = {r["feature_id"] for r in res}
+    assert "region.1" in ids
+    relevs = {r["feature_id"]: r["relevance"] for r in res}
+    assert relevs["place.1"] == relevs["region.1"]
+
+
+def test_proximity_far_keeps_region(kansas_index):
+    """Proximity far from both (east coast) keeps the score order."""
+    from carmen_ray.geocode.engine import forward_one
+
+    res = forward_one(_index(kansas_index), "kansas", proximity=(-98.3, 38.5))
+    assert res[0]["feature_id"] == "region.1"
+
+
+def test_cell_assignments_stable(kansas_index):
+    """Tile/H3/S2 assignments are deterministic and zoom-consistent."""
+    from carmen_ray.geocode.engine import forward_one
+    from carmen_ray.geom.tile import parse_zxy
+
+    res = forward_one(_index(kansas_index), "kansas")
+    for r in res:
+        z, x, y = parse_zxy(r["cell_zxy"])
+        assert 0 <= x < 2 ** z and 0 <= y < 2 ** z
+        assert r["s2_cell"] > 0 and r["h3_r7"] > 0
+    res2 = forward_one(_index(kansas_index), "kansas")
+    assert [r["cell_zxy"] for r in res] == [r["cell_zxy"] for r in res2]

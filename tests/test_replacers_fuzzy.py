@@ -137,3 +137,56 @@ def test_dl_distance():
     assert dl_distance("abc", "acb", 1) == 1  # transposition
     assert dl_distance("abc", "ab", 1) == 1
     assert dl_distance("abc", "xyz", 1) > 1
+
+
+def test_replace_token_complex_parity():
+    """token.replaceToken.test.js:229-256 — regex rules with
+    skipDiacriticStripping / spanBoundaries / literal multiword."""
+    from carmen_ray.text.token_replacer import create_complex_replacer, replace_token
+
+    replacer = create_complex_replacer([
+        {"from": "([^ ]+)(strasse|str|straße)",
+         "to": {"text": "$1 str", "skipDiacriticStripping": True,
+                "spanBoundaries": 0, "regex": True}},
+        {"from": "Suite [0-9]+", "to": {"text": "", "spanBoundaries": 1, "regex": True}},
+        {"from": "Lot [0-9]+", "to": {"text": "", "regex": True}},
+        {"from": "Zone d'activité", "to": "Za"},
+    ])
+
+    def rt(q):
+        return replace_token(replacer, tokenize(q))
+
+    assert rt("Talstrasse").tokens == ["tal str"]
+    assert rt("Talstraße").tokens == ["tal str"]
+    assert rt("Talstr").tokens == ["tal str"]
+    assert rt("Talstrasse 3-5").tokens == ["tal str", "3-5"]
+    assert rt("Zone d'activité Bourmicht").tokens == ["za", "", "bourmicht"]
+
+
+def test_enumerate_parity_fargo():
+    """token.replaceToken.test.js:294-317 — permutation set and order."""
+    from carmen_ray.text.token_replacer import create_complex_replacer, enumerate_token_replacements
+
+    replacer = create_complex_replacer({"San Francisco": "sf", "Northeast": "ne"})
+    out = enumerate_token_replacements(replacer, tokenize("fargo street northeast, san francisco"))
+    assert [v["phrase"] for v in out] == [
+        "fargo street ne sf",
+        "fargo street ne san francisco",
+        "fargo street northeast sf",
+        "fargo street northeast san francisco",
+    ]
+    out2 = enumerate_token_replacements(replacer, tokenize("fargo street ne, sf"))
+    assert [v["phrase"] for v in out2] == ["fargo street ne sf"]
+
+
+def test_enumerate_parity_inverse():
+    """token.replaceToken.test.js:431-470 — includeUnambiguous inverses."""
+    from carmen_ray.text.token_replacer import create_complex_replacer, enumerate_token_replacements
+
+    replacer = create_complex_replacer({"San Francisco": "sf", "Northeast": "ne"},
+                                       include_unambiguous=True)
+    out = enumerate_token_replacements(replacer, tokenize("fargo street ne, sf"))
+    phrases = [v["phrase"] for v in out]
+    assert phrases[0] == "fargo street ne sf"
+    assert "fargo street northeast san francisco" in phrases
+    assert len(phrases) == 4
