@@ -51,13 +51,14 @@ class CosineTopK:
         })
 
 
-def knn_brute(ds, query_vec, k: int = 10, id_col: str = "vec_id", col: str = "embedding"):
+def knn_brute(ds, query_vec, k: int = 10, id_col: str = "vec_id", col: str = "embedding",
+              concurrency: int = 2):
     """Global cosine top-k: per-batch partials → global sort+limit."""
     partials = ds.map_batches(
         CosineTopK,
         fn_constructor_kwargs={"query_vec": query_vec, "k": k, "id_col": id_col, "col": col},
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=concurrency,
     )
     return partials.sort(["cosine_sim", id_col], descending=[True, False]).limit(k)
 
@@ -80,23 +81,30 @@ class HyperplaneLSH:
         return batch.append_column("lsh_bucket", pa.array(bucket, type=pa.uint64()))
 
 
-def knn_lsh_bucketed(ds, query_vec, dim: int, k: int = 10, bits: int = 8,
-                     id_col: str = "vec_id", col: str = "embedding"):
-    """Scale path: restrict the scan to the query's LSH bucket (and its
-    1-bit-flip neighbors), then exact cosine inside. Recall<1 by design;
-    the bench compares it against knn_brute."""
+def knn_lsh_bucketed(ds, query_vec, dim: int, k: int = 10, bits: int = 6,
+                     id_col: str = "vec_id", col: str = "embedding",
+                     concurrency: int = 2, probe_bits: int = 2):
+    """Scale path: restrict the scan to the query's LSH bucket plus all
+    buckets within `probe_bits` hamming flips (multi-probe LSH), then
+    exact cosine inside. Recall<1 by design; the recall test pins the
+    floor against knn_brute. Tune bits up / probe_bits down as the
+    corpus grows (bucket occupancy ∝ n / 2^bits)."""
     q = np.asarray(query_vec, dtype=np.float32)
     hasher = HyperplaneLSH(dim=dim, bits=bits)
     q_proj = (q @ hasher.planes) > 0
     powers = (1 << np.arange(bits, dtype=np.uint64))
     q_bucket = int((q_proj.astype(np.uint64) * powers).sum())
-    near_buckets = {q_bucket} | {q_bucket ^ (1 << b) for b in range(bits)}
+    near_buckets = {q_bucket}
+    frontier = {q_bucket}
+    for _ in range(probe_bits):
+        frontier = {b ^ (1 << i) for b in frontier for i in range(bits)}
+        near_buckets |= frontier
 
     with_buckets = ds.map_batches(
         HyperplaneLSH,
         fn_constructor_kwargs={"dim": dim, "bits": bits, "col": col},
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=concurrency,
     )
     filtered = with_buckets.map_batches(
         lambda b: b.filter(
@@ -104,7 +112,8 @@ def knn_lsh_bucketed(ds, query_vec, dim: int, k: int = 10, bits: int = 8,
         ),
         batch_format="pyarrow",
     )
-    return knn_brute(filtered, query_vec, k=k, id_col=id_col, col=col)
+    return knn_brute(filtered, query_vec, k=k, id_col=id_col, col=col,
+                     concurrency=concurrency)
 
 
 def pairwise_cosine_dedup(ds, threshold: float = 0.95, dim: int = 32,

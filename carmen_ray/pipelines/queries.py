@@ -663,3 +663,16 @@ WHERE rn <= 3
 
 QUERIES["events_topk_per_type"] = q_events_topk_per_type
 ORACLES["events_topk_per_type"] = SQL_EVENTS_TOPK_PER_TYPE
+
+
+def q_geocode_join(sf_dir: str):
+    """The flagship geocode-join as a registry entry (rows-only: ranked
+    geocode output is not SQL-expressible): deterministic corpus →
+    index build → mixed forward/proximity/reverse/id query batch →
+    ranked results."""
+    from .flagship import flagship
+
+    return flagship(sf_dir, concurrency=2, n_queries=400)
+
+
+QUERIES["geocode_join"] = q_geocode_join

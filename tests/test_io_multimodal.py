@@ -131,3 +131,29 @@ def test_streaming_build_matches_compact(tmp_path, ray_session):
                               loaded.max_score, loaded.layer_zooms), street.text)
     assert [(r["feature_id"], r["relevance"]) for r in a] == \
            [(r["feature_id"], r["relevance"]) for r in b]
+
+
+def test_knn_lsh_recall(ray_session):
+    """LSH-bucketed kNN recalls most of the brute-force top-10 on the
+    real embeddings table (recall<1 by design; must be substantial)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from carmen_ray.ops.similarity import knn_brute, knn_lsh_bucketed
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qvec = np.asarray(t["embedding"].to_pylist()[0], dtype=np.float32)
+    ds = rd.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    # concurrency=1: the 4-CPU test session can't host two 2-actor
+    # pools plus tasks without starving the executor
+    exact = set(knn_brute(ds, qvec, k=10, concurrency=1).to_pandas()["vec_id"])
+    approx = set(
+        knn_lsh_bucketed(
+            rd.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]),
+            qvec, dim=len(qvec), k=10, concurrency=1,
+        ).to_pandas()["vec_id"]
+    )
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
