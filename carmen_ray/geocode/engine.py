@@ -506,7 +506,8 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
                 autocomplete: bool = True, types: list[str] | None = None,
                 fuzzy: bool = True, language: str | None = None,
                 language_mode: str | None = None,
-                stacks: list[str] | None = None) -> list[dict]:
+                stacks: list[str] | None = None,
+                bbox: list[float] | None = None) -> list[dict]:
     from ..text.token_replacer import replace_global_tokens
 
     if index.global_rules:
@@ -638,6 +639,14 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
         if resolved and resolved.get("line"):
             routable = nearest_point_on_multiline(
                 resolved["lon"], resolved["lat"], [resolved["line"]])
+
+        # bbox option (geocode.js options.bbox; AM-crossing supported):
+        # drop features whose center falls outside the requested box
+        if bbox is not None:
+            from ..util.bbox import am_inside
+
+            if not am_inside((float(feature.center_lon), float(feature.center_lat)), bbox):
+                continue
 
         # stacks filter (R11, filter-sources.js geocoder_stack): keep
         # only features whose containing country matches a requested

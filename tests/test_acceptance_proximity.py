@@ -95,3 +95,15 @@ def test_cell_assignments_stable(kansas_index):
         assert r["s2_cell"] > 0 and r["h3_r7"] > 0
     res2 = forward_one(_index(kansas_index), "kansas")
     assert [r["cell_zxy"] for r in res] == [r["cell_zxy"] for r in res2]
+
+
+def test_bbox_filter(kansas_index):
+    """options.bbox drops out-of-box results (geocode.js bbox filter)."""
+    from carmen_ray.geocode.engine import forward_one
+
+    # box around the eastern city only
+    res = forward_one(_index(kansas_index), "kansas", bbox=[-76, 38, -74, 40])
+    assert res and all(r["feature_id"] == "place.1" for r in res)
+    # AM-crossing box that contains neither
+    res2 = forward_one(_index(kansas_index), "kansas", bbox=[170, -10, -170, 10])
+    assert res2 == []
