@@ -1,0 +1,71 @@
+"""`ray job submit` entrypoint: batch geocode a query table against a
+built index.
+
+    ray job submit --working-dir . -- \
+        python jobs/geocode_job.py --index /data/index \
+            --queries /data/queries.parquet --out /data/results
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True, help="dir from build_index_job / Geocoder.save")
+    ap.add_argument("--queries", default=None, help="parquet of query rows; default: derived mix")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--concurrency", type=int, default=8)
+    ap.add_argument("--num-cpus", type=int, default=None, help="local mode only")
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        if args.num_cpus:
+            ray.init(address="local", num_cpus=args.num_cpus,
+                     include_dashboard=False, logging_level="ERROR")
+        else:
+            ray.init(logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import ray.data as rd
+
+    from carmen_ray.geocode.engine import forward_geocode_ds
+    from carmen_ray.index.build import load_index_streaming
+    from carmen_ray.pipelines.flagship import make_queries
+
+    index = load_index_streaming(args.index)
+    if args.queries:
+        qds = rd.read_parquet(args.queries)
+        n = qds.count()
+    else:
+        q = make_queries(index)
+        n = q.num_rows
+        qds = rd.from_arrow(q).repartition(max(2, args.concurrency) * 2)
+
+    t0 = time.time()
+    results = forward_geocode_ds(qds, index, concurrency=args.concurrency)
+    results.write_parquet(args.out)
+    wall = time.time() - t0
+    print(json.dumps({
+        "queries": n,
+        "out": args.out,
+        "wall_s": round(wall, 2),
+        "queries_per_s": round(n / wall, 1),
+    }))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
