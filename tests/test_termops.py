@@ -172,3 +172,60 @@ def test_outlier_fences():
     clean = non_outlier_bounds([["1", "3", "5", "7", "9"]])
     assert clean[4] == 0
     assert clamp_range(1, 9, clean) == (1, 9)
+
+
+def test_permutations_continuous_parity():
+    """termops.permutations.test.js:10-38 — exact continuous-window
+    enumeration order."""
+    from carmen_ray.text.termops import permutations
+
+    def toks(terms, **kw):
+        return [p.tokens for p in permutations(terms, **kw)]
+
+    assert toks(["a", "b", "c", "d"]) == [
+        ["a", "b", "c", "d"],
+        ["a", "b", "c"], ["b", "c", "d"],
+        ["a", "b"], ["b", "c"], ["c", "d"],
+        ["a"], ["b"], ["c"], ["d"],
+    ]
+    assert toks(["a", "b", "c"]) == [
+        ["a", "b", "c"], ["a", "b"], ["b", "c"], ["a"], ["b"], ["c"],
+    ]
+    assert toks(["a", "b"]) == [["a", "b"], ["a"], ["b"]]
+    assert toks(["a"]) == [["a"]]
+
+
+def test_permutations_address_swap_parity():
+    """termops.permutations.test.js:39-63 — trailing/middle numToken
+    swaps to the leading position."""
+    from carmen_ray.text.termops import permutations
+
+    def toks(terms, pos):
+        return [p.tokens for p in permutations(
+            terms, address_position=pos, address_number="200")]
+
+    assert toks(["2##", "b", "c"], 0) == [
+        ["2##", "b", "c"], ["2##", "b"], ["b", "c"], ["2##"], ["b"], ["c"],
+    ]
+    assert toks(["a", "b", "2##"], 2) == [
+        ["2##", "a", "b"], ["a", "b"], ["2##", "b"], ["a"], ["b"], ["2##"],
+    ]
+    assert toks(["a", "2##", "c"], 1) == [
+        ["a", "2##", "c"], ["2##", "a"], ["2##", "c"], ["a"], ["2##"], ["c"],
+    ]
+
+
+def test_permutations_props_parity():
+    """termops.permutations.test.js:66-80 — ender/relev/mask."""
+    from carmen_ray.text.termops import permutations
+
+    perms = permutations(["a", "b", "c", "d"], [0.1, 0.1, 0.2, 0.6])
+    assert perms[0].tokens == ["a", "b", "c", "d"]
+    assert perms[0].ender is True
+    assert perms[0].relev == 1
+    assert bin(perms[0].mask) == "0b1111"
+    assert perms[1].tokens == ["a", "b", "c"]
+    assert perms[1].ender is False
+    assert perms[1].relev == 0.4
+    assert bin(perms[1].mask) == "0b111"
+    assert perms[2].tokens == ["b", "c", "d"]
