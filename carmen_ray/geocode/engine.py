@@ -507,7 +507,8 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
                 fuzzy: bool = True, language: str | None = None,
                 language_mode: str | None = None,
                 stacks: list[str] | None = None,
-                bbox: list[float] | None = None) -> list[dict]:
+                bbox: list[float] | None = None,
+                allow_dupes: bool = False) -> list[dict]:
     from ..text.token_replacer import replace_global_tokens
 
     if index.global_rules:
@@ -684,6 +685,14 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
         if any(e.pm.partial_number for e in covers):
             scoredist *= 300
 
+        # per-feature proximity_radius override (proximity.js:95-132
+        # `radius` param; F2 schema column)
+        feat_radius = float(getattr(feature, "proximity_radius", 0.0) or 0.0) or None
+        if proximity is not None and feat_radius:
+            scoredist = float(prox.scoredist(
+                float(feature.score), index.min_score, index.max_score,
+                top.grid.distance, int(feature.zoom), radius=feat_radius))
+
         # squishy: identically-named matched parent grants its score
         squishy = _squishy_boost(index, feature, ctx, covers)
         if squishy > 0:
@@ -691,7 +700,7 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
             if proximity is not None:
                 scoredist = float(prox.scoredist(
                     boosted, index.min_score, index.max_score,
-                    top.grid.distance, int(feature.zoom)))
+                    top.grid.distance, int(feature.zoom), radius=feat_radius))
             else:
                 scoredist = scoredist + squishy
         composite = prox.relevance_score(
@@ -738,9 +747,10 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
     seen_names: set[str] = set()
     for cand in sorted(best_by_tmpid.values(), key=lambda r: (
             -r["relevance"], -r["composite"], -r["scoredist"], r["idx"], r["fid"])):
-        if cand["place_name"] in seen_names:
-            continue
-        seen_names.add(cand["place_name"])
+        if not allow_dupes:
+            if cand["place_name"] in seen_names:
+                continue
+            seen_names.add(cand["place_name"])
         results.append(cand)
 
     # ghost-vs-scored text dedup (D3, verifymatch.js:659-672): drop

@@ -73,7 +73,7 @@ def parse_docs_batch(batch: pa.Table) -> pa.Table:
         "bbox_w": [], "bbox_s": [], "bbox_e": [], "bbox_n": [],
         "covers_x": [], "covers_y": [], "media_refs": [], "spans": [],
         "addr_numbers_json": [], "addr_range_json": [],
-        "intersections_json": [],
+        "intersections_json": [], "proximity_radius": [],
     }
 
     for doc_id, spans in zip(doc_ids, spans_col):
@@ -89,6 +89,7 @@ def parse_docs_batch(batch: pa.Table) -> pa.Table:
         geom, center = None, None
         addr_numbers, addr_range = None, None
         intersections = []
+        prox_radius = 0.0
         for s in sorted(spans, key=lambda s: s["offset"]):
             k = s["kind"]
             if k == "text" and not text:
@@ -112,6 +113,8 @@ def parse_docs_batch(batch: pa.Table) -> pa.Table:
                 addr_range = json.loads(s["text"])
             elif k == "intersection":
                 intersections.append(s["text"])
+            elif k == "proximity_radius":
+                prox_radius = float(s["text"])
 
         if geom is None and center is not None:
             geom = {"type": "Point", "coordinates": [center[0], center[1]]}
@@ -145,6 +148,7 @@ def parse_docs_batch(batch: pa.Table) -> pa.Table:
         out["addr_numbers_json"].append(json.dumps(addr_numbers) if addr_numbers else "")
         out["addr_range_json"].append(json.dumps(addr_range) if addr_range else "")
         out["intersections_json"].append(json.dumps(intersections) if intersections else "")
+        out["proximity_radius"].append(prox_radius)
 
     schema_overrides = {
         "idx": pa.int32(), "zoom": pa.int32(), "fid": pa.int64(),
@@ -503,6 +507,7 @@ def build_index(docs_ds, freq_min_count: int = 1, config=None) -> CarmenIndex:
         "langs_json", "score", "center_lon", "center_lat", "geometry_json",
         "bbox_w", "bbox_s", "bbox_e", "bbox_n", "spans",
         "addr_numbers_json", "addr_range_json", "intersections_json",
+        "proximity_radius",
     ]
     feat_tbl = feat_tbl.select(feature_cols)
     # canonical feature order: context/reverse tie-breaks are
@@ -555,6 +560,7 @@ def build_index_streaming(docs_ds, out_dir: str, freq_min_count: int = 1,
         "langs_json", "score", "center_lon", "center_lat", "geometry_json",
         "bbox_w", "bbox_s", "bbox_e", "bbox_n", "spans",
         "addr_numbers_json", "addr_range_json", "intersections_json",
+        "proximity_radius",
     ]
     os.makedirs(out_dir, exist_ok=True)
     parsed.select_columns(feature_cols).write_parquet(f"{out_dir}/features")
