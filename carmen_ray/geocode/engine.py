@@ -666,9 +666,21 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
             # strict language mode drops features without the language
             # (filter-sources.js languageMode semantics)
             continue
+        # override:{type} context replacement (R10, verifymatch.js:597-631):
+        # the result feature's authored override text supersedes the
+        # recalled context element of that layer
+        overrides = {}
+        ojson = getattr(feature, "overrides_json", "") or ""
+        if ojson:
+            overrides = json.loads(ojson)
+        ctx_names = []
+        for c in ctx:
+            if c.layer in overrides and str(c.text) != overrides[c.layer]:
+                ctx_names.append(overrides[c.layer])
+            else:
+                ctx_names.append(_display_text(c, language)[0])
         name_prefix = f"{matched_address} " if matched_address else ""
-        place_name = name_prefix + ", ".join(
-            [display] + [_display_text(c, language)[0] for c in ctx])
+        place_name = name_prefix + ", ".join([display] + ctx_names)
         # matching_text: the indexed synonym/translation that matched,
         # when it differs from the display form (getMatchingText,
         # format-features.js:383-488)

@@ -73,7 +73,7 @@ def parse_docs_batch(batch: pa.Table) -> pa.Table:
         "bbox_w": [], "bbox_s": [], "bbox_e": [], "bbox_n": [],
         "covers_x": [], "covers_y": [], "media_refs": [], "spans": [],
         "addr_numbers_json": [], "addr_range_json": [],
-        "intersections_json": [], "proximity_radius": [],
+        "intersections_json": [], "proximity_radius": [], "overrides_json": [],
     }
 
     for doc_id, spans in zip(doc_ids, spans_col):
@@ -90,6 +90,7 @@ def parse_docs_batch(batch: pa.Table) -> pa.Table:
         addr_numbers, addr_range = None, None
         intersections = []
         prox_radius = 0.0
+        overrides = {}
         for s in sorted(spans, key=lambda s: s["offset"]):
             k = s["kind"]
             if k == "text" and not text:
@@ -115,6 +116,8 @@ def parse_docs_batch(batch: pa.Table) -> pa.Table:
                 intersections.append(s["text"])
             elif k == "proximity_radius":
                 prox_radius = float(s["text"])
+            elif k.startswith("override:"):
+                overrides[k[len("override:"):]] = s["text"]
 
         if geom is None and center is not None:
             geom = {"type": "Point", "coordinates": [center[0], center[1]]}
@@ -149,6 +152,7 @@ def parse_docs_batch(batch: pa.Table) -> pa.Table:
         out["addr_range_json"].append(json.dumps(addr_range) if addr_range else "")
         out["intersections_json"].append(json.dumps(intersections) if intersections else "")
         out["proximity_radius"].append(prox_radius)
+        out["overrides_json"].append(json.dumps(overrides, sort_keys=True) if overrides else "")
 
     schema_overrides = {
         "idx": pa.int32(), "zoom": pa.int32(), "fid": pa.int64(),
@@ -507,7 +511,7 @@ def build_index(docs_ds, freq_min_count: int = 1, config=None) -> CarmenIndex:
         "langs_json", "score", "center_lon", "center_lat", "geometry_json",
         "bbox_w", "bbox_s", "bbox_e", "bbox_n", "spans",
         "addr_numbers_json", "addr_range_json", "intersections_json",
-        "proximity_radius",
+        "proximity_radius", "overrides_json",
     ]
     feat_tbl = feat_tbl.select(feature_cols)
     # canonical feature order: context/reverse tie-breaks are
@@ -560,7 +564,7 @@ def build_index_streaming(docs_ds, out_dir: str, freq_min_count: int = 1,
         "langs_json", "score", "center_lon", "center_lat", "geometry_json",
         "bbox_w", "bbox_s", "bbox_e", "bbox_n", "spans",
         "addr_numbers_json", "addr_range_json", "intersections_json",
-        "proximity_radius",
+        "proximity_radius", "overrides_json",
     ]
     os.makedirs(out_dir, exist_ok=True)
     parsed.select_columns(feature_cols).write_parquet(f"{out_dir}/features")

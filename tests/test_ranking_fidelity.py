@@ -108,3 +108,45 @@ def test_stacks_filter(ghost_index):
     assert keep and all(r["context"][-1] == country or r["feature_id"] == country for r in keep)
     none = forward_one(index, text, stacks=["country.999"])
     assert none == []
+
+
+def test_override_context(ray_session):
+    """R10: a feature's override:{layer} text replaces the recalled
+    context element of that layer in its place_name."""
+    import json
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from carmen_ray.geocode.engine import IndexData, forward_one
+    from carmen_ray.index.build import build_index
+    from carmen_ray.sources.synth import SPAN_TYPE, _mk_spans
+
+    def poly(w, s, e, n):
+        return {"type": "Polygon", "coordinates": [[[w, s], [e, s], [e, n], [w, n], [w, s]]]}
+
+    rows = [
+        ("country.1", _mk_spans([
+            ("text", "freedonia", ""),
+            ("geom", json.dumps(poly(-10, -10, 10, 10)), ""),
+            ("center", "0,0", ""), ("score", "100", "")])),
+        ("region.1", _mk_spans([
+            ("text", "oldname", ""),
+            ("geom", json.dumps(poly(-5, -5, 5, 5)), ""),
+            ("center", "0,0", ""), ("score", "50", "")])),
+        ("poi.1", _mk_spans([
+            ("text", "landmark", ""),
+            ("geom", json.dumps({"type": "Point", "coordinates": [0.0, 0.0]}), ""),
+            ("center", "0,0", ""), ("score", "10", ""),
+            ("override:region", "newname", "")])),
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.string()),
+        "spans": pa.array([r[1] for r in rows], type=pa.list_(SPAN_TYPE)),
+    })
+    idx = build_index(rd.from_arrow(tbl).repartition(1))
+    index = IndexData(idx.features, idx.phrase_grid, idx.freq, idx.max_score, idx.layer_zooms)
+    res = forward_one(index, "landmark")
+    assert res and res[0]["feature_id"] == "poi.1"
+    assert "newname" in res[0]["place_name"]
+    assert "oldname" not in res[0]["place_name"]
