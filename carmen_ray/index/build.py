@@ -77,6 +77,8 @@ def parse_docs_batch(batch: pa.Table) -> pa.Table:
     }
 
     for doc_id, spans in zip(doc_ids, spans_col):
+        if spans is None:
+            spans = []
         layer = doc_id.split(".", 1)[0]
         idx = LAYER_IDX.get(layer, len(LAYER_IDX))
         zoom = LAYER_ZOOM.get(layer, 6)
@@ -100,12 +102,21 @@ def parse_docs_batch(batch: pa.Table) -> pa.Table:
             elif k.startswith("lang:"):
                 langs[k[5:]] = s["text"]
             elif k == "geom":
-                geom = json.loads(s["text"])
+                try:
+                    geom = json.loads(s["text"])
+                except (TypeError, ValueError):
+                    geom = None  # malformed geometry → fall back to center/origin
             elif k == "center":
-                lon, lat = s["text"].split(",")
-                center = (float(lon), float(lat))
+                try:
+                    lon, lat = s["text"].split(",")
+                    center = (float(lon), float(lat))
+                except (TypeError, ValueError):
+                    center = None
             elif k == "score":
-                score = float(s["text"])
+                try:
+                    score = float(s["text"])
+                except (TypeError, ValueError):
+                    score = 0.0
             elif k == "media":
                 media.append(s["media_ref"])
             elif k == "addr_numbers":

@@ -215,3 +215,31 @@ def load_index(out_dir: str):
         max_score=meta["max_score"],
         layer_zooms=meta["layer_zooms"],
     )
+
+
+def read_docs(path: str, columns: list[str] | None = None):
+    """Read an interleaved-document table as a Dataset.
+
+    Prefers the Lance format (the north star's storage layer) when the
+    `lance` package is importable; falls back to parquet in this
+    environment (lance is not installed — the column contract is
+    identical either way).
+    """
+    import ray.data as rd
+
+    try:  # pragma: no cover - lance not installed here
+        import lance  # noqa: F401
+
+        return rd.read_lance(path, columns=columns)
+    except ImportError:
+        return rd.read_parquet(path, columns=columns)
+
+
+def write_docs(ds, path: str) -> None:
+    """Write an interleaved-document Dataset (Lance when available)."""
+    try:  # pragma: no cover
+        import lance  # noqa: F401
+
+        ds.write_lance(path)
+    except ImportError:
+        ds.write_parquet(path)

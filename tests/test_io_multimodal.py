@@ -157,3 +157,43 @@ def test_knn_lsh_recall(ray_session):
     )
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_malformed_spans_survive(ray_session):
+    """Malformed geom/center/score spans degrade gracefully instead of
+    killing the build pipeline (100 TB inputs are never clean)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from carmen_ray.index.build import build_index
+    from carmen_ray.sources.synth import SPAN_TYPE, _mk_spans, generate_corpus
+
+    good = generate_corpus(n_streets=10, n_pois=5)
+    bad = pa.table({
+        "doc_id": pa.array(["poi.777", "poi.778"], type=pa.string()),
+        "spans": pa.array([
+            _mk_spans([("text", "broken geom", ""), ("geom", "{not json", ""),
+                       ("center", "oops", ""), ("score", "NaNope", "")]),
+            _mk_spans([("text", "no geom at all", "")]),
+        ], type=pa.list_(SPAN_TYPE)),
+    })
+    idx = build_index(rd.from_arrow(pa.concat_tables([good, bad])).repartition(2))
+    f = idx.features.to_pandas()
+    assert "poi.777" in set(f.doc_id) and "poi.778" in set(f.doc_id)
+    # degraded rows got origin fallbacks, not crashes
+    row = f[f.doc_id == "poi.777"].iloc[0]
+    assert row.score == 0.0
+
+
+def test_read_docs_gated(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from carmen_ray.sources.io import read_docs, write_docs
+    from carmen_ray.sources.synth import generate_corpus
+
+    tbl = generate_corpus(n_streets=5, n_pois=2)
+    out = str(tmp_path / "docs")
+    write_docs(rd.from_arrow(tbl), out)
+    back = read_docs(out)
+    assert back.count() == tbl.num_rows
