@@ -549,7 +549,7 @@ def build_index(docs_ds, freq_min_count: int = 1, config=None) -> CarmenIndex:
 
 
 def build_index_streaming(docs_ds, out_dir: str, freq_min_count: int = 1,
-                          config=None) -> None:
+                          config=None, resume: bool = True) -> None:
     """Fully streaming index build: every table lands as partitioned
     parquet via Ray-native write_parquet sinks — nothing materializes on
     the driver except the (capped) frequency map and scalar metadata.
@@ -562,6 +562,16 @@ def build_index_streaming(docs_ds, out_dir: str, freq_min_count: int = 1,
     """
     import json as _json
     import os
+
+    def _done(table: str) -> str:
+        return os.path.join(out_dir, table, "_SUCCESS")
+
+    def _is_done(table: str) -> bool:
+        return resume and os.path.exists(_done(table))
+
+    def _mark(table: str) -> None:
+        with open(_done(table), "w") as fh:
+            fh.write("ok")
 
     parsed = docs_ds.map_batches(parse_docs_batch, batch_format="pyarrow")
     parsed = parsed.materialize()  # block refs only; reused by branches
@@ -578,18 +588,27 @@ def build_index_streaming(docs_ds, out_dir: str, freq_min_count: int = 1,
         "proximity_radius", "overrides_json",
     ]
     os.makedirs(out_dir, exist_ok=True)
-    parsed.select_columns(feature_cols).write_parquet(f"{out_dir}/features")
+    # table-granular resume: a killed `ray job submit` run skips tables
+    # whose _SUCCESS marker committed (finer-grained per-partition resume
+    # lives in sources/io.write_index)
+    if not _is_done("features"):
+        parsed.select_columns(feature_cols).write_parquet(f"{out_dir}/features")
+        _mark("features")
 
-    phrase_grid = parsed.map_batches(
-        PhraseGen,
-        fn_constructor_kwargs={"freq": freq, "max_score": max_score, "config": config},
-        batch_format="pyarrow",
-        concurrency=4,
-    )
-    assign_phrase_ids(phrase_grid).write_parquet(f"{out_dir}/phrasegrid")
+    if not _is_done("phrasegrid"):
+        phrase_grid = parsed.map_batches(
+            PhraseGen,
+            fn_constructor_kwargs={"freq": freq, "max_score": max_score, "config": config},
+            batch_format="pyarrow",
+            concurrency=4,
+        )
+        assign_phrase_ids(phrase_grid).write_parquet(f"{out_dir}/phrasegrid")
+        _mark("phrasegrid")
 
-    parsed.map_batches(media_cells_batch, batch_format="pyarrow").write_parquet(
-        f"{out_dir}/mediacells")
+    if not _is_done("mediacells"):
+        parsed.map_batches(media_cells_batch, batch_format="pyarrow").write_parquet(
+            f"{out_dir}/mediacells")
+        _mark("mediacells")
 
     layer_zooms = {}
     for row in parsed.select_columns(["layer", "zoom"]).take_all():

@@ -197,3 +197,28 @@ def test_read_docs_gated(ray_session, tmp_path):
     write_docs(rd.from_arrow(tbl), out)
     back = read_docs(out)
     assert back.count() == tbl.num_rows
+
+
+def test_streaming_build_resume(tmp_path, ray_session):
+    """Rerunning build_index_streaming skips committed tables (marker
+    files survive), and a deleted marker triggers only that table."""
+    import os
+
+    import ray.data as rd
+
+    from carmen_ray.index.build import build_index_streaming
+    from carmen_ray.sources.synth import generate_corpus
+
+    tbl = generate_corpus(n_streets=10, n_pois=5)
+    out = str(tmp_path / "residx")
+    build_index_streaming(rd.from_arrow(tbl).repartition(2), out)
+    marker = os.path.join(out, "phrasegrid", "_SUCCESS")
+    assert os.path.exists(marker)
+    mtimes = {t: os.path.getmtime(os.path.join(out, t, "_SUCCESS"))
+              for t in ("features", "phrasegrid", "mediacells")}
+    os.remove(marker)
+    build_index_streaming(rd.from_arrow(tbl).repartition(2), out)
+    assert os.path.exists(marker)
+    # untouched tables kept their original markers
+    assert os.path.getmtime(os.path.join(out, "features", "_SUCCESS")) == mtimes["features"]
+    assert os.path.getmtime(os.path.join(out, "mediacells", "_SUCCESS")) == mtimes["mediacells"]
