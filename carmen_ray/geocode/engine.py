@@ -690,7 +690,24 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
             matching_text = matched_sub
 
         ghost = float(feature.score) < 0
-        relevance = round_to(_direction_effects(covers, st.relev), 6)
+        relevance = _direction_effects(covers, st.relev)
+        # context squishy (+0.01, verifymatch.js:966-975): an unmatched
+        # context element doubling the name of a matched inherit-score
+        # context element ("main st new york new york") nudges relevance
+        matched_tmpids = {e.grid.tmpid for e in covers}
+        squishy_ctx_target = None
+        for c in ctx:
+            ctmp = int(c.idx) * TMPID_SHIFT + int(c.fid)
+            if ctmp in matched_tmpids and c.layer in INHERIT_SCORE_LAYERS:
+                squishy_ctx_target = str(c.text).lower()
+                break
+        if squishy_ctx_target is not None:
+            for c in ctx:
+                ctmp = int(c.idx) * TMPID_SHIFT + int(c.fid)
+                if ctmp not in matched_tmpids and c.layer in GRANT_SCORE_LAYERS                         and str(c.text).lower() == squishy_ctx_target:
+                    relevance += 0.01
+                    break
+        relevance = round_to(relevance, 6)
         scoredist = top.grid.scoredist
         # partial-number matches from address indexes get an artificial
         # scoredist boost so they can surface (spatialmatch.js:198-204)

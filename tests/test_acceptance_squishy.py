@@ -90,3 +90,43 @@ def test_synonym_match(ny_index):
     res = forward_one(index, "usa")
     assert res and res[0]["feature_id"] == "country.1"
     assert res[0]["matching_text"] == "usa"
+
+
+def test_context_squishy_prefers_doubled_name(ray_session):
+    """'main st new york' prefers the street whose context doubles the
+    name (place 'new york' inside region 'new york') over a street in a
+    differently-named region (verifymatch.js:966-975 contextSquishy)."""
+    import json
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from carmen_ray.geocode.engine import IndexData, forward_one
+    from carmen_ray.index.build import build_index
+
+    def poly(w, s, e, n):
+        return {"type": "Polygon", "coordinates": [[[w, s], [e, s], [e, n], [w, n], [w, s]]]}
+
+    def line(x, y):
+        return {"type": "LineString", "coordinates": [[x, y], [x + 0.02, y + 0.01]]}
+
+    rows = [
+        _doc("country.1", "united states", poly(-130, 20, -60, 55), (-95, 38), 1000),
+        _doc("region.1", "new york", poly(-80, 40, -71, 45), (-75.5, 42.5), 700),
+        _doc("region.2", "albany state", poly(-102, 37, -94.6, 40), (-98.3, 38.5), 650),
+        _doc("place.1", "new york", poly(-74.3, 40.5, -73.7, 41.0), (-74.0, 40.7), 300),
+        _doc("place.2", "new york", poly(-99, 38, -98.5, 38.5), (-98.75, 38.25), 300),
+        _doc("street.1", "main st", line(-74.0, 40.7), (-74.0, 40.7), 10),   # in ny, ny
+        _doc("street.2", "main st", line(-98.75, 38.25), (-98.74, 38.26), 10),  # in ny, albany state
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.string()),
+        "spans": pa.array([r[1] for r in rows], type=pa.list_(SPAN_TYPE)),
+    })
+    idx = build_index(rd.from_arrow(tbl).repartition(1))
+    index = IndexData(idx.features, idx.phrase_grid, idx.freq, idx.max_score, idx.layer_zooms)
+    res = forward_one(index, "main st new york")
+    streets = [r for r in res if r["feature_id"].startswith("street.")]
+    assert len(streets) >= 2
+    assert streets[0]["feature_id"] == "street.1", "doubled-name context should win"
+    assert streets[0]["relevance"] > streets[1]["relevance"]
