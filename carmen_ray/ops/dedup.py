@@ -73,17 +73,45 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", shards: int 
 
 # ----------------------------------------------------------- shingles ---
 
-def char_shingles(text: str, k: int = 5) -> set[int]:
+_SHINGLE_BASE = np.uint64(257)
+
+
+def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Vectorized char-k-shingle hashes: polynomial rolling hash base 257
+    over utf-8 bytes (values < 2^63, exact, deterministic). One numpy
+    pass instead of a python loop per shingle."""
     norm = _normalize(text)
-    if len(norm) < k:
-        return {hash_shingle(norm)} if norm else set()
-    return {hash_shingle(norm[i : i + k]) for i in range(len(norm) - k + 1)}
+    data = np.frombuffer(norm.encode("utf-8", "ignore"), dtype=np.uint8).astype(np.uint64)
+    if len(data) == 0:
+        return np.empty(0, dtype=np.uint64)
+    if len(data) < k:
+        h = np.uint64(0)
+        for b in data:
+            h = h * _SHINGLE_BASE + b
+        return np.array([h], dtype=np.uint64)
+    n = len(data) - k + 1
+    out = np.zeros(n, dtype=np.uint64)
+    for j in range(k):
+        out = out * np.uint64(1) + data[j : j + n] * (_SHINGLE_BASE ** np.uint64(k - 1 - j))
+    return np.unique(_mix64(out))
 
 
-def hash_shingle(s: str) -> int:
-    from ..util.hashing import fnv1a_64
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (vectorized, wrapping uint64): spreads the
+    polynomial hash over all 64 bits — simhash bit uniformity and
+    minhash permutations need it."""
+    with np.errstate(over="ignore"):
+        h = h.astype(np.uint64)
+        h ^= h >> np.uint64(30)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(27)
+        h *= np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(31)
+    return h
 
-    return fnv1a_64(s)
+
+def char_shingles(text: str, k: int = 5) -> set[int]:
+    return set(shingle_hashes(text, k).tolist())
 
 
 def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
@@ -113,7 +141,7 @@ class MinHasher:
         self.text_col = text_col
 
     def signature(self, text: str) -> np.ndarray:
-        sh = np.fromiter(char_shingles(text, self.k), dtype=np.uint64)
+        sh = shingle_hashes(text, self.k)
         if len(sh) == 0:
             return np.full(self.num_perm, _MERSENNE, dtype=np.uint64)
         # (a*x + b) mod p for all perms × shingles, take min per perm
@@ -153,13 +181,14 @@ def explode_bands(batch: pa.Table, num_bands: int = 32) -> pa.Table:
     })
 
 
-def minhash_lsh_candidates(ds, num_perm: int = 128, num_bands: int = 32, text_col: str = "text"):
+def minhash_lsh_candidates(ds, num_perm: int = 128, num_bands: int = 32,
+                           text_col: str = "text", concurrency: int = 2):
     """documents → candidate near-dup pairs (doc_a < doc_b) via LSH banding."""
     sigs = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={"num_perm": num_perm, "text_col": text_col},
         batch_format="pyarrow",
-        concurrency=4,
+        concurrency=concurrency,
     )
     bands = sigs.map_batches(
         lambda b: explode_bands(b, num_bands), batch_format="pyarrow"
@@ -181,6 +210,33 @@ def minhash_lsh_candidates(ds, num_perm: int = 128, num_bands: int = 32, text_co
 
     cand = bands.groupby("band").map_groups(pairs_in_band, batch_format="pandas")
     return _dedupe_pairs(cand, ["doc_a", "doc_b"])
+
+
+def minhash_near_dups(ds, threshold: float = 0.7, num_perm: int = 128,
+                      num_bands: int = 32, text_col: str = "text",
+                      id_col: str = "doc_id", concurrency: int = 2):
+    """Verified near-dups: LSH candidates → exact n-gram Jaccard ≥
+    threshold. The text lookup side is broadcast here (small corpus);
+    at 100 TB replace with ops/joins.hash_join on the id."""
+    texts = {}
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=65536):
+        for i, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            texts[i] = t
+
+    cand = minhash_lsh_candidates(ds, num_perm=num_perm, num_bands=num_bands,
+                                  text_col=text_col, concurrency=concurrency)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+        jac = [
+            round(ngram_jaccard(texts.get(a, ""), texts.get(b, "")), 6)
+            for a, b in zip(df["doc_a"], df["doc_b"])
+        ]
+        df = df.assign(jaccard=jac)
+        return df[df["jaccard"] >= threshold].reset_index(drop=True)
+
+    return cand.map_batches(verify, batch_format="pandas")
 
 
 def _dedupe_pairs(cand, cols: list[str], shards: int = 32):
@@ -210,7 +266,7 @@ def simhash_batch(batch: pa.Table, text_col: str = "text", k: int = 5) -> pa.Tab
     n = len(texts)
     sims = np.zeros(n, dtype=np.uint64)
     for i, t in enumerate(texts):
-        sh = np.fromiter(char_shingles(t, k), dtype=np.uint64)
+        sh = shingle_hashes(t, k)
         if len(sh) == 0:
             continue
         bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)

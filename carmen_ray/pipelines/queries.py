@@ -370,10 +370,11 @@ def q_fingerprint(sf_dir: str):
 
 
 def q_minhash_pairs(sf_dir: str):
-    from ..ops.dedup import minhash_lsh_candidates
+    """MinHash-LSH near-dup detection with exact Jaccard verification."""
+    from ..ops.dedup import minhash_near_dups
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return minhash_lsh_candidates(ds)
+    return minhash_near_dups(ds, threshold=0.7)
 
 
 def q_simhash_pairs(sf_dir: str):

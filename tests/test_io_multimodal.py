@@ -222,3 +222,32 @@ def test_streaming_build_resume(tmp_path, ray_session):
     # untouched tables kept their original markers
     assert os.path.getmtime(os.path.join(out, "features", "_SUCCESS")) == mtimes["features"]
     assert os.path.getmtime(os.path.join(out, "mediacells", "_SUCCESS")) == mtimes["mediacells"]
+
+
+def test_minhash_verified_pairs(ray_session):
+    """minhash_near_dups returns Jaccard-verified pairs: exact duplicates
+    surface with jaccard 1.0; unrelated texts don't."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from carmen_ray.ops.dedup import minhash_near_dups
+
+    docs = pa.table({
+        "doc_id": list(range(6)),
+        "text": [
+            "the quick brown fox jumps over the lazy dog in the morning light",
+            "the quick brown fox jumps over the lazy dog in the morning light",
+            "the quick brown fox jumps over the lazy dog in the evening light",
+            "a completely different document about distributed query engines",
+            "another unrelated text concerning spherical geometry and tiles",
+            "yet another independent string with nothing shared at all here",
+        ],
+    })
+    out = minhash_near_dups(rd.from_arrow(docs).repartition(2), threshold=0.6,
+                            concurrency=1).to_pandas()
+    pairs = {(a, b) for a, b in zip(out["doc_a"], out["doc_b"])}
+    assert (0, 1) in pairs
+    jac = out.set_index(["doc_a", "doc_b"])["jaccard"]
+    assert jac.loc[(0, 1)] == 1.0
+    assert (0, 2) in pairs and jac.loc[(0, 2)] >= 0.6
+    assert all(a < 3 and b < 3 for a, b in pairs), "unrelated docs must not pair"
