@@ -10,6 +10,10 @@ shuffle:
             → map_groups(coalesce: stack+rebalance+topk, pure python)
             → mB-actor(VerifyStage: feature hydrate + context + format)
 
+Forward queries only — reverse/id queries route through the fused
+actor (engine.ForwardGeocoder), which is also the fast path when the
+index fits an actor.
+
 Stage boundaries carry narrow Arrow rows: grids packed with the 53-bit
 grid encoding (util/grid.py) — exactly what a phrase-sharded cluster
 would exchange. PhrasematchStage actors can then hold only a
