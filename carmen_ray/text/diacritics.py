@@ -81,7 +81,10 @@ def remove_diacritics(s: str) -> str:
     out = []
     for ch in decomposed:
         cat = unicodedata.category(ch)
-        if cat == "Mn":  # combining mark — strip
+        # strip only the U+0300–036F combining range, like the reference
+        # (remove-diacritics.js final regex) — Japanese dakuten (U+3099),
+        # Hebrew niqqud etc. are preserved
+        if cat == "Mn" and "̀" <= ch <= "ͯ":
             continue
         # fullwidth/enclosed digits & letters → ascii via NFKC compat value
         if cat in ("Nd", "No") and not ch.isascii():

@@ -99,3 +99,45 @@ def test_as_reverse():
     assert as_reverse("-77.03,38.90") == (-77.03, 38.90)
     assert as_reverse("foo,bar") is None
     assert as_reverse("washington dc") is None
+
+
+def test_normalize_query_parity():
+    """termops.normalizeQuery.test.js:5-43."""
+    from carmen_ray.text.tokenize import TokenizedQuery
+
+    assert normalize_query(tokenize("New York")).tokens == ["new", "york"]
+    assert normalize_query(tokenize("Ciudad Juárez")).tokens == ["ciudad", "juarez"]
+    assert normalize_query(tokenize("京都市")).tokens == ["京", "都", "市"]
+    assert normalize_query(tokenize("☺")).tokens == []
+    assert normalize_query(tokenize("a☺b")).tokens == ["ab"]
+    assert normalize_query(tokenize("a ☺ b")).tokens == ["a", "b"]
+    assert normalize_query(tokenize("☺ ☺")).tokens == []
+
+    # multi-char CJK replacement token expands with preserved owners
+    q = TokenizedQuery(
+        tokens=["鳥", "栖", "市", "弥", "生", "が", "丘", "八丁目", "", "", "1"],
+        owner=[0, 1, 2, 3, 4, 5, 6, 7, 7, 7, 10],
+        separators=[""] * 11,
+    )
+    r = normalize_query(q)
+    assert r.tokens == ["鳥", "栖", "市", "弥", "生", "が", "丘", "八", "丁", "目", "1"]
+    assert r.owner == [0, 1, 2, 3, 4, 5, 6, 7, 7, 7, 10]
+
+
+def test_normalize_query_limits_parity():
+    """termops.normalizeQuery.test.js:45-66 — 20-token cap and multi-word
+    expansion at the cap."""
+    from carmen_ray.text.tokenize import TokenizedQuery
+
+    r = normalize_query(tokenize("a b c d e f g h i j k l m n o p q r s t"))
+    assert r.tokens == list("abcdefghijklmnopqrst")
+    assert r.owner == list(range(20))
+
+    q = TokenizedQuery(
+        tokens=list("abcdefghijklmnopqr") + ["s t"],
+        owner=list(range(19)),
+        separators=[" "] * 18 + [""],
+    )
+    r = normalize_query(q)
+    assert r.tokens == list("abcdefghijklmnopqrst")
+    assert len(r.tokens) == 20
