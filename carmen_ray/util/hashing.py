@@ -60,9 +60,13 @@ def murmur3_32(data: bytes | str, seed: int = 0) -> int:
 
 
 def phrase_hash(phrase: str) -> int:
-    """One-byte phrase hash, cf. termops.js:372-374 (low byte of murmur3_32,
-    matching the little-endian buffer layout of murmurhash-native)."""
-    return murmur3_32(phrase) & 0xFF
+    """One-byte phrase hash, bit-exact with termops.js:372-374:
+    murmurhash-native's murmurHash(str, 'buffer')[0] = the MSB of
+    murmur3_x86_32 over the JS 'binary' (charCode & 0xFF) encoding.
+    Verified against the reference's getIndexableText fixtures
+    (Main Street → 248, Main Street Lane → 255, …)."""
+    data = bytes(ord(c) & 0xFF for c in phrase)
+    return murmur3_32(data) >> 24
 
 
 def fnv1a_32(data: bytes | str) -> int:

@@ -244,3 +244,14 @@ def test_hex_cells():
     assert a == b  # tiny perturbation stays in the same cell
     assert hex_cell(-77.0, 38.9, 7) != hex_cell(-77.0, 38.9, 9)  # res in id
     assert hex_cell(10.0, 50.0, 9) != hex_cell(-77.0, 38.9, 9)
+
+
+def test_phrase_hash_reference_parity():
+    """Bit-exact with murmurhash-native as pinned by the reference's
+    termops.getIndexableText.test.js fixtures."""
+    from carmen_ray.util.hashing import phrase_hash
+
+    assert phrase_hash("Main Street") == 248
+    assert phrase_hash("Main Street Lane") == 255
+    assert phrase_hash("Main Street St Lane") == 13
+    assert phrase_hash("Äpfelstrüdeln Strasse") == 73
