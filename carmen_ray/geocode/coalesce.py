@@ -141,8 +141,10 @@ def stack_and_coalesce(
                     for e in base.entries
                 ):
                     continue
+                # entry relev = grid relev × subquery weight, the form
+                # carmen-core emits (pinned by spatialmatch.rebalance.test.js)
                 ns = Stack(
-                    entries=base.entries + [StackEntry(pm, grid, grid.relev)],
+                    entries=base.entries + [StackEntry(pm, grid, grid.relev * pm.weight)],
                     mask=base.mask | pm.mask,
                 )
                 ns.relev = base.relev + grid.relev * pm.weight

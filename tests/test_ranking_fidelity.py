@@ -150,3 +150,27 @@ def test_override_context(ray_session):
     assert res and res[0]["feature_id"] == "poi.1"
     assert "newname" in res[0]["place_name"]
     assert "oldname" not in res[0]["place_name"]
+
+
+def test_rebalance_reference_parity():
+    """spatialmatch.rebalance.test.js:29-73 — exact numeric outputs."""
+    from carmen_ray.geocode.coalesce import Stack, rebalance
+
+    def entry(weight, mask):
+        return _entry(mask, "x", relev=weight)
+
+    # no garbage: full coverage of a 6-token query
+    st = Stack(entries=[entry(0.5, 7), entry(0.16666666666666666, 8),
+                        entry(0.16666666666666666, 16), entry(0.16666666666666666, 32)],
+               relev=1.0)
+    out = rebalance(st, 6)
+    assert out.relev == 0.99999999
+    assert [e.relev for e in out.entries] == [0.36111111, 0.21296296, 0.21296296, 0.21296296]
+
+    # with garbage: one query token uncovered
+    st2 = Stack(entries=[entry(0.5, 7), entry(0.16666666666666666, 8),
+                         entry(0.16666666666666666, 32)],
+                relev=0.8333333333333333)
+    out2 = rebalance(st2, 6)
+    assert out2.relev == 0.78703703
+    assert [e.relev for e in out2.entries] == [0.36111111, 0.21296296, 0.21296296]
