@@ -255,3 +255,54 @@ def test_phrase_hash_reference_parity():
     assert phrase_hash("Main Street Lane") == 255
     assert phrase_hash("Main Street St Lane") == 13
     assert phrase_hash("Äpfelstrüdeln Strasse") == 73
+
+
+def test_scoredist_reference_parity():
+    """proximity.scoredist.test.js 'new york near san francisco' —
+    exact scoredist values to 6 places."""
+    min_score, max_score = -1, 1634443
+    cases = [
+        (2426.866703400975, 79161, 6, 25.168365),   # region
+        (2567.3550038898834, 31104, 12, 10.496437), # place
+        (0.6450163846417221, 3, 14, 10.008055),     # poi
+        (0.4914344651849769, 1, 14, 10.003694),     # poi
+    ]
+    for dist, score, zoom, want in cases:
+        got = round(float(scoredist(score, min_score, max_score, dist, zoom)), 6)
+        assert got == pytest.approx(want, abs=1e-6), (dist, score, zoom)
+
+
+def test_proximity_distance_reference_parity():
+    """proximity.test.js distance cases (miles, cover-corner bound)."""
+    from carmen_ray.util.proximity import distance
+
+    assert distance((0, 0), (0, 0), 0, 0, 2) == 0
+    d1 = distance((-170, 0), (0, 0), 0, 1, 2)
+    assert d1 == pytest.approx(5944.221764504916, abs=1e-6)
+    # center further than furthest corner → corner bound wins
+    d2 = distance((-170, 0), (10, 0), 0, 1, 2)
+    assert d2 == pytest.approx(5944.221764504916, abs=1e-6)
+
+
+def test_distscore_reference_parity():
+    """proximity.test.js distscore cases."""
+    assert float(distscore(50, 10)) == 200
+    assert float(distscore(500, 10000)) == 20000
+
+
+def test_center2zxy_reference_parity():
+    assert center2zxy(0, 0, 5) == (5, 16, 16)
+    assert center2zxy(-90, 45, 5) == (5, 8, 12)
+    assert center2zxy(-181, 90.1, 5) == (5, 0, 0)
+    assert center2zxy(181, -90.1, 5) == (5, 32, 32)
+
+
+def test_relevance_score_reference_parity():
+    """proximity.relevanceScore.test.js:22-34 (JS undefined address →
+    our 'n/a' sentinel; JS null → Python None)."""
+    assert relevance_score(0, 1, address="n/a") == 0
+    assert relevance_score(1, 5000, address="n/a") == 1
+    assert relevance_score(1, 1, address=None) < relevance_score(1, 5000, address="n/a")
+    assert relevance_score(1, 1, address="123", ghost=True) < relevance_score(1, 5000, address="123")
+    assert relevance_score(0, 1, address=None) == 0
+    assert relevance_score(0, 1, address="123", ghost=True) == 0
