@@ -225,6 +225,8 @@ def build_frequency(parsed_ds, min_count: int = 1, max_terms: int = 200_000,
         ["term"], [Spec("n", "n", "sum")],
     )
     df = agg.to_pandas()
+    if df.empty or "term" not in df.columns:
+        return {"__COUNT__": 1}
     if len(df) > max_terms:
         df = df.nlargest(max_terms, "n")
     return {t: int(n) for t, n in zip(df["term"], df["n"]) if n >= min_count}
@@ -454,6 +456,52 @@ def media_cells_batch(batch: pa.Table) -> pa.Table:
 # -------------------------------------------------------------- facade
 
 
+def _empty_index() -> "CarmenIndex":
+    """Zero-doc corpus → valid empty index (edge hardening)."""
+    empty_pg = pa.table({
+        "phrase": pa.array([], type=pa.string()),
+        "layer": pa.array([], type=pa.string()),
+        "idx": pa.array([], type=pa.int32()),
+        "zoom": pa.array([], type=pa.int32()),
+        "lang_set": pa.array([], type=pa.uint64()),
+        "relev": pa.array([], type=pa.float64()),
+        "score3": pa.array([], type=pa.uint8()),
+        "x": pa.array([], type=pa.int32()),
+        "y": pa.array([], type=pa.int32()),
+        "fid": pa.array([], type=pa.int64()),
+        "phash": pa.array([], type=pa.int32()),
+        "score": pa.array([], type=pa.float64()),
+        "phrase_id": pa.array([], type=pa.int64()),
+    })
+    empty_feats = pa.table({c: pa.array([], type=pa.string()) for c in
+                            ("doc_id", "layer", "text")} | {
+        "idx": pa.array([], type=pa.int32()),
+        "zoom": pa.array([], type=pa.int32()),
+        "fid": pa.array([], type=pa.int64()),
+        "score": pa.array([], type=pa.float64()),
+        "center_lon": pa.array([], type=pa.float64()),
+        "center_lat": pa.array([], type=pa.float64()),
+        "bbox_w": pa.array([], type=pa.float64()),
+        "bbox_s": pa.array([], type=pa.float64()),
+        "bbox_e": pa.array([], type=pa.float64()),
+        "bbox_n": pa.array([], type=pa.float64()),
+        "geometry_json": pa.array([], type=pa.string()),
+        "langs_json": pa.array([], type=pa.string()),
+    })
+    empty_media = pa.table({
+        "doc_id": pa.array([], type=pa.string()),
+        "media_ref": pa.array([], type=pa.string()),
+        "zxy": pa.array([], type=pa.string()),
+        "h3_r7": pa.array([], type=pa.uint64()),
+        "h3_r8": pa.array([], type=pa.uint64()),
+        "h3_r9": pa.array([], type=pa.uint64()),
+        "s2_cell": pa.array([], type=pa.uint64()),
+    })
+    return CarmenIndex(features=empty_feats, phrase_grid=empty_pg,
+                       media_cells=empty_media, freq={"__COUNT__": 1},
+                       max_score=1.0, layer_zooms={})
+
+
 @dataclass
 class CarmenIndex:
     """Built index: Arrow tables (test scale) or parquet dirs (bench
@@ -493,6 +541,8 @@ def build_index(docs_ds, freq_min_count: int = 1, config=None) -> CarmenIndex:
     feat_tbl = _pa.concat_tables(
         ray.get(parsed.to_arrow_refs()), promote_options="permissive"
     )
+    if feat_tbl.num_rows == 0 or "score" not in feat_tbl.column_names:
+        return _empty_index()
     max_score = float(pc.max(feat_tbl["score"]).as_py() or 1.0)
     layer_zooms = {
         l: int(z) for l, z in zip(

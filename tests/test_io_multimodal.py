@@ -251,3 +251,25 @@ def test_minhash_verified_pairs(ray_session):
     assert jac.loc[(0, 1)] == 1.0
     assert (0, 2) in pairs and jac.loc[(0, 2)] >= 0.6
     assert all(a < 3 and b < 3 for a, b in pairs), "unrelated docs must not pair"
+
+
+def test_empty_corpus_build(ray_session):
+    """Zero-doc corpus builds an empty-but-valid index (edge hardening)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from carmen_ray.index.build import build_index
+    from carmen_ray.sources.synth import SPAN_TYPE
+
+    empty = pa.table({
+        "doc_id": pa.array([], type=pa.string()),
+        "spans": pa.array([], type=pa.list_(SPAN_TYPE)),
+    })
+    idx = build_index(rd.from_arrow(empty).repartition(1))
+    assert idx.features.num_rows == 0
+    assert idx.phrase_grid.num_rows == 0
+
+    from carmen_ray.geocode.engine import IndexData, forward_one
+
+    index = IndexData(idx.features, idx.phrase_grid, idx.freq, idx.max_score, idx.layer_zooms)
+    assert forward_one(index, "anything") == []

@@ -190,3 +190,14 @@ def test_enumerate_parity_inverse():
     assert phrases[0] == "fargo street ne sf"
     assert "fargo street northeast san francisco" in phrases
     assert len(phrases) == 4
+
+
+def test_whitespace_reference_parity():
+    """whitespace.test.js:5-17 (our variant emits split tokens in place;
+    same accept/reject decisions)."""
+    assert whitespace_hypothesis(["100main", "st", "washington"]) == \
+        ["100", "main", "st", "washington"]
+    assert whitespace_hypothesis(["Rue", "Gallait76"]) == ["Rue", "Gallait", "76"]
+    assert whitespace_hypothesis(["one", "two", "three"]) is None
+    assert whitespace_hypothesis(["21st", "st"]) is None       # ordinals: too few letters
+    assert whitespace_hypothesis(["100", "mainst"]) is None    # non-numeric error untouched
