@@ -306,3 +306,8 @@ def test_relevance_score_reference_parity():
     assert relevance_score(1, 1, address="123", ghost=True) < relevance_score(1, 5000, address="123")
     assert relevance_score(0, 1, address=None) == 0
     assert relevance_score(0, 1, address="123", ghost=True) == 0
+
+
+def test_inside_tile_reference_parity():
+    """bbox.xyz.test.js — sphericalmercator.xyz semantics."""
+    assert bboxutil.inside_tile([-78, 38, -76, 40], 5) == [5, 9, 12, 9, 12]
