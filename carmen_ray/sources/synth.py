@@ -82,10 +82,17 @@ def _mk_spans(entries: list[tuple[str, str, str]]) -> list[dict]:
     ]
 
 
+_NAME_C = ("", "ton", "boro", "moor", "crest", "ridge", "gate", "mead")
+
+
 def _name(seed: int, layer_idx: int, i: int) -> str:
     a = _pick(_NAME_A, seed, layer_idx, i, 1)
     b = _pick(_NAME_B, seed, layer_idx, i, 2)
-    return f"{a}{b}"
+    # third syllable kicks in for large corpora so duplicate-name density
+    # stays realistic at bench scale; i<100 keeps the compact namespace
+    # (test fixtures unchanged)
+    c = _NAME_C[(i // 100) % len(_NAME_C)] if i >= 100 else ""
+    return f"{a}{b}{c}"
 
 
 def _zipf_city(seed: int, i: int, n_cities: int) -> int:
