@@ -160,3 +160,85 @@ def pairwise_cosine_dedup(ds, threshold: float = 0.95, dim: int = 32,
         .groupby("shard")
         .map_groups(shard_pairs, batch_format="pandas")
     )
+
+
+# ------------------------------------------------------------------ IVF ---
+
+
+def train_ivf_centroids(ds, dim: int, n_clusters: int = 16, n_iter: int = 10,
+                        sample_size: int = 2048, seed: int = 42,
+                        col: str = "embedding") -> np.ndarray:
+    """k-means coarse quantizer trained on a driver-side sample
+    (sample via limit; at 100 TB swap for ds.random_sample). Lloyd
+    iterations in numpy; deterministic (fixed seed, k-means++-lite
+    init from the sample order)."""
+    batches = []
+    seen = 0
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=1024):
+        batches.append(_batch_matrix(b, col))
+        seen += b.num_rows
+        if seen >= sample_size:
+            break
+    sample = np.concatenate(batches, axis=0)[:sample_size]
+    norms = np.linalg.norm(sample, axis=1)
+    norms[norms == 0] = 1.0
+    sample = sample / norms[:, None]
+
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(sample), size=min(n_clusters, len(sample)), replace=False)
+    centroids = sample[np.sort(idx)].copy()
+    for _ in range(n_iter):
+        sims = sample @ centroids.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    centroids[c] = v / n
+    return centroids
+
+
+class IVFAssign:
+    """Actor: assign each row to its nearest centroid (cluster column)."""
+
+    def __init__(self, centroids: np.ndarray, col: str = "embedding"):
+        self.centroids = np.asarray(centroids, dtype=np.float32)
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, self.col)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        assign = np.argmax((m / norms[:, None]) @ self.centroids.T, axis=1)
+        return batch.append_column("ivf_cluster", pa.array(assign.astype(np.int32)))
+
+
+def knn_ivf(ds, query_vec, dim: int, k: int = 10, n_clusters: int = 16,
+            n_probe: int = 4, id_col: str = "vec_id", col: str = "embedding",
+            concurrency: int = 2, centroids: np.ndarray | None = None):
+    """IVF kNN: train/broadcast centroids → assign clusters → scan only
+    the query's n_probe nearest clusters with the exact cosine kernel.
+    The alternative scale path to LSH bucketing; recall grows with
+    n_probe (n_probe == n_clusters ⇒ exhaustive)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(ds, dim, n_clusters=n_clusters, col=col)
+    q = np.asarray(query_vec, dtype=np.float32)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    order = np.argsort(-(centroids @ qn))
+    probe = set(int(c) for c in order[:n_probe])
+
+    assigned = ds.map_batches(
+        IVFAssign,
+        fn_constructor_kwargs={"centroids": centroids, "col": col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    filtered = assigned.map_batches(
+        lambda b: b.filter(pa.compute.is_in(
+            b["ivf_cluster"], value_set=pa.array(sorted(probe), type=pa.int32()))),
+        batch_format="pyarrow",
+    )
+    return knn_brute(filtered, query_vec, k=k, id_col=id_col, col=col,
+                     concurrency=concurrency)

@@ -677,3 +677,17 @@ def q_geocode_join(sf_dir: str):
 
 
 QUERIES["geocode_join"] = q_geocode_join
+
+
+def q_knn_ivf(sf_dir: str):
+    """IVF (k-means coarse quantizer) kNN — the alternative scale path to
+    LSH bucketing. Rows-only (probing is approximate by design;
+    recall pinned in pytest)."""
+    from ..ops.similarity import knn_ivf
+
+    q = _query_vec(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_ivf(ds, q, dim=len(q), k=10, n_probe=6)
+
+
+QUERIES["knn_ivf"] = q_knn_ivf

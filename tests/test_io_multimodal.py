@@ -273,3 +273,29 @@ def test_empty_corpus_build(ray_session):
 
     index = IndexData(idx.features, idx.phrase_grid, idx.freq, idx.max_score, idx.layer_zooms)
     assert forward_one(index, "anything") == []
+
+
+def test_knn_ivf_recall(ray_session):
+    """IVF kNN with 4/16 probes recalls most of the brute-force top-10;
+    probing every cluster is exhaustive (recall 1.0)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from carmen_ray.ops.similarity import knn_brute, knn_ivf, train_ivf_centroids
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qvec = np.asarray(t["embedding"].to_pylist()[0], dtype=np.float32)
+
+    def fresh():
+        return rd.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    exact = set(knn_brute(fresh(), qvec, k=10, concurrency=1).to_pandas()["vec_id"])
+    cents = train_ivf_centroids(fresh(), dim=len(qvec))
+    approx = set(knn_ivf(fresh(), qvec, dim=len(qvec), k=10, n_probe=4,
+                         concurrency=1, centroids=cents).to_pandas()["vec_id"])
+    assert len(exact & approx) / len(exact) >= 0.5
+    full = set(knn_ivf(fresh(), qvec, dim=len(qvec), k=10, n_probe=16,
+                       concurrency=1, centroids=cents).to_pandas()["vec_id"])
+    assert full == exact
