@@ -229,3 +229,18 @@ def test_permutations_props_parity():
     assert perms[1].relev == 0.4
     assert bin(perms[1].mask) == "0b111"
     assert perms[2].tokens == ["b", "c", "d"]
+
+
+def test_housenum_range_reference_parity():
+    """termops.getHousenumRangeV3.test.js:5-50 — exact waffle sets."""
+    assert get_housenum_range() is None
+    assert get_housenum_range(addressnumbers=[]) is None
+    assert get_housenum_range(addressnumbers=[[0, 10]]) == ["#", "##"]
+    assert get_housenum_range(addressnumbers=[[0, 10000000000]]) == ["#", "10#########"]
+    assert get_housenum_range(addressnumbers=[[5, 10, 1, 13, 3100, 3101, 3503]]) == \
+        ["#", "##", "31##", "35##"]
+    assert get_housenum_range(addressnumbers=[["5a", "10b", "1c", "13d"]]) == ["#", "##"]
+    assert get_housenum_range(addressnumbers=[["lot 1", "lot 10"]]) == ["#", "##"]
+    assert get_housenum_range(addressnumbers=[["apt a", "apt b"]]) is None
+    # tiger range: lfrom/lto pairs zip per member
+    assert get_housenum_range(range_props=[(["0", "11"], ["5", "100"])]) == ["#", "##", "1##"]
