@@ -80,13 +80,17 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         + 0.3 * np.minimum(stop_ratio * 5.0, 1.0)
         + 0.3 * np.exp(-np.abs(mean_word_len - 5.0) / 5.0)
     )
+    def round6(a):
+        # half-up like DuckDB's round() (numpy rounds half-even)
+        return np.floor(a * 1e6 + 0.5) / 1e6
+
     return pa.table({
         "doc_id": batch["doc_id"],
         "n_chars": pa.array(n_chars),
         "n_words": pa.array(n_words),
-        "alpha_ratio": pa.array(np.round(alpha_ratio, 6)),
-        "stop_ratio": pa.array(np.round(stop_ratio, 6)),
-        "quality": pa.array(np.round(quality, 6)),
+        "alpha_ratio": pa.array(round6(alpha_ratio)),
+        "stop_ratio": pa.array(round6(stop_ratio)),
+        "quality": pa.array(round6(quality)),
     })
 
 

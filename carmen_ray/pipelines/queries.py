@@ -466,10 +466,38 @@ ORACLES = {
     "text_token_counts": SQL_TOKEN_COUNTS,
     "exact_dedup": SQL_EXACT_DEDUP_COUNTS,
     "knn_cosine": SQL_KNN_COSINE,
-    # text_quality / exact_dedup(full) / lang_id / fingerprint /
-    # minhash / simhash / knn_lsh / embedding_dedup: non-SQL-expressible
-    # (heuristic models, hash internals, LSH) → rows-only check.
+    # lang_id / fingerprint / minhash / simhash / knn_lsh / knn_ivf /
+    # embedding_dedup / media_features / geocode_join / geo_cells /
+    # raster_vector_join: non-SQL-expressible (heuristic models, hash
+    # internals, LSH/IVF probing, ranked geocode output) → rows-only.
 }
+
+SQL_TEXT_QUALITY = r"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS words
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(words) AS BIGINT) AS n_words,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+         CAST(length(list_filter(words, x -> list_contains(
+             ['the','and','of','a','to','in','is','for','on','with'], lower(x)))) AS DOUBLE) AS n_stop,
+         CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) AS sum_wlen
+  FROM w
+)
+SELECT doc_id, n_chars, n_words,
+       round(CASE WHEN n_chars > 0 THEN n_alpha / greatest(n_chars, 1) ELSE 0 END, 6) AS alpha_ratio,
+       round(CASE WHEN n_words > 0 THEN n_stop / greatest(n_words, 1) ELSE 0 END, 6) AS stop_ratio,
+       round(
+         0.4 * (CASE WHEN n_chars > 0 THEN n_alpha / greatest(n_chars, 1) ELSE 0 END)
+         + 0.3 * least((CASE WHEN n_words > 0 THEN n_stop / greatest(n_words, 1) ELSE 0 END) * 5.0, 1.0)
+         + 0.3 * exp(-abs((CASE WHEN n_words > 0 THEN sum_wlen / greatest(n_words, 1) ELSE 0 END) - 5.0) / 5.0)
+       , 6) AS quality
+FROM f
+"""
+ORACLES["text_quality"] = SQL_TEXT_QUALITY
 
 
 # --------------------------------------------------- streaming-shaped ops
