@@ -719,3 +719,39 @@ def q_knn_ivf(sf_dir: str):
 
 
 QUERIES["knn_ivf"] = q_knn_ivf
+
+
+def q_events_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT) at scale: per-batch distinct partials →
+    shard shuffle → exact distinct per shard → tiny final sum. The
+    two-level pattern that replaces a full-row shuffle for distinct
+    aggregation."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop_duplicates(["event_type", "user_id"]).copy()
+        out["shard"] = (out["user_id"].to_numpy() % 16).astype("int32")
+        return out
+
+    def shard_distinct(group: pd.DataFrame) -> pd.DataFrame:
+        d = group.drop_duplicates(["event_type", "user_id"])
+        return d.groupby("event_type", as_index=False).agg(n=("user_id", "size"))
+
+    from ..ops.agg import Spec, grouped_aggregate
+
+    per_shard = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(shard_distinct, batch_format="pandas")
+    )
+    return grouped_aggregate(per_shard, ["event_type"],
+                             [Spec("n_users", "n", "sum")])
+
+
+SQL_EVENTS_DISTINCT_USERS = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+QUERIES["events_distinct_users"] = q_events_distinct_users
+ORACLES["events_distinct_users"] = SQL_EVENTS_DISTINCT_USERS
