@@ -755,3 +755,23 @@ FROM events GROUP BY event_type
 
 QUERIES["events_distinct_users"] = q_events_distinct_users
 ORACLES["events_distinct_users"] = SQL_EVENTS_DISTINCT_USERS
+
+
+def q_customers_without_events(sf_dir: str):
+    """Anti join (J7): customers with no events — broadcast key-set
+    filter (ops/joins.anti_join); the Bloom-filter variant at 100 TB."""
+    from ..ops.joins import anti_join
+
+    ev = pq.read_table(f"{sf_dir}/events.parquet", columns=["user_id"])
+    active = set(ev["user_id"].to_pylist())
+    customers = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    return anti_join(customers, active, on="c_custkey")
+
+
+SQL_CUSTOMERS_WITHOUT_EVENTS = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT user_id FROM events)
+"""
+
+QUERIES["customers_without_events"] = q_customers_without_events
+ORACLES["customers_without_events"] = SQL_CUSTOMERS_WITHOUT_EVENTS
