@@ -311,3 +311,17 @@ def test_relevance_score_reference_parity():
 def test_inside_tile_reference_parity():
     """bbox.xyz.test.js — sphericalmercator.xyz semantics."""
     assert bboxutil.inside_tile([-78, 38, -76, 40], 5) == [5, 9, 12, 9, 12]
+
+
+def test_permute_all_reference_parity():
+    """permute.test.js:15-59 — exact mask order for all()."""
+    assert [len(all_masks(n)) for n in range(1, 11)] == \
+        [1, 3, 7, 15, 31, 63, 127, 255, 511, 1023]
+    assert list(all_masks(2)) == [0b11, 0b01, 0b10]
+    assert list(all_masks(3)) == [0b111, 0b011, 0b101, 0b110, 0b001, 0b010, 0b100]
+    assert list(all_masks(4)) == [
+        0b1111,
+        0b0111, 0b1011, 0b1101, 0b1110,
+        0b0011, 0b0101, 0b0110, 0b1001, 0b1010, 0b1100,
+        0b0001, 0b0010, 0b0100, 0b1000,
+    ]
