@@ -325,3 +325,11 @@ def test_permute_all_reference_parity():
         0b0011, 0b0101, 0b0110, 0b1001, 0b1010, 0b1100,
         0b0001, 0b0010, 0b0100, 0b1000,
     ]
+
+
+def test_permute_continuous_reference_parity():
+    """permute.test.js:63-92 — exact continuous() emission order."""
+    assert list(continuous_masks(4)) == [
+        0b1111, 0b0111, 0b1110, 0b0011, 0b0110, 0b1100,
+        0b0001, 0b0010, 0b0100, 0b1000,
+    ]
