@@ -244,3 +244,19 @@ def test_housenum_range_reference_parity():
     assert get_housenum_range(addressnumbers=[["apt a", "apt b"]]) is None
     # tiger range: lfrom/lto pairs zip per member
     assert get_housenum_range(range_props=[(["0", "11"], ["5", "100"])]) == ["#", "##", "1##"]
+
+
+def test_3bit_log_scale_reference_parity():
+    """termops.logScale3Bit.test.js — exact encode/decode values (fround
+    float32 semantics included)."""
+    assert encode_3bit_log(3566, 180000) == 5
+    assert encode_3bit_log(-1, 10) == 0
+    assert encode_3bit_log(0, 10) == 0
+    expected = {1: 1, 2: 3, 3: 4, 4: 5, 5: 5, 6: 6, 7: 6, 8: 7, 9: 7, 10: 7}
+    for n, want in expected.items():
+        assert encode_3bit_log(n, 10) == want, n
+    assert decode_3bit_log(5, 180000, True) == 5672
+    dec = {0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 7, 7: 10}
+    for n, want in dec.items():
+        assert decode_3bit_log(n, 10, True) == want, n
+    assert decode_3bit_log(6.5, 1.01) == 1.0092824097422461
