@@ -199,3 +199,41 @@ def test_media_cells(built):
     tile_rows = cells[cells.media_ref.str.startswith("tile://")]
     for r in tile_rows.itertuples():
         assert r.media_ref == f"tile://{r.zxy}"
+
+
+def test_phrasegen_synonym_language_phrases(ray_session):
+    """getIndexableText-shaped behavior at the PhraseGen level: default
+    text + synonym + lang:es each produce phrases; the es phrase carries
+    the es language bit, default/synonym carry default+universal bits."""
+    import json as _json
+
+    import ray.data as rd
+
+    from carmen_ray.index.build import build_index, lang_bit
+    from carmen_ray.sources.synth import SPAN_TYPE, _mk_spans
+
+    spans = _mk_spans([
+        ("text", "main street", ""),
+        ("synonym", "the main drag", ""),
+        ("lang:es", "calle mayor", ""),
+        ("geom", _json.dumps({"type": "Point", "coordinates": [1.0, 2.0]}), ""),
+        ("center", "1,2", ""),
+        ("score", "10", ""),
+    ])
+    tbl = pa.table({
+        "doc_id": pa.array(["poi.1"], type=pa.string()),
+        "spans": pa.array([spans], type=pa.list_(SPAN_TYPE)),
+    })
+    idx = build_index(rd.from_arrow(tbl).repartition(1))
+    pg = idx.phrase_grid.to_pandas()
+    phrases = set(pg["phrase"])
+    assert "main street" in phrases
+    assert "the main drag" in phrases
+    assert "calle mayor" in phrases
+
+    default_bits = (1 << lang_bit("default")) | (1 << lang_bit("all"))
+    es_bit = 1 << lang_bit("es")
+    by_phrase = pg.set_index("phrase")["lang_set"]
+    assert int(by_phrase["main street"]) & default_bits == default_bits
+    assert int(by_phrase["calle mayor"]) & es_bit == es_bit
+    assert int(by_phrase["calle mayor"]) & default_bits == 0
