@@ -68,6 +68,20 @@ class GeocoderConfig:
     fuzzy_match: bool = True
     autocomplete: bool = True
     layers: dict[str, LayerConfig] = field(default_factory=dict)
+    # geocoder_format (format-features.js getPlaceName template role):
+    # placeholders {address} {name} {context}; None → carmen default
+    # "{address} {name}, {context}"
+    place_format: str | None = None
+
+    def render_place_name(self, name: str, context_names: list[str],
+                          address: str | None = None) -> str:
+        fmt = self.place_format or "{address} {name}, {context}"
+        out = fmt.replace("{address}", address or "")
+        out = out.replace("{name}", name)
+        out = out.replace("{context}", ", ".join(context_names))
+        # collapse artifacts from empty placeholders
+        out = " ".join(out.split())
+        return out.strip(" ,")
 
     def build_replacers(self):
         """→ (simple, complex, global) replacers, carmen's categorization

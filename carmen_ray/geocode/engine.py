@@ -679,8 +679,12 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
                 ctx_names.append(overrides[c.layer])
             else:
                 ctx_names.append(_display_text(c, language)[0])
-        name_prefix = f"{matched_address} " if matched_address else ""
-        place_name = name_prefix + ", ".join([display] + ctx_names)
+        if index.config is not None and index.config.place_format:
+            place_name = index.config.render_place_name(
+                display, ctx_names, matched_address)
+        else:
+            name_prefix = f"{matched_address} " if matched_address else ""
+            place_name = name_prefix + ", ".join([display] + ctx_names)
         # matching_text: the indexed synonym/translation that matched,
         # when it differs from the display form (getMatchingText,
         # format-features.js:383-488)

@@ -201,3 +201,25 @@ def test_whitespace_reference_parity():
     assert whitespace_hypothesis(["one", "two", "three"]) is None
     assert whitespace_hypothesis(["21st", "st"]) is None       # ordinals: too few letters
     assert whitespace_hypothesis(["100", "mainst"]) is None    # non-numeric error untouched
+
+
+def test_place_format_template(cfg_index, ray_session):
+    """geocoder_format-style templates drive place_name rendering."""
+    from carmen_ray.config import GeocoderConfig
+    from carmen_ray.geocode.engine import IndexData, forward_one
+
+    idx, _ = cfg_index
+    fmt_cfg = GeocoderConfig(place_format="{name} ({context})")
+    index = IndexData(idx.features, idx.phrase_grid, idx.freq, idx.max_score,
+                      idx.layer_zooms, config=fmt_cfg)
+    f = idx.features.to_pandas()
+    street = f[f.layer == "street"].iloc[0]
+    res = forward_one(index, street.text)
+    assert res and res[0]["place_name"].startswith(street.text + " (")
+    assert res[0]["place_name"].endswith(")")
+
+    # default template renders "name, context"
+    cfg2 = GeocoderConfig()
+    assert cfg2.render_place_name("main st", ["springfield", "usa"], "12") == \
+        "12 main st, springfield, usa"
+    assert cfg2.render_place_name("main st", ["usa"]) == "main st, usa"
