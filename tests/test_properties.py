@@ -1,0 +1,74 @@
+"""Property-based robustness tests (hypothesis): the scalar core must
+never crash and must hold its invariants on arbitrary input."""
+
+import hypothesis.strategies as st
+import numpy as np
+from hypothesis import given, settings
+
+from carmen_ray.text.termops import num_token_v3, parse_semi_number
+from carmen_ray.text.tokenize import normalize_query, tokenize
+from carmen_ray.util import grid
+from carmen_ray.util.jsmath import js_round
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=120))
+def test_tokenize_never_crashes_and_invariants(s):
+    q = tokenize(s)
+    assert len(q.tokens) == len(q.separators) == len(q.owner)
+    n = normalize_query(q)
+    assert len(n.tokens) <= 20
+    # normalize is idempotent on its own output
+    n2 = normalize_query(n)
+    assert n2.tokens == n.tokens
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="0123456789abcdefghij -/к", max_size=20))
+def test_parse_semi_number_total(s):
+    v = parse_semi_number(s)
+    assert v is None or isinstance(v, int)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=0, max_value=10**12))
+def test_waffle_shape(n):
+    w = num_token_v3(str(n))
+    assert len(w) == len(str(n))
+    assert set(w) <= set("0123456789#")
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=(1 << 14) - 1),
+    st.integers(min_value=0, max_value=(1 << 14) - 1),
+    st.sampled_from([0.4, 0.6, 0.8, 1.0]),
+    st.integers(min_value=0, max_value=7),
+    st.integers(min_value=0, max_value=(1 << 20) - 1),
+)
+def test_grid_roundtrip_property(x, y, relev, score, fid):
+    enc = grid.encode([x], [y], [relev], [score], [fid])
+    dec = grid.decode(enc)
+    assert int(dec["x"][0]) == x
+    assert int(dec["y"][0]) == y
+    assert float(dec["relev"][0]) == relev
+    assert int(dec["score"][0]) == score
+    assert int(dec["id"][0]) == fid
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.floats(min_value=-1e9, max_value=1e9, allow_nan=False))
+def test_js_round_matches_floor_semantics(x):
+    r = js_round(x)
+    assert r == np.floor(x + 0.5)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.floats(min_value=-180, max_value=180), st.floats(min_value=-90, max_value=90))
+def test_cells_total(lon, lat):
+    from carmen_ray.geom.cells import hex_cell, s2_cell, s2_level
+
+    c = s2_cell(lon, lat, 12)
+    assert s2_level(c) == 12
+    h = hex_cell(lon, lat, 9)
+    assert (h >> 56) & 0xF == 9
