@@ -141,3 +141,31 @@ def test_normalize_query_limits_parity():
     r = normalize_query(q)
     assert r.tokens == list("abcdefghijklmnopqrst")
     assert len(r.tokens) == 20
+
+
+def test_as_reverse_reference_parity():
+    """termops.asReverse.test.js — exact accept/reject set."""
+    assert as_reverse("40,0") == (40, 0)
+    assert as_reverse("40.00000,-40.31200") == (40, -40.312)
+    assert as_reverse("-120.9129102983109, 45.312312") == (-120.9129102983109, 45.312312)
+    assert as_reverse("1400 15") is None
+    assert as_reverse("14th 15th") is None
+    assert as_reverse("9 rue Alphonse Penaud Paris, 75020 France") is None
+    assert as_reverse("9 a, 10 b") is None
+    assert as_reverse("9 a, 10") is None
+    assert as_reverse("9,10 b") is None
+    assert as_reverse("") is None
+    assert as_reverse("0,0") == (0, 0)
+    assert as_reverse("010,020") == (10, 20)
+    assert as_reverse("1,2,3") is None
+
+
+def test_id_query_reference_parity():
+    """termops.id.test.js — greedy dbname match incl. dotted names."""
+    assert parse_id_query("country.5432") == ("country", "5432")
+    assert parse_id_query("multi.part.455233") == ("multi.part", "455233")
+    assert parse_id_query("near country.5432") is None
+    assert parse_id_query("country.5432 street") is None
+    assert parse_id_query("country.a445") is None
+    assert parse_id_query("place.32f424") is None
+    assert parse_id_query("country.424k") is None
