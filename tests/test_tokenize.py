@@ -169,3 +169,26 @@ def test_id_query_reference_parity():
     assert parse_id_query("country.a445") is None
     assert parse_id_query("place.32f424") is None
     assert parse_id_query("country.424k") is None
+
+
+def test_remove_diacritics_reference_parity():
+    """diacritics.test.js — the full pin set (Latin, Greek, Cyrillic,
+    Arabic folds; Japanese/Hindi untouched; combining-mark handling)."""
+    from carmen_ray.text.diacritics import remove_diacritics as rd
+
+    assert rd("Hérê àrë søme wöřdš, including diacritics and puncatuation!") == \
+        "Here are some words, including diacritics and puncatuation!"
+    assert rd("Cranberries are low, creeping shrubs or vines up to 2 metres (7 ft)") == \
+        "Cranberries are low, creeping shrubs or vines up to 2 metres (7 ft)"
+    assert rd("堪《たま》らん！」と片息《かたいき》になつて、喚《わめ》") == \
+        "堪《たま》らん！」と片息《かたいき》になつて、喚《わめ》"
+    assert rd("किसी वर्ण के मूल चिह्न के ऊपर, नीचे, अलग-बगल लगने") == \
+        "किसी वर्ण के मूल चिह्न के ऊपर, नीचे, अलग-बगल लगने"
+    assert rd("άΆέΈήΉίΊόΌύΎ αΑεΕηΗιΙοΟυΥ") == "αΑεΕηΗιΙοΟυΥ αΑεΕηΗιΙοΟυΥ"
+    assert rd("ўЎёЁѐЀґҐйЙ уУеЕеЕгГиИ") == "уУеЕеЕгГиИ уУеЕеЕгГиИ"
+    assert rd("ي,ی ى") == "ى,ى ى"
+    assert rd("à") == "a"
+    assert rd("Москва́") == "Москва"
+    assert rd("à́") == "a"
+    assert rd("é̑") == "e"
+    assert len(rd("̀")) > 0
