@@ -82,10 +82,12 @@ def remove_diacritics(s: str) -> str:
     for ch in decomposed:
         cat = unicodedata.category(ch)
         # strip only the U+0300–036F combining range, like the reference
-        # (remove-diacritics.js final regex) — Japanese dakuten (U+3099),
-        # Hebrew niqqud etc. are preserved
+        # (remove-diacritics.js final regex `(\S)([̀-ͯ]+)`) —
+        # Japanese dakuten (U+3099), Hebrew niqqud etc. are preserved,
+        # and BARE marks (no preceding non-space char) are left alone
         if cat == "Mn" and "̀" <= ch <= "ͯ":
-            continue
+            if out and not out[-1].isspace():
+                continue
         # fullwidth/enclosed digits & letters → ascii via NFKC compat value
         if cat in ("Nd", "No") and not ch.isascii():
             digit = unicodedata.digit(ch, None)
