@@ -1008,5 +1008,8 @@ def forward_geocode_ds(queries_ds, index, concurrency: int = 4, batch_size: int 
         },
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        # autoscaling (1, n) pool: a fixed-size pool of n == num_cpus
+        # actors starves the upstream repartition / downstream aggregate
+        # tasks and deadlocks the streaming executor on small clusters
+        concurrency=(1, concurrency) if isinstance(concurrency, int) else concurrency,
     )

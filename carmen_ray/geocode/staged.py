@@ -315,7 +315,7 @@ def forward_geocode_staged(queries_ds, index, concurrency: int = 4, config=None,
     }
     pm_rows = queries_ds.map_batches(
         PhrasematchStage, fn_constructor_kwargs=kwargs,
-        batch_format="pyarrow", batch_size=256, concurrency=concurrency,
+        batch_format="pyarrow", batch_size=256, concurrency=(1, concurrency) if isinstance(concurrency, int) else concurrency,
     )
 
     def add_qshard(df):

@@ -553,7 +553,7 @@ def build_index(docs_ds, freq_min_count: int = 1, config=None) -> CarmenIndex:
         PhraseGen,
         fn_constructor_kwargs={"freq": freq, "max_score": max_score, "config": config},
         batch_format="pyarrow",
-        concurrency=4,
+        concurrency=(1, 4),
     )
     phrase_grid = assign_phrase_ids(phrase_grid)
 
@@ -650,7 +650,7 @@ def build_index_streaming(docs_ds, out_dir: str, freq_min_count: int = 1,
             PhraseGen,
             fn_constructor_kwargs={"freq": freq, "max_score": max_score, "config": config},
             batch_format="pyarrow",
-            concurrency=4,
+            concurrency=(1, 4),
         )
         assign_phrase_ids(phrase_grid).write_parquet(f"{out_dir}/phrasegrid")
         _mark("phrasegrid")

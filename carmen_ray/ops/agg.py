@@ -43,8 +43,10 @@ def grouped_aggregate(ds, keys: list[str], specs: list[Spec], num_shards: int = 
             if s.op == "count":
                 aggs[f"__{s.out}"] = (keys[0], "size")
             elif s.op == "mean":
+                # denominator = non-null count (SQL AVG ignores NULLs;
+                # pandas sum skips NaN, so size would divide by too many)
                 aggs[f"__{s.out}__sum"] = (s.col, "sum")
-                aggs[f"__{s.out}__n"] = (s.col, "size")
+                aggs[f"__{s.out}__n"] = (s.col, "count")
             else:
                 aggs[f"__{s.out}"] = (s.col, s.op)
         out = df.groupby(keys, as_index=False, sort=False).agg(**aggs)
@@ -54,6 +56,12 @@ def grouped_aggregate(ds, keys: list[str], specs: list[Spec], num_shards: int = 
         return out
 
     def final(group: pd.DataFrame) -> pd.DataFrame:
+        # Deterministic accumulation order: partial blocks arrive in
+        # nondeterministic order; sorting by key + partial values makes
+        # the float sums reproducible across runs and parallelism.
+        group = group.sort_values(
+            by=[c for c in group.columns if c != "__shard"], kind="mergesort"
+        )
         aggs = {}
         for s in specs:
             if s.op in ("sum", "count"):

@@ -159,25 +159,29 @@ class MinHasher:
 
 
 def explode_bands(batch: pa.Table, num_bands: int = 32) -> pa.Table:
-    """(doc_id, minhash[128]) → (band, band_hash, doc_id) rows."""
-    from ..util.hashing import fnv1a_64
+    """(doc_id, minhash[128]) → (band, band_hash, doc_id) rows.
 
+    Fully vectorized: the per-band hash is a polynomial combine of the
+    band's minhash values + splitmix64 finalizer, computed for every
+    (doc, band) cell in `rows_per_band` numpy passes — no Python loop
+    over rows."""
     n = batch.num_rows
     sig_len = batch["minhash"].type.list_size
     rows_per_band = sig_len // num_bands
-    sigs = np.asarray(batch["minhash"].combine_chunks().flatten()).reshape(n, sig_len)
-    doc_ids = batch["doc_id"].to_pylist()
-    out_band, out_hash, out_doc = [], [], []
-    for i in range(n):
-        for b in range(num_bands):
-            seg = sigs[i, b * rows_per_band : (b + 1) * rows_per_band]
-            out_band.append(b)
-            out_hash.append(fnv1a_64(seg.tobytes()))
-            out_doc.append(doc_ids[i])
+    sigs = np.asarray(batch["minhash"].combine_chunks().flatten()).reshape(
+        n, num_bands, rows_per_band
+    )
+    with np.errstate(over="ignore"):
+        h = np.zeros((n, num_bands), dtype=np.uint64)
+        for j in range(rows_per_band):
+            h = h * np.uint64(0x100000001B3) + sigs[:, :, j]
+    h = _mix64(h)
+    bands = np.broadcast_to(np.arange(num_bands, dtype=np.int32), (n, num_bands))
+    doc_idx = np.repeat(np.arange(n), num_bands)
     return pa.table({
-        "band": pa.array(out_band, type=pa.int32()),
-        "band_hash": pa.array(out_hash, type=pa.uint64()),
-        "doc_id": pa.array(out_doc),
+        "band": pa.array(bands.reshape(-1)),
+        "band_hash": pa.array(h.reshape(-1), type=pa.uint64()),
+        "doc_id": batch["doc_id"].take(pa.array(doc_idx)),
     })
 
 
@@ -188,7 +192,7 @@ def minhash_lsh_candidates(ds, num_perm: int = 128, num_bands: int = 32,
         MinHasher,
         fn_constructor_kwargs={"num_perm": num_perm, "text_col": text_col},
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=(1, concurrency) if isinstance(concurrency, int) else concurrency,
     )
     bands = sigs.map_batches(
         lambda b: explode_bands(b, num_bands), batch_format="pyarrow"
@@ -216,27 +220,37 @@ def minhash_near_dups(ds, threshold: float = 0.7, num_perm: int = 128,
                       num_bands: int = 32, text_col: str = "text",
                       id_col: str = "doc_id", concurrency: int = 2):
     """Verified near-dups: LSH candidates → exact n-gram Jaccard ≥
-    threshold. The text lookup side is broadcast here (small corpus);
-    at 100 TB replace with ops/joins.hash_join on the id."""
-    texts = {}
-    for b in ds.iter_batches(batch_format="pyarrow", batch_size=65536):
-        for i, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
-            texts[i] = t
+    threshold. Texts reach the verify stage via two bucketed
+    `hash_join`s on the doc id (candidate pairs are the small side) —
+    no driver-side materialization of the corpus; only candidate rows
+    carry text, and only through the verify stage."""
+    from .joins import hash_join
 
     cand = minhash_lsh_candidates(ds, num_perm=num_perm, num_bands=num_bands,
                                   text_col=text_col, concurrency=concurrency)
+
+    def texts_as(key: str, val: str):
+        return ds.map_batches(
+            lambda df: df[[id_col, text_col]].rename(
+                columns={id_col: key, text_col: val}
+            ),
+            batch_format="pandas",
+        )
+
+    with_a = hash_join(cand, texts_as("doc_a", "__text_a"), on="doc_a", how="inner")
+    with_b = hash_join(with_a, texts_as("doc_b", "__text_b"), on="doc_b", how="inner")
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
             return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
         jac = [
-            round(ngram_jaccard(texts.get(a, ""), texts.get(b, "")), 6)
-            for a, b in zip(df["doc_a"], df["doc_b"])
+            round(ngram_jaccard(a, b), 6)
+            for a, b in zip(df["__text_a"], df["__text_b"])
         ]
-        df = df.assign(jaccard=jac)
+        df = df.assign(jaccard=jac)[["doc_a", "doc_b", "jaccard"]]
         return df[df["jaccard"] >= threshold].reset_index(drop=True)
 
-    return cand.map_batches(verify, batch_format="pandas")
+    return with_b.map_batches(verify, batch_format="pandas")
 
 
 def _dedupe_pairs(cand, cols: list[str], shards: int = 32):

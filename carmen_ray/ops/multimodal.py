@@ -136,5 +136,5 @@ def media_feature_pipeline(refs_ds, embed_dim: int = 16, batch_size: int = 32, c
         fn_constructor_kwargs={"embed_dim": embed_dim},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=(1, concurrency) if isinstance(concurrency, int) else concurrency,
     )

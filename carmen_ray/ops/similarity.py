@@ -58,7 +58,7 @@ def knn_brute(ds, query_vec, k: int = 10, id_col: str = "vec_id", col: str = "em
         CosineTopK,
         fn_constructor_kwargs={"query_vec": query_vec, "k": k, "id_col": id_col, "col": col},
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=(1, concurrency) if isinstance(concurrency, int) else concurrency,
     )
     return partials.sort(["cosine_sim", id_col], descending=[True, False]).limit(k)
 
@@ -104,7 +104,7 @@ def knn_lsh_bucketed(ds, query_vec, dim: int, k: int = 10, bits: int = 6,
         HyperplaneLSH,
         fn_constructor_kwargs={"dim": dim, "bits": bits, "col": col},
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=(1, concurrency) if isinstance(concurrency, int) else concurrency,
     )
     filtered = with_buckets.map_batches(
         lambda b: b.filter(
@@ -123,7 +123,7 @@ def pairwise_cosine_dedup(ds, threshold: float = 0.95, dim: int = 32,
         HyperplaneLSH,
         fn_constructor_kwargs={"dim": dim, "bits": bits, "col": col},
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=(1, 2),
     )
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
@@ -233,7 +233,7 @@ def knn_ivf(ds, query_vec, dim: int, k: int = 10, n_clusters: int = 16,
         IVFAssign,
         fn_constructor_kwargs={"centroids": centroids, "col": col},
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=(1, concurrency) if isinstance(concurrency, int) else concurrency,
     )
     filtered = assigned.map_batches(
         lambda b: b.filter(pa.compute.is_in(

@@ -292,7 +292,7 @@ SELECT p_brand, count(*) AS n_parts,
        min(p_retailprice) AS min_price,
        max(p_retailprice) AS max_price,
        round(avg(p_retailprice), 6) AS avg_price,
-       sum(p_size) AS sum_size
+       CAST(sum(p_size) AS BIGINT) AS sum_size
 FROM part GROUP BY p_brand
 """
 
@@ -357,7 +357,7 @@ def q_lang_id(sf_dir: str):
     from ..ops.textstats import LangId
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
-    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=2).select_columns(
+    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 2)).select_columns(
         ["doc_id", "lang", "lang_pred"]
     )
 
@@ -526,6 +526,9 @@ def q_events_asof(sf_dir: str):
 
     def project(df: pd.DataFrame) -> pd.DataFrame:
         out = df[["event_id", "o_orderkey"]].copy()
+        # event_id is never null (left side); restore int64 after the
+        # union's NaN-padding upcast so the value hash matches DuckDB.
+        out["event_id"] = out["event_id"].astype("int64")
         out["o_orderkey"] = out["o_orderkey"].astype("Int64")
         return out.rename(columns={"o_orderkey": "matched_order"})
 
@@ -758,14 +761,16 @@ ORACLES["events_distinct_users"] = SQL_EVENTS_DISTINCT_USERS
 
 
 def q_customers_without_events(sf_dir: str):
-    """Anti join (J7): customers with no events — broadcast key-set
-    filter (ops/joins.anti_join); the Bloom-filter variant at 100 TB."""
-    from ..ops.joins import anti_join
+    """Anti join (J7): customers with no events — distributed bucketed
+    anti join (ops/joins.anti_join_ds): no driver-side key set, only
+    the event key column shuffles, deduped map-side per batch."""
+    from ..ops.joins import anti_join_ds
 
-    ev = pq.read_table(f"{sf_dir}/events.parquet", columns=["user_id"])
-    active = set(ev["user_id"].to_pylist())
+    ev = _read(sf_dir, "events", ["user_id"]).map_batches(
+        lambda df: df.rename(columns={"user_id": "c_custkey"}), batch_format="pandas"
+    )
     customers = _read(sf_dir, "customer", ["c_custkey", "c_name"])
-    return anti_join(customers, active, on="c_custkey")
+    return anti_join_ds(customers, ev, on="c_custkey")
 
 
 SQL_CUSTOMERS_WITHOUT_EVENTS = """
