@@ -6,13 +6,16 @@ per-query timings.
                                  # fresh processes → scaling efficiency
 
 Headline metric (`value`): the geocode-join — a fixed batch of forward /
-proximity / reverse / id queries streamed through the fused geocoder
-actor pool over the deterministically synthesized interleaved corpus.
-The query batch is identical at every parallelism level; the actor pool
-sizes with the CPU budget, so this measures throughput scaling of the
-same job on the same input. Index build time and the operator-registry
-pipelines (latency-bound micro benchmarks) are reported alongside but
-not folded into the scaling headline.
+proximity / reverse / id queries through the STAGED sharded pipeline
+(streaming-built index, phrase-sharded phrasematch pools, explicit
+groupby(query_id) shuffle, verify actors) over a 10× interleaved corpus;
+reverse/id route through the fused pool. The fused broadcast-index
+variant runs on the same corpus and is reported as `fused_*` for
+comparison. The query batch is identical at every parallelism level;
+pools size with the CPU budget, so this measures throughput scaling of
+the same job on the same input. Index build time and the
+operator-registry pipelines are reported alongside but not folded into
+the scaling headline.
 """
 
 from __future__ import annotations
@@ -26,7 +29,11 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-N_QUERIES = int(os.environ.get("GRAFT_BENCH_QUERIES", "240000"))
+N_QUERIES = int(os.environ.get("GRAFT_BENCH_QUERIES", "60000"))
+# headline corpus = 10× the sf mapping: the staged scale path must be
+# exercised on a corpus the fused broadcast design starts to strain at
+CORPUS_MULT = int(os.environ.get("GRAFT_CORPUS_MULT", "10"))
+PHRASE_SHARDS = int(os.environ.get("GRAFT_PHRASE_SHARDS", "2"))
 
 BENCH_QUERIES = [
     "pricing_summary",
@@ -56,27 +63,40 @@ def run_bench(include_ops: bool = True) -> dict:
     for t in ("lineitem", "orders", "events", "documents", "embeddings"):
         pq.read_table(f"{SF_DIR}/{t}.parquet")
 
-    from carmen_ray.pipelines.flagship import build_corpus_and_index, corpus_scale_for, make_queries
+    from carmen_ray.pipelines.flagship import (
+        build_corpus_and_index_streaming,
+        corpus_scale_for,
+        flagship_staged,
+        make_queries,
+    )
     from carmen_ray.geocode.engine import forward_geocode_ds
     import ray.data as rd
 
-    # ---- index build (reported, not the scaling headline) ------------
+    # ---- streaming index build (reported, not the scaling headline) --
     t0 = time.time()
     scale = corpus_scale_for(SF_DIR)
-    corpus_tbl, index = build_corpus_and_index(scale=scale, blocks=NUM_CPUS)
+    corpus_tbl, index = build_corpus_and_index_streaming(
+        scale=scale, blocks=NUM_CPUS, corpus_mult=CORPUS_MULT)
     build_s = time.time() - t0
 
-    # ---- headline: geocode-join over a fixed query batch -------------
-    queries = make_queries(index, N_QUERIES)
+    # ---- headline: staged geocode-join over a fixed query batch ------
+    # staged sharded pipeline (forward) + fused pool (reverse/id): the
+    # architecture that still runs when no actor can hold the index
     t1 = time.time()
-    # leave CPU headroom for the repartition / input tasks — an actor
-    # pool that reserves every CPU deadlocks the streaming executor
     pool = max(2, NUM_CPUS - 2)
-    qds = rd.from_arrow(queries).repartition(pool * 2)
-    results = forward_geocode_ds(qds, index, concurrency=pool, batch_size=128)
+    results = flagship_staged(
+        None, concurrency=pool, n_queries=N_QUERIES,
+        phrase_shards=PHRASE_SHARDS, index=index)
     n_results = results.count()
     geocode_s = time.time() - t1
     queries_per_s = N_QUERIES / geocode_s if geocode_s else 0.0
+
+    # ---- fused comparison (broadcast-index pool, same corpus) --------
+    t_f = time.time()
+    queries = make_queries(index, N_QUERIES)
+    qds = rd.from_arrow(queries.drop_columns(["kind"])).repartition(pool * 2)
+    n_fused = forward_geocode_ds(qds, index, concurrency=pool, batch_size=128).count()
+    fused_s = time.time() - t_f
 
     out = {
         "metric": "geocode_join_sec",
@@ -87,12 +107,17 @@ def run_bench(include_ops: bool = True) -> dict:
         "queries": {},
         "geocode": {
             "index_docs": corpus_tbl.num_rows,
+            "corpus_mult": CORPUS_MULT,
+            "phrase_shards": PHRASE_SHARDS,
             "index_build_sec": round(build_s, 3),
             "index_docs_per_sec": round(corpus_tbl.num_rows / build_s, 1) if build_s else 0,
             "n_queries": N_QUERIES,
             "geocode_sec": round(geocode_s, 3),
             "queries_per_sec": round(queries_per_s, 1),
             "n_results": n_results,
+            "fused_sec": round(fused_s, 3),
+            "fused_queries_per_sec": round(N_QUERIES / fused_s, 1) if fused_s else 0,
+            "fused_n_results": n_fused,
         },
     }
 

@@ -57,6 +57,10 @@ class LayerConfig:
     geocoder_inherit_score: bool = False
     geocoder_universal_text: bool = False
     reverse_only: bool = False
+    # geocoder_categories (phrasematch.js:348-353): query phrases in
+    # this set mark their phrasematch cat_match=True; a category-matched
+    # subquery never becomes matching_text (format-features.js:462-464)
+    geocoder_categories: list[str] = field(default_factory=list)
 
 
 @dataclass

@@ -29,7 +29,7 @@ from .. import constants
 from ..util.jsmath import round_to
 
 
-@dataclass
+@dataclass(slots=True)
 class Grid:
     x: int
     y: int
@@ -41,7 +41,7 @@ class Grid:
     scoredist: float = 0.0
 
 
-@dataclass
+@dataclass(slots=True)
 class Phrasematch:
     idx: int
     layer: str
@@ -54,9 +54,11 @@ class Phrasematch:
     grids: list[Grid]
     address: str | None = None
     partial_number: bool = False
+    edit_distance: int = 0    # fuzzy window correction distance (R1)
+    cat_match: bool = False   # geocoder_categories hit (phrasematch.js:348-353)
 
 
-@dataclass
+@dataclass(slots=True)
 class StackEntry:
     pm: Phrasematch
     grid: Grid
@@ -71,7 +73,7 @@ class StackEntry:
         return self.pm.idx
 
 
-@dataclass
+@dataclass(slots=True)
 class Stack:
     entries: list[StackEntry] = field(default_factory=list)
     relev: float = 0.0

@@ -61,6 +61,36 @@ PM_SCHEMA = pa.schema([
     ("address", pa.string()),
     ("grids", pa.list_(pa.uint64())),      # 53-bit packed (x,y,relev,score3,fid)
     ("grid_scores", pa.list_(pa.float64())),  # raw scores (decoded path)
+    ("max_score", pa.float64()),           # index max_score, carried so the
+                                           # coalesce stage (no index access)
+                                           # normalizes scoredist identically
+                                           # to the fused path
+    ("subquery", pa.string()),             # matched subquery text — the
+                                           # direction-effects walk compares
+                                           # adjacent cover texts
+])
+
+# one row PER QUERY leaving coalesce: each column is a list over the
+# query's candidate stacks (cover_tmpids flattened with cover_counts
+# giving per-stack lengths). Packing per query means a downstream
+# map_batches boundary can never split one query's stacks across two
+# verify batches (which duplicated rank-0 rows).
+STACK_SCHEMA = pa.schema([
+    ("query_id", pa.string()),
+    ("limit", pa.int32()),
+    ("proximity_lon", pa.float64()),
+    ("proximity_lat", pa.float64()),
+    ("relev", pa.list_(pa.float64())),      # post direction-effects, unrounded
+    ("tmpid", pa.list_(pa.int64())),        # top cover's grid tmpid
+    ("zoom", pa.list_(pa.int32())),         # top cover's pm zoom
+    ("gx", pa.list_(pa.int32())),           # top cover's grid x
+    ("gy", pa.list_(pa.int32())),           # top cover's grid y
+    ("gscore", pa.list_(pa.float64())),     # top cover's grid score
+    ("address", pa.list_(pa.string())),
+    ("sd0", pa.list_(pa.float64())),        # stage-2 scoredist (determinism sort)
+    ("top_subquery", pa.list_(pa.string())),  # matching_text derivation
+    ("cover_tmpids", pa.list_(pa.int64())),
+    ("cover_counts", pa.list_(pa.int32())),
 ])
 
 
@@ -99,10 +129,12 @@ class PhrasematchStage:
                 continue
             pms: list[Phrasematch] = []
             tried: set = set()
-            for hyp, penalty in query_hypotheses(self.index, tokens, fuzzy=True):
+            fz = 1 if len(tokens) <= constants.MAX_CORRECTION_LENGTH else 0
+            for hyp, penalty in query_hypotheses(self.index, tokens, fuzzy=False):
                 if len(hyp) != len(tokens):
                     continue
-                pms.extend(phrasematch_query(self.index, hyp, weight_multiplier=penalty, seen=tried))
+                pms.extend(phrasematch_query(self.index, hyp, weight_multiplier=penalty,
+                                             seen=tried, fuzzy_max_distance=fz))
             for var_tokens, addr in num_tokenize(tokens):
                 pms.extend(phrasematch_query(self.index, var_tokens, seen=tried,
                                              address=addr["number"]))
@@ -111,6 +143,9 @@ class PhrasematchStage:
                         t for i, t in enumerate(var_tokens) if i != addr["position"]]
                     pms.extend(phrasematch_query(self.index, swapped, weight_multiplier=0.99,
                                                  seen=tried, address=addr["number"]))
+            from .engine import filter_misspelled_short
+
+            pms = filter_misspelled_short(pms)
             for pm in pms:
                 rows["query_id"].append(qid)
                 rows["query_len"].append(len(tokens))
@@ -132,30 +167,34 @@ class PhrasematchStage:
                 )
                 rows["grids"].append(packed.tolist())
                 rows["grid_scores"].append([g.score for g in pm.grids])
+                rows["max_score"].append(self.index.max_score)
+                rows["subquery"].append(pm.subquery)
         return pa.table({n: pa.array(rows[n], type=PM_SCHEMA.field(n).type) for n in PM_SCHEMA.names})
 
 
 def coalesce_shard(shard_group):
     """One shuffle group per query-id shard; exact per-query coalesce is
-    pandas-grouped inside (the coarse-shard pattern from ops/agg)."""
-    import pandas as pd
+    pandas-grouped inside (the coarse-shard pattern from ops/agg).
+    Returns an Arrow table in STACK_SCHEMA (one row per query)."""
+    rows = {n: [] for n in STACK_SCHEMA.names}
+    for _, g in shard_group.groupby("query_id", sort=False):
+        coalesce_group(g, rows)
+    return pa.table({n: pa.array(rows[n], type=STACK_SCHEMA.field(n).type)
+                     for n in STACK_SCHEMA.names})
 
-    outs = [coalesce_group(g) for _, g in shard_group.groupby("query_id", sort=False)]
-    outs = [o for o in outs if len(o)]
-    if not outs:
-        return pd.DataFrame()
-    return pd.concat(outs, ignore_index=True).drop(columns=["__qshard"], errors="ignore")
 
-
-def coalesce_group(group):
+def coalesce_group(group, rows) -> None:
     """Pure per-query coalesce: rebuild phrasematches from packed rows,
-    stack, emit the top stacks as narrow rows."""
+    stack, apply the direction effects (verifymatch.js:847-933 — covers
+    carry mask+subquery, all present here), append ONE row of
+    stack-lists for the query."""
     import pandas as pd
 
-    from ..util.proximity import distance as prox_distance, scoredist as prox_scoredist
+    from ..util.proximity import scoredist as prox_scoredist
+    from .engine import _direction_effects
 
     if len(group) == 0:
-        return pd.DataFrame()
+        return
     qid = group["query_id"].iloc[0]
     qlen = int(group["query_len"].iloc[0])
     plon = group["proximity_lon"].iloc[0]
@@ -163,53 +202,109 @@ def coalesce_group(group):
     lim = int(group["limit"].iloc[0])
     has_prox = plon is not None and not pd.isna(plon)
 
-    pms = []
+    # decode every pm row, then run the proximity math ONCE over all of
+    # the query's grids concatenated (avg pm row holds <10 grids — both
+    # per-grid scalar calls and per-row numpy were overhead-bound)
+    decoded = []
     for r in group.itertuples():
         dec = gridmod.decode(np.asarray(r.grids, dtype=np.uint64))
-        grids = []
-        for i in range(len(r.grids)):
-            g = Grid(
-                x=int(dec["x"][i]), y=int(dec["y"][i]), relev=float(dec["relev"][i]),
-                score=float(r.grid_scores[i]), fid=int(dec["id"][i]),
-                tmpid=int(r.idx) * (1 << 25) + int(dec["id"][i]),
-            )
-            if has_prox:
-                # tile-center distance (feature center hydrates in stage 3)
-                from ..geom.tile import tile_center_lonlat
+        decoded.append((r, dec, np.asarray(r.grid_scores, dtype=np.float64)))
 
-                clon, clat = tile_center_lonlat(g.x, g.y, int(r.zoom))
-                g.distance = float(prox_distance((plon, plat), (float(clon), float(clat)),
-                                                 g.x, g.y, int(r.zoom)))
-                g.scoredist = float(prox_scoredist(g.score, 0.0, 1000.0, g.distance, int(r.zoom)))
-            else:
-                g.scoredist = g.score
-            grids.append(g)
+    if has_prox and decoded:
+        from ..util.proximity import haversine_miles, scale_radius, score_weight
+
+        all_x = np.concatenate([d["x"].astype(np.float64) for _, d, _ in decoded])
+        all_y = np.concatenate([d["y"].astype(np.float64) for _, d, _ in decoded])
+        all_n = np.concatenate([
+            np.full(len(d["x"]), 2.0 ** int(r.zoom)) for r, d, _ in decoded])
+        all_scores = np.concatenate([s for _, _, s in decoded])
+        all_zoom = np.concatenate([
+            np.full(len(d["x"]), int(r.zoom), dtype=np.int64) for r, d, _ in decoded])
+        max_score = float(decoded[0][0].max_score)  # constant per index
+        clon = (all_x + 0.5) / all_n * 360.0 - 180.0
+        clat = np.degrees(np.arctan(np.sinh(np.pi * (1 - 2 * (all_y + 0.5) / all_n))))
+        best = haversine_miles(plon, plat, clon, clat)
+        max_corner = np.zeros(len(all_x))
+        for dx in (0.0, 1.0):
+            for dy in (0.0, 1.0):
+                lon_c = (all_x + dx) / all_n * 360.0 - 180.0
+                lat_c = np.degrees(np.arctan(np.sinh(np.pi * (1 - 2 * (all_y + dy) / all_n))))
+                max_corner = np.maximum(max_corner, haversine_miles(plon, plat, lon_c, lat_c))
+        all_dist = np.minimum(best, max_corner)
+        # scoredist = dist_weight × score_weight; dist_weight depends on
+        # the per-row zoom through scale_radius (piecewise) — vectorize
+        # by mapping zoom→radius then one gauss pass
+        from ..util.proximity import _VARIANCE_CONSTANT, gauss
+
+        radii = np.array([scale_radius(int(z)) for z in (6, 12, 14)])
+        r_sel = np.where(all_zoom <= 6, radii[0], np.where(all_zoom <= 12, radii[1], radii[2]))
+        dist_w = 9.0 * gauss(all_dist / r_sel * 3.0, _VARIANCE_CONSTANT) + 1.0
+        all_sd = dist_w * score_weight(all_scores, 0.0, max_score)
+    else:
+        all_dist = all_sd = None
+
+    pms = []
+    off = 0
+    for r, dec, scores in decoded:
+        m = len(dec["x"])
+        if has_prox:
+            dists = all_dist[off:off + m]
+            sds = all_sd[off:off + m]
+        else:
+            dists = np.zeros(m)
+            sds = scores
+        off += m
+        idx_base = int(r.idx) * (1 << 25)
+        grids = [
+            Grid(x=x, y=y, relev=rv, score=sc, fid=fd, tmpid=idx_base + fd,
+                 distance=dv, scoredist=sv)
+            for x, y, rv, sc, fd, dv, sv in zip(
+                dec["x"].tolist(), dec["y"].tolist(), dec["relev"].tolist(),
+                scores.tolist(), dec["id"].tolist(), dists.tolist(),
+                np.asarray(sds).tolist())
+        ]
         pms.append(Phrasematch(
             idx=int(r.idx), layer=str(r.layer), zoom=int(r.zoom), mask=int(r.mask),
-            weight=float(r.weight), subquery="", phrase_id=0,
+            weight=float(r.weight), subquery=str(r.subquery), phrase_id=0,
             prefix=bool(r.prefix), grids=grids,
             address=r.address if isinstance(r.address, str) else None,
         ))
 
-    stacks = stack_and_coalesce(pms, qlen)
-    out = {
-        "query_id": [], "limit": [], "proximity_lon": [], "proximity_lat": [],
-        "relev": [], "top_tmpid": [], "top_zoom": [], "address": [],
-        "scoredist0": [], "n_covers": [],
-    }
-    for st in stacks[: constants.VERIFYMATCH_STACK_LIMIT]:
+    stacks = stack_and_coalesce(pms, qlen)[: constants.VERIFYMATCH_STACK_LIMIT]
+    if not stacks:
+        return
+    relevs, tmpids, zooms, gxs, gys, gscores, addrs, sd0s, subs = \
+        [], [], [], [], [], [], [], [], []
+    cov_flat: list[int] = []
+    cov_counts: list[int] = []
+    for st in stacks:
         covers = st.covers()
-        out["query_id"].append(qid)
-        out["limit"].append(lim)
-        out["proximity_lon"].append(plon if has_prox else None)
-        out["proximity_lat"].append(plat if has_prox else None)
-        out["relev"].append(st.relev)
-        out["top_tmpid"].append(covers[0].grid.tmpid)
-        out["top_zoom"].append(covers[0].pm.zoom)
-        out["address"].append(next((e.pm.address for e in covers if e.pm.address), None))
-        out["scoredist0"].append(covers[0].grid.scoredist)
-        out["n_covers"].append(len(covers))
-    return pd.DataFrame(out)
+        relevs.append(_direction_effects(covers, st.relev))
+        tmpids.append(covers[0].grid.tmpid)
+        zooms.append(covers[0].pm.zoom)
+        gxs.append(covers[0].grid.x)
+        gys.append(covers[0].grid.y)
+        gscores.append(covers[0].grid.score)
+        addrs.append(next((e.pm.address for e in covers if e.pm.address), None))
+        sd0s.append(covers[0].grid.scoredist)
+        subs.append(covers[0].pm.subquery)
+        cov_flat.extend(e.grid.tmpid for e in covers)
+        cov_counts.append(len(covers))
+    rows["query_id"].append(qid)
+    rows["limit"].append(lim)
+    rows["proximity_lon"].append(plon if has_prox else None)
+    rows["proximity_lat"].append(plat if has_prox else None)
+    rows["relev"].append(relevs)
+    rows["tmpid"].append(tmpids)
+    rows["zoom"].append(zooms)
+    rows["gx"].append(gxs)
+    rows["gy"].append(gys)
+    rows["gscore"].append(gscores)
+    rows["address"].append(addrs)
+    rows["sd0"].append(sd0s)
+    rows["top_subquery"].append(subs)
+    rows["cover_tmpids"].append(cov_flat)
+    rows["cover_counts"].append(cov_counts)
 
 
 class VerifyStage:
@@ -223,67 +318,155 @@ class VerifyStage:
                                layer_zooms, config=config)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pandas as pd
+        """One input row = one query (STACK_SCHEMA). Mirrors the fused
+        forward_one verify loop: precise feature-center proximity
+        (min(center, furthest-tile-corner) bound like attach_proximity),
+        context squishy, squishy score inheritance, ghost/place-name
+        dedup, identical final sort."""
+        import json as _json
 
-        from ..geom.cells import hex_cell, s2_cell
-        from ..geom.tile import lonlat_to_tile
+        from ..geom.ops import nearest_point_on_multiline
         from ..util import proximity as prox
+        from .engine import (
+            GRANT_SCORE_LAYERS,
+            INHERIT_SCORE_LAYERS,
+            TMPID_SHIFT,
+            _display_text,
+            _squishy_boost,
+            attach_cells,
+        )
 
-        df = batch.to_pandas()
+        d = batch.to_pydict()
         rows = {name: [] for name, _ in RESULT_FIELDS}
-        for qid, g in df.groupby("query_id", sort=False):
-            g = g.sort_values(["relev", "scoredist0"], ascending=[False, False], kind="mergesort")
-            lim = int(g["limit"].iloc[0])
+        for qi in range(batch.num_rows):
+            qid = d["query_id"][qi]
+            lim = int(d["limit"][qi])
+            plon, plat = d["proximity_lon"][qi], d["proximity_lat"][qi]
+            has_prox = plon is not None
+            cov_flat = d["cover_tmpids"][qi]
+            cov_counts = d["cover_counts"][qi]
+            cov_off = np.concatenate([[0], np.cumsum(cov_counts)]).astype(int)
             best: dict[int, dict] = {}
-            for r in g.itertuples():
-                frow = self.index.row_by_tmpid(int(r.top_tmpid))
+            for si in range(len(d["tmpid"][qi])):
+                tmpid = int(d["tmpid"][qi][si])
+                frow = self.index.row_by_tmpid(tmpid)
                 if frow is None:
                     continue
                 feature = self.index.feature_at(frow)
                 ctx = _context_for(self.index, frow, int(feature.idx))
-                addr_number = r.address if isinstance(r.address, str) else None
+                addr_number = d["address"][qi][si]
                 resolved = resolve_address(feature, addr_number) if addr_number else None
                 matched_address = resolved["address"] if resolved else None
-                lon = resolved["lon"] if resolved else float(feature.center_lon)
-                lat = resolved["lat"] if resolved else float(feature.center_lat)
-                has_prox = r.proximity_lon is not None and not pd.isna(r.proximity_lon)
+                routable = None
+                if resolved and resolved.get("line"):
+                    routable = nearest_point_on_multiline(
+                        resolved["lon"], resolved["lat"], [resolved["line"]])
+                zoom_pm = int(d["zoom"][qi][si])
+                gscore = float(d["gscore"][qi][si])
                 if has_prox:
-                    zoom = int(r.top_zoom)
-                    tx, ty = lonlat_to_tile(lon, lat, zoom)
-                    d = prox.distance((r.proximity_lon, r.proximity_lat), (lon, lat),
-                                      int(tx), int(ty), zoom)
-                    scoredist = float(prox.scoredist(float(feature.score), 0.0,
-                                                     self.index.max_score, d, zoom))
+                    # fused attach_proximity: distance = min(center
+                    # haversine, furthest corner of the cover tile)
+                    center_d = float(prox.haversine_miles(
+                        plon, plat, float(feature.center_lon), float(feature.center_lat)))
+                    gx, gy = float(d["gx"][qi][si]), float(d["gy"][qi][si])
+                    nz = 2.0 ** zoom_pm
+                    max_corner = 0.0
+                    for dx in (0.0, 1.0):
+                        for dy in (0.0, 1.0):
+                            lon_c = (gx + dx) / nz * 360.0 - 180.0
+                            lat_c = float(np.degrees(np.arctan(
+                                np.sinh(np.pi * (1 - 2 * (gy + dy) / nz)))))
+                            max_corner = max(max_corner, float(
+                                prox.haversine_miles(plon, plat, lon_c, lat_c)))
+                    dist = min(center_d, max_corner)
+                    scoredist = float(prox.scoredist(
+                        gscore, self.index.min_score, self.index.max_score,
+                        dist, zoom_pm))
                 else:
-                    scoredist = float(feature.score)
-                name_prefix = f"{matched_address} " if matched_address else ""
-                place_name = name_prefix + ", ".join([feature.text] + [c.text for c in ctx])
-                relevance = round_to(float(r.relev), 6)
+                    dist = 0.0
+                    scoredist = gscore
+
+                display, matched_lang = _display_text(feature, None)
+                overrides = {}
+                ojson = getattr(feature, "overrides_json", "") or ""
+                if ojson:
+                    overrides = _json.loads(ojson)
+                ctx_names = []
+                for c in ctx:
+                    if c.layer in overrides and str(c.text) != overrides[c.layer]:
+                        ctx_names.append(overrides[c.layer])
+                    else:
+                        ctx_names.append(_display_text(c, None)[0])
+                if self.index.config is not None and self.index.config.place_format:
+                    place_name = self.index.config.render_place_name(
+                        display, ctx_names, matched_address)
+                else:
+                    name_prefix = f"{matched_address} " if matched_address else ""
+                    place_name = name_prefix + ", ".join([display] + ctx_names)
+                matched_sub = d["top_subquery"][qi][si]
+                matching_text = None
+                if matched_sub and matched_sub not in display.lower():
+                    matching_text = matched_sub
+
                 ghost = float(feature.score) < 0
+                relevance = float(d["relev"][qi][si])
+                covers_tmp = set(cov_flat[cov_off[si]:cov_off[si + 1]])
+                squishy_ctx_target = None
+                for c in ctx:
+                    ctmp = int(c.idx) * TMPID_SHIFT + int(c.fid)
+                    if ctmp in covers_tmp and c.layer in INHERIT_SCORE_LAYERS:
+                        squishy_ctx_target = str(c.text).lower()
+                        break
+                if squishy_ctx_target is not None:
+                    for c in ctx:
+                        ctmp = int(c.idx) * TMPID_SHIFT + int(c.fid)
+                        if ctmp not in covers_tmp and c.layer in GRANT_SCORE_LAYERS \
+                                and str(c.text).lower() == squishy_ctx_target:
+                            relevance += 0.01
+                            break
+                relevance = round_to(relevance, 6)
+
+                feat_radius = float(getattr(feature, "proximity_radius", 0.0) or 0.0) or None
+                if has_prox and feat_radius:
+                    scoredist = float(prox.scoredist(
+                        float(feature.score), self.index.min_score,
+                        self.index.max_score, dist, int(feature.zoom),
+                        radius=feat_radius))
+                squishy = _squishy_boost(self.index, feature, ctx, covers_tmp)
+                if squishy > 0:
+                    boosted = min(float(feature.score) + squishy, self.index.max_score)
+                    if has_prox:
+                        scoredist = float(prox.scoredist(
+                            boosted, self.index.min_score, self.index.max_score,
+                            dist, int(feature.zoom), radius=feat_radius))
+                    else:
+                        scoredist = scoredist + squishy
                 composite = prox.relevance_score(
                     relevance, scoredist if has_prox else 1.0,
                     address=matched_address if addr_number else "n/a", ghost=ghost)
-                zoom = int(feature.zoom)
-                tx, ty = lonlat_to_tile(lon, lat, zoom)
-                cand = ({
+                if resolved:
+                    lon, lat = resolved["lon"], resolved["lat"]
+                else:
+                    lon, lat = float(feature.center_lon), float(feature.center_lat)
+                cand = {
                     "feature_id": feature.doc_id, "relevance": relevance,
                     "composite": composite, "place_name": place_name,
                     "center_lon": lon, "center_lat": lat,
-                    "cell_zxy": f"{zoom}/{int(tx)}/{int(ty)}",
-                    "h3_r7": hex_cell(lon, lat, 7), "h3_r8": hex_cell(lon, lat, 8),
-                    "h3_r9": hex_cell(lon, lat, 9), "s2_cell": s2_cell(lon, lat, 12),
+                    "zoom": int(feature.zoom),  # cells derived after the limit
                     "context": [c.doc_id for c in ctx],
-                    "score": float(feature.score), "scoredist": scoredist,
+                    "score": float(feature.score), "scoredist": float(scoredist),
                     "idx": int(feature.idx), "fid": int(feature.fid),
                     "address": matched_address,
-                    "routable_lon": None, "routable_lat": None,
-                    "place_name": place_name,
-                })
-                prev = best.get(int(r.top_tmpid))
+                    "routable_lon": routable[0] if routable else None,
+                    "routable_lat": routable[1] if routable else None,
+                    "matching_text": matching_text, "language": matched_lang,
+                }
+                prev = best.get(tmpid)
                 if prev is None or (cand["relevance"], cand["composite"]) > (
                         prev["relevance"], prev["composite"]):
-                    best[int(r.top_tmpid)] = cand
-            # place-name dedup after best-per-feature (matches fused path)
+                    best[tmpid] = cand
+
+            # D2 place-name dedup, then D3 ghost-vs-scored (fused order)
             results = []
             seen_names: set[str] = set()
             for cand in sorted(best.values(), key=lambda x: (
@@ -292,11 +475,21 @@ class VerifyStage:
                     continue
                 seen_names.add(cand["place_name"])
                 results.append(cand)
+            scored_texts = {
+                r["place_name"].split(",")[0].strip().lower()
+                for r in results if r["score"] >= 0
+            }
+            results = [
+                r for r in results
+                if r["score"] >= 0
+                or r["place_name"].split(",")[0].strip().lower() not in scored_texts
+            ]
             results.sort(key=lambda x: (
                 -x["relevance"], -x["composite"], -x["scoredist"], x["idx"], x["fid"]))
             for rank, res in enumerate(results[:lim]):
                 rows["query_id"].append(qid)
                 res["rank"] = rank
+                attach_cells(res)  # cells only for surviving rows
                 for name, _ in RESULT_FIELDS[1:]:
                     rows[name].append(res.get(name))
         return pa.table({name: pa.array(rows[name], type=t) for name, t in RESULT_FIELDS})
@@ -313,17 +506,43 @@ def forward_geocode_staged(queries_ds, index, concurrency: int = 4, config=None,
         "freq": index.freq, "max_score": index.max_score,
         "layer_zooms": index.layer_zooms, "config": config,
     }
-    pm_rows = queries_ds.map_batches(
-        PhrasematchStage, fn_constructor_kwargs=kwargs,
-        batch_format="pyarrow", batch_size=256, concurrency=(1, concurrency) if isinstance(concurrency, int) else concurrency,
-    )
+    conc = (1, concurrency) if isinstance(concurrency, int) else concurrency
+    if phrase_shards <= 1:
+        pm_rows = queries_ds.map_batches(
+            PhrasematchStage, fn_constructor_kwargs=kwargs,
+            batch_format="pyarrow", batch_size=256, concurrency=conc,
+            num_cpus=0.5,
+        )
+    else:
+        # size each shard's pool so the pools together fit the CPU
+        # budget — phrase_shards full-size pools oversubscribe and
+        # thrash (measured 7× parallelism on 32 CPUs before this)
+        conc = (1, max(1, (concurrency + phrase_shards - 1) // phrase_shards))
+        # phrase-sharded fan-out: every query visits every shard's actor
+        # pool; each pool holds only its prefix-bin slice of the phrase
+        # table (phrase rows are disjoint across shards, so the union has
+        # no duplicate phrasematch rows). The groupby(query_id) shuffle
+        # below reassembles per-query state — no actor holds the whole
+        # phrase table.
+        parts = []
+        for s in range(phrase_shards):
+            kw = dict(kwargs, shard=s, of_n=phrase_shards)
+            parts.append(queries_ds.map_batches(
+                PhrasematchStage, fn_constructor_kwargs=kw,
+                batch_format="pyarrow", batch_size=256, concurrency=conc,
+                num_cpus=0.5,
+            ))
+        pm_rows = parts[0].union(*parts[1:])
 
     def add_qshard(df):
         import pandas as pd
 
         df = df.copy()
+        # 256 shards: the coalesce+verify stage is the expensive one
+        # (~9 ms/query); finer groups give the actor pool enough tasks
+        # to ramp to full width and balance skewed queries
         df["__qshard"] = (
-            pd.util.hash_pandas_object(df["query_id"], index=False).to_numpy() % 64
+            pd.util.hash_pandas_object(df["query_id"], index=False).to_numpy() % 256
         ).astype("int32")
         return df
 
@@ -334,5 +553,7 @@ def forward_geocode_staged(queries_ds, index, concurrency: int = 4, config=None,
     )
     return stacks.map_batches(
         VerifyStage, fn_constructor_kwargs=kwargs,
-        batch_format="pyarrow", batch_size=512, concurrency=max(1, concurrency // 2),
+        batch_format="pyarrow", batch_size=512,
+        concurrency=(1, concurrency) if isinstance(concurrency, int) else concurrency,
+        num_cpus=0.5,
     )

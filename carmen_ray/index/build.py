@@ -588,6 +588,12 @@ def build_index(docs_ds, freq_min_count: int = 1, config=None) -> CarmenIndex:
         ("x", "ascending"), ("y", "ascending"), ("lang_set", "ascending"),
     ])
 
+    # precompute per-feature context chains (index/context.py) so the
+    # query stages do a column lookup instead of bbox+PIP per candidate
+    from .context import attach_context
+
+    feat_tbl = attach_context(feat_tbl, layer_zooms)
+
     return CarmenIndex(
         features=feat_tbl,
         phrase_grid=pg_tbl,
@@ -642,7 +648,29 @@ def build_index_streaming(docs_ds, out_dir: str, freq_min_count: int = 1,
     # whose _SUCCESS marker committed (finer-grained per-partition resume
     # lives in sources/io.write_index)
     if not _is_done("features"):
-        parsed.select_columns(feature_cols).write_parquet(f"{out_dir}/features")
+        import ray.data as _rd
+
+        if not _is_done("features_raw"):
+            parsed.select_columns(feature_cols).write_parquet(f"{out_dir}/features_raw")
+            _mark("features_raw")
+        # context precompute stage: annotate each feature with its parent
+        # chain; each actor loads the pack from the raw parquet itself
+        # (no driver materialization — see index/context.py scale note)
+        from .context import ContextStage
+
+        lz_prelim = {}
+        for b in parsed.select_columns(["layer", "zoom"]).map_batches(
+                lambda df: df.drop_duplicates(), batch_format="pandas"
+        ).to_pandas().itertuples():
+            lz_prelim[b.layer] = int(b.zoom)
+        raw = _rd.read_parquet(f"{out_dir}/features_raw")
+        raw.map_batches(
+            ContextStage,
+            fn_constructor_kwargs={"features_path": f"{out_dir}/features_raw",
+                                   "layer_zooms": lz_prelim},
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        ).write_parquet(f"{out_dir}/features")
         _mark("features")
 
     if not _is_done("phrasegrid"):
@@ -660,9 +688,15 @@ def build_index_streaming(docs_ds, out_dir: str, freq_min_count: int = 1,
             f"{out_dir}/mediacells")
         _mark("mediacells")
 
-    layer_zooms = {}
-    for row in parsed.select_columns(["layer", "zoom"]).take_all():
-        layer_zooms[row["layer"]] = int(row["zoom"])
+    # distinct aggregate, not take_all over every row: dedupe map-side so
+    # only (layer, zoom) uniques reach the driver
+    lz = (
+        parsed.select_columns(["layer", "zoom"])
+        .map_batches(lambda df: df.drop_duplicates(), batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    layer_zooms = {r.layer: int(r.zoom) for r in lz.itertuples()}
     with open(f"{out_dir}/index_meta.json", "w") as f:
         _json.dump({"freq": freq, "max_score": max_score, "layer_zooms": layer_zooms}, f)
 

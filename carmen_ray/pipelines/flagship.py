@@ -69,19 +69,95 @@ def make_queries(index, n_queries: int | None = None) -> pa.Table:
     plons = np.where(prox_mask, lon, np.nan)
     plats = np.where(prox_mask, lat, np.nan)
 
+    kinds = np.full(n_queries, "forward", dtype=object)
+    kinds[rev_mask] = "reverse"
+    kinds[id_mask] = "id"
     return pa.table({
         "query_id": pa.array([f"q{j}" for j in i], type=pa.string()),
         "query": pa.array(list(queries), type=pa.string()),
         "proximity_lon": pa.array(plons, type=pa.float64(), from_pandas=True),
         "proximity_lat": pa.array(plats, type=pa.float64(), from_pandas=True),
+        # routing metadata (a real caller knows which API it's hitting):
+        # forward queries take the staged sharded path, reverse/id the
+        # fused actor
+        "kind": pa.array(list(kinds), type=pa.string()),
     })
 
 
 def flagship(sf_dir: str = "/root/testdata/sf0.001", concurrency: int = 4,
              n_queries: int | None = None):
-    """Returns the geocode-result Dataset for the derived query batch."""
+    """Returns the geocode-result Dataset for the derived query batch.
+
+    Default = the scale path: streaming index build (partitioned parquet,
+    resumable) + staged sharded forward geocode; reverse/id queries
+    route through the fused actor. `flagship_fused` keeps the compact
+    single-pool variant for comparison."""
+    return flagship_staged(sf_dir, concurrency=concurrency, n_queries=n_queries)
+
+
+def flagship_fused(sf_dir: str = "/root/testdata/sf0.001", concurrency: int = 4,
+                   n_queries: int | None = None):
+    """Compact variant: in-memory index + one fused actor pool."""
     scale = corpus_scale_for(sf_dir)
     _, index = build_corpus_and_index(scale=scale)
     queries = make_queries(index, n_queries)
     qds = rd.from_arrow(queries).repartition(max(2, concurrency))
     return forward_geocode_ds(qds, index, concurrency=concurrency)
+
+
+def build_corpus_and_index_streaming(scale: int = 1, blocks: int = 8,
+                                     out_dir: str | None = None,
+                                     corpus_mult: int = 1):
+    """Streaming-build the index to partitioned parquet (resumable,
+    nothing driver-materialized) and load it back compact for the
+    query stages. corpus_mult scales the corpus past the sf mapping
+    (the bench uses 10× to exercise the sharded path on a corpus the
+    fused-broadcast design would struggle with)."""
+    import tempfile
+
+    from ..index.build import build_index_streaming, load_index_streaming
+
+    s = scale * corpus_mult
+    tbl = generate_corpus(
+        n_places=max(40, 20 * s),
+        n_streets=200 * s,
+        n_pois=100 * s,
+    )
+    ds = rd.from_arrow(tbl).repartition(blocks)
+    out = out_dir or tempfile.mkdtemp(prefix="carmen_index_", dir="/tmp")
+    build_index_streaming(ds, out)
+    return tbl, load_index_streaming(out)
+
+
+def flagship_staged(sf_dir: str = "/root/testdata/sf0.001", concurrency: int = 4,
+                    n_queries: int | None = None, phrase_shards: int = 2,
+                    out_dir: str | None = None, corpus_mult: int = 1,
+                    index=None):
+    """Scale-path flagship: staged sharded forward geocode over a
+    streaming-built index; reverse/id queries through the fused pool."""
+    from ..geocode.staged import forward_geocode_staged
+
+    if index is None:
+        scale = corpus_scale_for(sf_dir)
+        _, index = build_corpus_and_index_streaming(
+            scale=scale, out_dir=out_dir, corpus_mult=corpus_mult)
+    queries = make_queries(index, n_queries)
+    is_fwd = pa.compute.equal(queries["kind"], "forward")
+    fwd_tbl = queries.filter(is_fwd).drop_columns(["kind"])
+    other_tbl = queries.filter(pa.compute.invert(is_fwd)).drop_columns(["kind"])
+
+    parts = []
+    if fwd_tbl.num_rows:
+        qds = rd.from_arrow(fwd_tbl).repartition(max(2, concurrency))
+        parts.append(forward_geocode_staged(
+            qds, index, concurrency=concurrency, phrase_shards=phrase_shards))
+    if other_tbl.num_rows:
+        qds = rd.from_arrow(other_tbl).repartition(max(2, concurrency // 2))
+        parts.append(forward_geocode_ds(
+            qds, index, concurrency=max(1, concurrency // 2)))
+    if not parts:
+        return rd.from_arrow(fwd_tbl)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out

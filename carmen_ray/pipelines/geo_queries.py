@@ -212,31 +212,91 @@ def q_raster_vector_join(sf_dir: str):
     """Raster↔vector join over the interleaved corpus: media cells table
     ⋈ feature covers by tile containment (scaled zoom equality). Returns
     (media_ref, doc_id, vector_doc) hit rows. Rows-only (engine
-    internal)."""
-    from ..geocode.coalesce import _aligned
+    internal).
+
+    Distributed plan (replaces the r1 all-pairs driver loop): tile
+    containment across zooms means equality after projecting the finer
+    tile to the coarser zoom, so for each distinct (media zoom, cover
+    zoom) pair the finer side emits its ancestor cell at the coarser
+    zoom, and the whole join is ONE bucketed `hash_join` on a packed
+    (zoom, x, y) key. Probe fan-out per row = number of distinct zoom
+    levels (a handful), never the cover count."""
+    import pyarrow.compute as pc
+
+    from ..ops.joins import hash_join
     from ..pipelines.flagship import build_corpus_and_index, corpus_scale_for
 
     _, index = build_corpus_and_index(scale=corpus_scale_for(sf_dir))
-    media = index.media_cells.to_pandas()
-    pg = index.phrase_grid.to_pandas()[["layer", "zoom", "x", "y", "fid"]].drop_duplicates()
 
-    media_ds = rd.from_pandas(media)
+    cover_zooms = sorted(set(pc.unique(index.phrase_grid["zoom"]).to_pylist()))
+    media_pd = index.media_cells.to_pandas()
+    zxy = media_pd["zxy"].str.split("/", expand=True).astype(int)
+    media_pd["mz"], media_pd["mx"], media_pd["my"] = zxy[0], zxy[1], zxy[2]
+    media_zooms = sorted(set(media_pd["mz"]))
 
-    covers = pg.to_records(index=False)
+    def key(role, z, x, y):
+        # role bit separates the two containment directions so a media
+        # ANCESTOR can never meet a cover ANCESTOR (cousins sharing a
+        # coarse cell are not contained in each other):
+        #   role 0: media ancestor  ⋈ cover own-cell   (cover ⊇ media)
+        #   role 1: media own-cell  ⋈ cover ancestor   (media ⊇ cover)
+        return (np.int64(role) << np.int64(62)) | \
+               (np.asarray(z, dtype=np.int64) << 58) | \
+               (np.asarray(x, dtype=np.int64) << 29) | np.asarray(y, dtype=np.int64)
 
-    def join(b: pd.DataFrame) -> pd.DataFrame:
-        out = {"media_ref": [], "media_doc": [], "vector_doc_fid": [], "vector_layer": []}
-        for row in b.itertuples():
-            z, x, y = (int(v) for v in row.zxy.split("/"))
-            for c in covers:
-                if _aligned(x, y, z, int(c.x), int(c.y), int(c.zoom)):
-                    out["media_ref"].append(row.media_ref)
-                    out["media_doc"].append(row.doc_id)
-                    out["vector_doc_fid"].append(int(c.fid))
-                    out["vector_layer"].append(str(c.layer))
-        return pd.DataFrame(out)
+    def media_probes(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for cz in cover_zooms:
+            m = df[df["mz"] >= cz]
+            if m.empty:
+                continue
+            shift = (m["mz"] - cz).to_numpy()
+            outs.append(pd.DataFrame({
+                "k": key(0, cz, m["mx"].to_numpy() >> shift, m["my"].to_numpy() >> shift),
+                "media_ref": m["media_ref"].to_numpy(),
+                "media_doc": m["doc_id"].to_numpy(),
+            }))
+        finer_exists = df["mz"].map(lambda z: any(cz > z for cz in cover_zooms))
+        own = df[finer_exists]
+        if not own.empty:
+            outs.append(pd.DataFrame({
+                "k": key(1, own["mz"].to_numpy(), own["mx"].to_numpy(), own["my"].to_numpy()),
+                "media_ref": own["media_ref"].to_numpy(),
+                "media_doc": own["doc_id"].to_numpy(),
+            }))
+        return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+            {"k": [], "media_ref": [], "media_doc": []})
 
-    return media_ds.map_batches(join, batch_format="pandas")
+    def cover_probes(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["layer", "zoom", "x", "y", "fid"])
+        outs = [pd.DataFrame({
+            "k": key(0, df["zoom"].to_numpy(), df["x"].to_numpy(), df["y"].to_numpy()),
+            "vector_doc_fid": df["fid"].to_numpy(),
+            "vector_layer": df["layer"].to_numpy(),
+        })]
+        for mz in media_zooms:
+            m = df[df["zoom"] > mz]
+            if m.empty:
+                continue
+            shift = (m["zoom"] - mz).to_numpy()
+            outs.append(pd.DataFrame({
+                "k": key(1, mz, m["x"].to_numpy() >> shift, m["y"].to_numpy() >> shift),
+                "vector_doc_fid": m["fid"].to_numpy(),
+                "vector_layer": m["layer"].to_numpy(),
+            }))
+        return pd.concat(outs, ignore_index=True).drop_duplicates()
+
+    media_ds = rd.from_pandas(media_pd).map_batches(media_probes, batch_format="pandas")
+    covers_ds = rd.from_arrow(
+        index.phrase_grid.select(["layer", "zoom", "x", "y", "fid"])
+    ).map_batches(cover_probes, batch_format="pandas")
+
+    joined = hash_join(media_ds, covers_ds, on="k", how="inner")
+    return joined.map_batches(
+        lambda df: df[["media_ref", "media_doc", "vector_doc_fid", "vector_layer"]]
+        .drop_duplicates(),
+        batch_format="pandas",
+    )
 
 
 GEO_QUERIES = {

@@ -237,3 +237,47 @@ def test_phrasegen_synonym_language_phrases(ray_session):
     assert int(by_phrase["main street"]) & default_bits == default_bits
     assert int(by_phrase["calle mayor"]) & es_bit == es_bit
     assert int(by_phrase["calle mayor"]) & default_bits == 0
+
+
+def test_id_query_returns_exact_feature(ray_session):
+    """An id query (place.N) must return feature N itself even when a
+    higher-scored feature shares the same name — direct hydrate, no
+    re-ranking through forward search (geocode.js:150-151)."""
+    import json as _json
+
+    import ray.data as rd
+
+    from carmen_ray.geocode.engine import ForwardGeocoder
+    from carmen_ray.index.build import build_index
+    from carmen_ray.sources.synth import SPAN_TYPE, _mk_spans
+
+    def doc(doc_id, text, lon, lat, score):
+        return {
+            "doc_id": doc_id,
+            "spans": _mk_spans([
+                ("text", text, ""),
+                ("geom", _json.dumps({"type": "Point", "coordinates": [lon, lat]}), ""),
+                ("center", f"{lon},{lat}", ""),
+                ("score", str(score), ""),
+            ]),
+        }
+
+    rows = [
+        doc("place.1", "springfield", 10.0, 10.0, 1000),  # the famous one
+        doc("place.2", "springfield", 20.0, 20.0, 1),     # the obscure one
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.string()),
+        "spans": pa.array([r["spans"] for r in rows], type=pa.list_(SPAN_TYPE)),
+    })
+    idx = build_index(rd.from_arrow(tbl).repartition(1))
+    g = ForwardGeocoder(idx.features, idx.phrase_grid, idx.freq,
+                        idx.max_score, idx.layer_zooms)
+    out = g(pa.table({
+        "query_id": pa.array(["q0", "q1"], type=pa.string()),
+        "query": pa.array(["place.2", "place.1"], type=pa.string()),
+    })).to_pandas()
+    got = dict(zip(out["query_id"], out["feature_id"]))
+    assert got["q0"] == "place.2"
+    assert got["q1"] == "place.1"
+    assert (out["relevance"] == 1.0).all()

@@ -20,8 +20,15 @@ def test_tokenize_never_crashes_and_invariants(s):
     assert len(n.tokens) <= 20
     # normalize is idempotent below the 20-token cap (at the cap the
     # reference's own CJK-expansion guard makes a second pass differ —
-    # termops.js:99 checks remaining capacity against the pre-drop count)
-    if len(n.tokens) < 20:
+    # termops.js:99 checks remaining capacity against the pre-drop count).
+    # CJK COMPATIBILITY ideographs are excluded: the reference splits on
+    # the raw text (termops.js:98) but NFKD maps U+F900.. into the
+    # unified block, so a second pass can split what the first kept —
+    # same behavior in the reference, so parity wins over idempotency.
+    has_compat_cjk = any(
+        0xF900 <= ord(ch) <= 0xFAFF or 0x2F800 <= ord(ch) <= 0x2FA1F for ch in s
+    )
+    if len(n.tokens) < 20 and not has_compat_cjk:
         n2 = normalize_query(n)
         assert n2.tokens == n.tokens
 

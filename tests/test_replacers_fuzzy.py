@@ -223,3 +223,66 @@ def test_place_format_template(cfg_index, ray_session):
     assert cfg2.render_place_name("main st", ["springfield", "usa"], "12") == \
         "12 main st, springfield, usa"
     assert cfg2.render_place_name("main st", ["usa"]) == "main st, usa"
+
+
+def test_windowed_fuzzy_inner_token(ray_session):
+    """A one-edit misspelling that still tokenizes to a KNOWN word
+    ('mair street' → 'main street' while 'mair' is itself indexed —
+    fuzzyMatchWindows, phrasematch.js:106) is corrected at the
+    phrase-window level, not just unknown-token symspell."""
+    import json as _json
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from carmen_ray.geocode.engine import IndexData, forward_one
+    from carmen_ray.index.build import build_index
+    from carmen_ray.sources.synth import SPAN_TYPE, _mk_spans
+
+    def doc(doc_id, text, lon, lat):
+        return {"doc_id": doc_id, "spans": _mk_spans([
+            ("text", text, ""),
+            ("geom", _json.dumps({"type": "Point", "coordinates": [lon, lat]}), ""),
+            ("center", f"{lon},{lat}", ""),
+            ("score", "10", ""),
+        ])}
+
+    rows = [
+        doc("street.1", "main street", 10.0, 10.0),
+        doc("street.2", "mair avenue", 11.0, 11.0),  # makes 'mair' a known word
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.string()),
+        "spans": pa.array([r["spans"] for r in rows], type=pa.list_(SPAN_TYPE)),
+    })
+    idx = build_index(rd.from_arrow(tbl).repartition(1))
+    index = IndexData(idx.features, idx.phrase_grid, idx.freq, idx.max_score,
+                      idx.layer_zooms)
+    assert "mair" in index.vocab  # known word: old token-symspell never fires
+    res = forward_one(index, "mair street")
+    assert res, "windowed fuzzy found nothing"
+    assert res[0]["feature_id"] == "street.1"
+    assert res[0]["relevance"] < 1.0
+    assert res[0]["relevance"] >= 0.75
+
+
+def test_fuzzy_token_count_gate(cfg_index):
+    """Fuzzy is gated on query token count ≤ MAX_CORRECTION_LENGTH
+    (phrasematch.js:55) — a 9-token query gets no corrections."""
+    from carmen_ray import constants
+    from carmen_ray.geocode.engine import IndexData, forward_one
+
+    idx, cfg = cfg_index
+    f = idx.features.to_pandas()
+    street = f[f.layer == "street"].iloc[0]
+    index = IndexData(idx.features, idx.phrase_grid, idx.freq, idx.max_score,
+                      idx.layer_zooms, config=cfg)
+    word = street.text.split()[0]
+    typo = word[:2] + word[3:] if len(word) > 4 else word + "x"
+    padding = ["qqq"] * (constants.MAX_CORRECTION_LENGTH + 1 - len(street.text.split()))
+    long_query = " ".join([typo] + street.text.split()[1:] + padding)
+    res = forward_one(index, long_query)
+    # the typo'd window must NOT have been fuzzy-corrected
+    assert all(r["feature_id"] != street.doc_id or r["relevance"] < 0.75
+               for r in res) or not res or \
+        all(street.text.split()[0] not in (r.get("matching_text") or "") for r in res)

@@ -71,3 +71,39 @@ def test_reverse_multi(built, ray_session):
     # ranked by distance-adjusted score, ranks sequential
     assert [r["rank"] for r in res] == list(range(len(res)))
     assert all(r["feature_id"].startswith("poi.") for r in res)
+
+
+def test_staged_matches_fused_proximity_and_shards(built, ray_session):
+    """Parity extension (VERDICT r1 item 2): proximity queries through
+    the staged path — with the phrase table sharded 3-ways — must rank
+    identically to the fused actor (same top feature + relevance; the
+    staged max_score now rides along in the PM rows instead of the old
+    1000.0 hardcode, so scoredist ordering matches)."""
+    import ray.data as rd
+
+    from carmen_ray.geocode.engine import forward_geocode_ds
+    from carmen_ray.geocode.staged import forward_geocode_staged
+
+    idx = built
+    f = idx.features.to_pandas()
+    targets = f[f.layer.isin(["street", "poi", "place"])].head(20)
+    queries = pa.table({
+        "query_id": [f"q{i}" for i in range(len(targets))],
+        "query": targets["text"].tolist(),
+        # proximity biased to a DIFFERENT feature's location (reversed
+        # order) so the proximity term actually reorders candidates
+        "proximity_lon": targets["center_lon"].tolist()[::-1],
+        "proximity_lat": targets["center_lat"].tolist()[::-1],
+    })
+
+    fused = forward_geocode_ds(rd.from_arrow(queries), idx, concurrency=1).to_pandas()
+    staged = forward_geocode_staged(
+        rd.from_arrow(queries), idx, concurrency=1, phrase_shards=3
+    ).to_pandas()
+
+    top_f = fused[fused["rank"] == 0].set_index("query_id")[["feature_id", "relevance"]]
+    top_s = staged[staged["rank"] == 0].set_index("query_id")[["feature_id", "relevance"]]
+    assert set(top_f.index) == set(top_s.index)
+    joined = top_f.join(top_s, lsuffix="_f", rsuffix="_s")
+    assert (joined["feature_id_f"] == joined["feature_id_s"]).all()
+    assert (joined["relevance_f"] == joined["relevance_s"]).all()
