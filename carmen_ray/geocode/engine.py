@@ -94,14 +94,17 @@ class IndexData:
                 if cats:
                     self.layer_categories[lname] = set(cats)
 
+        sort_cols = ["phrase", "idx", "fid", "x", "y", "lang_set"]
+        if "lang_set_hi" in phrase_grid.column_names:
+            sort_cols.append("lang_set_hi")
         pg = phrase_grid.to_pandas().sort_values(
-            ["phrase", "idx", "fid", "x", "y", "lang_set"],
-            kind="mergesort").reset_index(drop=True)
+            sort_cols, kind="mergesort").reset_index(drop=True)
         self.phrases = pg["phrase"].to_numpy(dtype=object)
         self.pg_cols = {
             c: pg[c].to_numpy()
             for c in ("idx", "layer", "zoom", "relev", "score", "x", "y",
-                      "fid", "phrase_id", "lang_set")
+                      "fid", "phrase_id", "lang_set", "lang_set_hi")
+            if c in pg.columns
         }
         self.freq = freq
         self.max_score = max_score

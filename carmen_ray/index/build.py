@@ -47,14 +47,39 @@ from ..util.hashing import fnv1a_64, phrase_hash
 
 MAX_COVERS = 10000  # indexdocs.js:346-358 cap
 
-LANG_BITS = {"default": 0, "all": 63}  # bit 63 = universal
+LANG_BITS = {"default": 0, "all": 127}  # bit 127 = universal
+UNMATCHED_LANG_BIT = 126  # languages past the 125-slot map
+_LANG_LO_MASK = (1 << 64) - 1
 
 
-def lang_bit(lang: str) -> int:
+def lang_bit(lang: str, lang_map: dict[str, int] | None = None) -> int:
+    """Bit position 0..127 in the 128-bit language set
+    (docs/index-structure.md:20). With a `lang_map` (assigned at index
+    build from the distinct languages actually present, like carmen's
+    per-index lang_map) bits are collision-free; without one, a hash
+    fallback over 125 slots is used (test-scale convenience only)."""
     if lang in LANG_BITS:
         return LANG_BITS[lang]
-    # stable per-language bit in 1..62
-    return 1 + (fnv1a_64(lang) % 62)
+    if lang_map is not None:
+        i = lang_map.get(lang)
+        return 1 + i if i is not None and i < 125 else UNMATCHED_LANG_BIT
+    return 1 + (fnv1a_64(lang) % 125)
+
+
+def build_lang_map(parsed_ds) -> dict[str, int]:
+    """Distinct language codes across the corpus → sequential bit slots
+    (a tiny distinct-aggregate: only unique codes reach the driver)."""
+    def uniq(b: pa.Table) -> pa.Table:
+        langs: set[str] = set()
+        for lj in b["langs_json"].to_pylist():
+            if lj:
+                langs.update(json.loads(lj).keys())
+        return pa.table({"lang": pa.array(sorted(langs), type=pa.string())})
+
+    rows = parsed_ds.map_batches(uniq, batch_format="pyarrow").to_pandas()
+    if "lang" not in rows.columns:
+        return {}
+    return {l: i for i, l in enumerate(sorted(set(rows["lang"])))}
 
 
 # ------------------------------------------------------------ parse docs
@@ -245,9 +270,11 @@ class PhraseGen:
     """
 
     def __init__(self, freq: dict[str, int], max_score: float,
-                 layer_zooms: dict[str, int] | None = None, config=None):
+                 layer_zooms: dict[str, int] | None = None, config=None,
+                 lang_map: dict[str, int] | None = None):
         self.freq = freq
         self.max_score = max(max_score, 1.0)
+        self.lang_map = lang_map
         if config is not None:
             self.simple, self.complex_rules, self.global_rules = config.build_replacers()
         else:
@@ -281,6 +308,7 @@ class PhraseGen:
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {
             "phrase": [], "layer": [], "idx": [], "zoom": [], "lang_set": [],
+            "lang_set_hi": [],
             "relev": [], "score3": [], "x": [], "y": [], "fid": [],
             "phash": [], "score": [],
         }
@@ -292,14 +320,14 @@ class PhraseGen:
         }
         for r in range(batch.num_rows):
             texts: list[tuple[str, int]] = []
-            default_mask = (1 << lang_bit("default")) | (1 << lang_bit("all"))
+            default_mask = (1 << lang_bit("default")) | (1 << lang_bit("all"))  # 128-bit int
             main = cols["text"][r]
             if main:
                 texts.append((main, default_mask))
             for syn in cols["synonyms"][r] or []:
                 texts.append((syn, default_mask))
             for lc, alt in json.loads(cols["langs_json"][r]).items():
-                texts.append((alt, 1 << lang_bit(lc)))
+                texts.append((alt, 1 << lang_bit(lc, self.lang_map)))
 
             score = cols["score"][r]
             score3 = encode_3bit_log(max(score, 0), self.max_score)
@@ -360,7 +388,8 @@ class PhraseGen:
                     out["layer"].append(cols["layer"][r])
                     out["idx"].append(cols["idx"][r])
                     out["zoom"].append(cols["zoom"][r])
-                    out["lang_set"].append(lset)
+                    out["lang_set"].append(lset & _LANG_LO_MASK)
+                    out["lang_set_hi"].append(lset >> 64)
                     out["relev"].append(relev)
                     out["score3"].append(score3)
                     out["x"].append(x)
@@ -375,6 +404,7 @@ class PhraseGen:
             "idx": pa.array(out["idx"], type=pa.int32()),
             "zoom": pa.array(out["zoom"], type=pa.int32()),
             "lang_set": pa.array(out["lang_set"], type=pa.uint64()),
+            "lang_set_hi": pa.array(out["lang_set_hi"], type=pa.uint64()),
             "relev": pa.array(out["relev"], type=pa.float64()),
             "score3": pa.array(out["score3"], type=pa.uint8()),
             "x": pa.array(out["x"], type=pa.int32()),
@@ -464,6 +494,7 @@ def _empty_index() -> "CarmenIndex":
         "idx": pa.array([], type=pa.int32()),
         "zoom": pa.array([], type=pa.int32()),
         "lang_set": pa.array([], type=pa.uint64()),
+        "lang_set_hi": pa.array([], type=pa.uint64()),
         "relev": pa.array([], type=pa.float64()),
         "score3": pa.array([], type=pa.uint8()),
         "x": pa.array([], type=pa.int32()),
@@ -549,9 +580,11 @@ def build_index(docs_ds, freq_min_count: int = 1, config=None) -> CarmenIndex:
             feat_tbl["layer"].to_pylist(), feat_tbl["zoom"].to_pylist())
     }
 
+    lang_map = build_lang_map(parsed)
     phrase_grid = parsed.map_batches(
         PhraseGen,
-        fn_constructor_kwargs={"freq": freq, "max_score": max_score, "config": config},
+        fn_constructor_kwargs={"freq": freq, "max_score": max_score, "config": config,
+                               "lang_map": lang_map},
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
@@ -676,7 +709,8 @@ def build_index_streaming(docs_ds, out_dir: str, freq_min_count: int = 1,
     if not _is_done("phrasegrid"):
         phrase_grid = parsed.map_batches(
             PhraseGen,
-            fn_constructor_kwargs={"freq": freq, "max_score": max_score, "config": config},
+            fn_constructor_kwargs={"freq": freq, "max_score": max_score, "config": config,
+                                   "lang_map": build_lang_map(parsed)},
             batch_format="pyarrow",
             concurrency=(1, 4),
         )
@@ -722,6 +756,7 @@ def load_index_streaming(out_dir: str) -> "CarmenIndex":
     ).sort_by([
         ("phrase", "ascending"), ("idx", "ascending"), ("fid", "ascending"),
         ("x", "ascending"), ("y", "ascending"), ("lang_set", "ascending"),
+        ("lang_set_hi", "ascending"),
     ])
     media = pa.concat_tables(
         [_pq.read_table(p) for p in sorted(glob.glob(f"{out_dir}/mediacells/*.parquet"))],

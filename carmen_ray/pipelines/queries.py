@@ -108,14 +108,16 @@ def q_customer_nation(sf_dir: str):
     """Broadcast hash join (small side shipped once) + aggregate:
     customers and total acctbal per nation name."""
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
-    lookup = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    nation_keys = nation["n_nationkey"].combine_chunks()
+    nation_names = nation["n_name"].combine_chunks()
 
     ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
 
     def join(b: pa.Table) -> pa.Table:
-        names = [lookup.get(k) for k in b["c_nationkey"].to_pylist()]
+        # vectorized dictionary lookup: index_in + take, no Python loop
+        pos = pc.index_in(b["c_nationkey"], value_set=nation_keys)
         return pa.table({
-            "n_name": pa.array(names, type=pa.string()),
+            "n_name": nation_names.take(pos),
             "c_acctbal": b["c_acctbal"],
         })
 

@@ -127,26 +127,36 @@ def write_dataset_partitioned(ds, out_dir: str, key_fn, resume: bool = True) -> 
     """Write a Dataset partitioned by key_fn(batch)->key column, skipping
     already-complete partitions when resuming.
 
-    At cluster scale this runs as `ds.map_batches` with each task
-    owning a key range and calling `write_partition` for its shard —
-    tasks are idempotent (atomic rename), so Ray retries are safe.
-    Here (single node) we route through a driver-side groupby of block
-    tables, which preserves the same on-disk contract.
-    """
+    Distributed: one groupby(__part) shuffle, then each group's task
+    writes its own partition via `write_partition` (atomic rename →
+    idempotent, so Ray retries and killed-run resumes are safe). Only
+    per-partition lineage summaries return to the driver — no partition
+    data is ever buffered driver-side."""
     os.makedirs(out_dir, exist_ok=True)
+
+    def write_group(tbl: pa.Table) -> pa.Table:
+        key = str(tbl["__part"][0].as_py())
+        skipped = bool(resume and is_complete(out_dir, key))
+        if not skipped:
+            write_partition(out_dir, key, tbl.drop_columns(["__part"]))
+        return pa.table({
+            "part": pa.array([key], type=pa.string()),
+            "rows": pa.array([tbl.num_rows], type=pa.int64()),
+            "skipped": pa.array([skipped]),
+        })
+
+    written = (
+        ds.map_batches(key_fn, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(write_group, batch_format="pyarrow")
+        .to_pandas()
+    )
     lineages = {}
-    buckets: dict[str, list[pa.Table]] = {}
-    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=65536):
-        keyed = key_fn(batch)
-        for key in keyed.column("__part").unique().to_pylist():
-            mask = pa.compute.equal(keyed["__part"], key)
-            sub = keyed.filter(mask).drop_columns(["__part"])
-            buckets.setdefault(str(key), []).append(sub)
-    for key, tables in buckets.items():
-        if resume and is_complete(out_dir, key):
-            continue
-        tbl = pa.concat_tables(tables, promote_options="permissive")
-        lineages[key] = write_partition(out_dir, key, tbl)
+    for part in written["part"]:
+        lp = os.path.join(partition_dir(out_dir, part), "_lineage.json")
+        if os.path.exists(lp):
+            with open(lp) as f:
+                lineages[part] = json.load(f)
     return lineages
 
 

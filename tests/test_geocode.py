@@ -231,12 +231,63 @@ def test_phrasegen_synonym_language_phrases(ray_session):
     assert "the main drag" in phrases
     assert "calle mayor" in phrases
 
+    # 128-bit language set: combined = lo | (hi << 64); bits assigned
+    # from the per-index lang_map (collision-free, like carmen's)
+    from carmen_ray.index.build import build_lang_map
+
+    combined = {
+        p: int(lo) | (int(hi) << 64)
+        for p, lo, hi in zip(pg["phrase"], pg["lang_set"], pg["lang_set_hi"])
+    }
+    lang_map = {"es": 0}
     default_bits = (1 << lang_bit("default")) | (1 << lang_bit("all"))
-    es_bit = 1 << lang_bit("es")
-    by_phrase = pg.set_index("phrase")["lang_set"]
-    assert int(by_phrase["main street"]) & default_bits == default_bits
-    assert int(by_phrase["calle mayor"]) & es_bit == es_bit
-    assert int(by_phrase["calle mayor"]) & default_bits == 0
+    es_bit = 1 << lang_bit("es", lang_map)
+    assert combined["main street"] & default_bits == default_bits
+    assert combined["calle mayor"] & es_bit == es_bit
+    assert combined["calle mayor"] & default_bits == 0
+
+
+def test_lang_set_no_collisions_many_languages(ray_session):
+    """100 distinct languages on one doc must set 100 DISTINCT bits —
+    the r1 fnv1a%62 packing silently merged languages (VERDICT #7)."""
+    import json as _json
+
+    import ray.data as rd
+
+    from carmen_ray.index.build import build_index, build_lang_map, lang_bit
+    from carmen_ray.sources.synth import SPAN_TYPE, _mk_spans
+
+    langs = [f"l{i:03d}" for i in range(100)]
+    spans = _mk_spans(
+        [("text", "multi town", "")]
+        + [(f"lang:{lc}", f"town {lc}", "") for lc in langs]
+        + [
+            ("geom", _json.dumps({"type": "Point", "coordinates": [3.0, 4.0]}), ""),
+            ("center", "3,4", ""),
+            ("score", "5", ""),
+        ]
+    )
+    tbl = pa.table({
+        "doc_id": pa.array(["place.9"], type=pa.string()),
+        "spans": pa.array([spans], type=pa.list_(SPAN_TYPE)),
+    })
+    idx = build_index(rd.from_arrow(tbl).repartition(1))
+    lang_map = {l: i for i, l in enumerate(sorted(langs))}
+    bits = {lang_bit(lc, lang_map) for lc in langs}
+    assert len(bits) == 100  # collision-free assignment
+    pg = idx.phrase_grid.to_pandas()
+    combined = {
+        p: int(lo) | (int(hi) << 64)
+        for p, lo, hi in zip(pg["phrase"], pg["lang_set"], pg["lang_set_hi"])
+    }
+    for lc in langs:
+        phrase = f"town {lc}"
+        assert phrase in combined
+        want = 1 << lang_bit(lc, lang_map)
+        assert combined[phrase] & want == want
+        # exactly one language bit set (plus nothing else)
+        others = [b for b in bits if b != lang_bit(lc, lang_map)]
+        assert all(combined[phrase] & (1 << b) == 0 for b in others)
 
 
 def test_id_query_returns_exact_feature(ray_session):

@@ -140,3 +140,40 @@ def test_cell_pack_salting(built, ray_session):
     merged = salted.groupby(["cell_x", "cell_y"])["n_features"].sum()
     plain_counts = plain.set_index(["cell_x", "cell_y"])["n_features"]
     assert (merged == plain_counts.reindex(merged.index)).all()
+
+
+def test_closest_lang_reference_pins():
+    """Parity pins ported from test/unit/text-processing/closest-lang.test.js."""
+    from carmen_ray.text.closest_lang import closest_lang, closest_lang_label
+
+    def value(target, avail, mode=None):
+        k, v = closest_lang(target, dict(avail, default="DEFAULT"),
+                            language_mode=mode)
+        return v if k != "default" else None
+
+    zh, zht = "西北部联邦管区", "西北部聯邦管區"
+    assert value("en", {"en": "English", "es": "Spanish"}) == "English"
+    assert value("en-XX", {"en": "English", "es": "Spanish"}) == "English"
+    assert value("zh", {"zh": zh, "zh_Hant": zht}) == zh
+    assert value("zh-xx", {"zh": zh, "zh_Hant": zht}) == zh
+    for t in ("zh-hant", "zh_hant", "zh-Hant", "zh_Hant", "zh-HANT", "zh_HANT"):
+        assert value(t, {"zh": zh, "zh_Hant": zht}) == zht
+    # Arabic fallback
+    assert value("ar", {"en": "English"}) == "English"
+    # null translations are invisible
+    assert value("zh-TW", {"zh": "帝力縣", "zh_TW": None}) == "帝力縣"
+    # universal
+    assert value("en", {"universal": "10000"}) == "10000"
+    assert value("zh", {"universal": "10000"}) == "10000"
+    # strict-mode Serbian matrix
+    sr, sr_latn, sr_cyrl, hr, bs = "sr", "sr_Latn", "sr_Cyrl", "hr", "bs"
+    strict = "strict"
+    for t in ("sr-BA", "sr-CS", "sr-ME", "sr-RS", "sr-XX"):
+        got = closest_lang_label(t, [sr, sr_latn, sr_cyrl], strict)
+        assert got == sr_latn, (t, got)
+    assert closest_lang_label("sr-RS", [sr, sr_cyrl, hr, bs], strict) == hr
+    assert closest_lang_label("sr-RS", [sr, sr_cyrl, bs], strict) == bs
+    assert closest_lang_label("sr-XX", [sr, sr_cyrl, hr, bs], strict) is None
+    assert closest_lang_label("sr-Latn", [sr], strict) is None
+    # garbage with hyphens
+    assert closest_lang_label("xx-YY", ["en"]) is None
