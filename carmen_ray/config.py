@@ -61,6 +61,12 @@ class LayerConfig:
     # this set mark their phrasematch cat_match=True; a category-matched
     # subquery never becomes matching_text (format-features.js:462-464)
     geocoder_categories: list[str] = field(default_factory=list)
+    # scoreranges (filter-sources.js:82-110): subtype → (lo, hi) score
+    # fractions of maxscore, enabling "poi.landmark"-style type filters
+    scoreranges: dict = field(default_factory=dict)
+    # geocoder_worldview (context.js:37-67): the worldview this layer's
+    # data represents; "all" participates in every worldview
+    geocoder_worldview: str = "all"
 
 
 @dataclass
@@ -76,10 +82,21 @@ class GeocoderConfig:
     # placeholders {address} {name} {context}; None → carmen default
     # "{address} {name}, {context}"
     place_format: str | None = None
+    # geocoder_format_{lang} (format-features.js:50-112): per-language
+    # templates keyed by language code, e.g. {"ja": "{context} {name}"};
+    # falls back to place_format then the default
+    place_formats: dict = field(default_factory=dict)
 
     def render_place_name(self, name: str, context_names: list[str],
-                          address: str | None = None) -> str:
-        fmt = self.place_format or "{address} {name}, {context}"
+                          address: str | None = None,
+                          language: str | None = None) -> str:
+        fmt = None
+        if language:
+            fmt = self.place_formats.get(language)
+            if fmt is None and "_" in language:
+                fmt = self.place_formats.get(language.split("_")[0])
+        if fmt is None:
+            fmt = self.place_format or "{address} {name}, {context}"
         out = fmt.replace("{address}", address or "")
         out = out.replace("{name}", name)
         out = out.replace("{context}", ", ".join(context_names))

@@ -39,6 +39,7 @@ class Grid:
     tmpid: int        # idx * 2^25 + fid
     distance: float = 0.0
     scoredist: float = 0.0
+    phash: int = 0    # source text hash (carmen:source_phrase_hash)
 
 
 @dataclass(slots=True)

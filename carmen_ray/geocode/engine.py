@@ -57,7 +57,12 @@ class Feature:
         self._ix = ix
 
     def __getattr__(self, name):
-        return self._d[name][self._ix]
+        try:
+            return self._d[name][self._ix]
+        except KeyError:
+            # absent column → AttributeError so getattr(f, col, default)
+            # works on indexes built before the column existed
+            raise AttributeError(name) from None
 
 
 class IndexData:
@@ -86,13 +91,23 @@ class IndexData:
                 self.deletes.setdefault(w[:i] + w[i + 1:], []).append(w)
         self._phrase_deletes: dict[str, list[str]] | None = None
         self._phrase_vocab: set[str] = set()
-        # geocoder_categories per layer (phrasematch.js:348-353)
+        # geocoder_categories per layer (phrasematch.js:348-353),
+        # scoreranges for subtype filters (filter-sources.js:82-110),
+        # worldview binding (context.js:37-67)
         self.layer_categories: dict[str, set] = {}
+        self.layer_scoreranges: dict[str, dict] = {}
+        self.layer_worldview: dict[str, str] = {}
         if config is not None:
             for lname, lc in getattr(config, "layers", {}).items():
                 cats = getattr(lc, "geocoder_categories", None)
                 if cats:
                     self.layer_categories[lname] = set(cats)
+                sr = getattr(lc, "scoreranges", None)
+                if sr:
+                    self.layer_scoreranges[lname] = dict(sr)
+                wv = getattr(lc, "geocoder_worldview", None)
+                if wv:
+                    self.layer_worldview[lname] = wv
 
         sort_cols = ["phrase", "idx", "fid", "x", "y", "lang_set"]
         if "lang_set_hi" in phrase_grid.column_names:
@@ -103,7 +118,7 @@ class IndexData:
         self.pg_cols = {
             c: pg[c].to_numpy()
             for c in ("idx", "layer", "zoom", "relev", "score", "x", "y",
-                      "fid", "phrase_id", "lang_set", "lang_set_hi")
+                      "fid", "phrase_id", "lang_set", "lang_set_hi", "phash")
             if c in pg.columns
         }
         self.freq = freq
@@ -330,6 +345,7 @@ def _emit_phrase_rows(index: IndexData, lo: int, hi: int, mask: int,
     """Emit one Phrasematch per source index for rows [lo, hi)."""
     c = index.pg_cols
     idxs = c["idx"][lo:hi]
+    phashes = c.get("phash")
     for idx in np.unique(idxs):
         rel = np.flatnonzero(idxs == idx) + lo
         grids = [
@@ -338,6 +354,7 @@ def _emit_phrase_rows(index: IndexData, lo: int, hi: int, mask: int,
                 relev=float(c["relev"][i]), score=float(c["score"][i]),
                 fid=int(c["fid"][i]),
                 tmpid=int(idx) * TMPID_SHIFT + int(c["fid"][i]),
+                phash=int(phashes[i]) if phashes is not None else 0,
             )
             for i in rel
         ]
@@ -508,19 +525,107 @@ def _interp_line(line: list, t: float) -> tuple[float, float]:
     return float(line[-1][0]), float(line[-1][1])
 
 
+import re as _re
+
+# Address style vtable (addresscluster.js:13,338-420): per-style match
+# strings + matchers. NOTE the reference's `.replace(/[^\d]/, '')` has
+# no /g flag — it strips only the FIRST non-digit; mirrored exactly.
+
+
+def _standard_match_strings(addr: str) -> dict:
+    return {
+        "raw": addr.lower(),
+        "numeric": _re.sub(r"[^\d]", "", addr, count=1),
+        "initial_numeric": _re.sub(r"^(\d+)([^\d].*)", r"\1", addr),
+    }
+
+
+def _queens_match_strings(addr: str) -> dict:
+    return {
+        "raw": addr.lower(),
+        "hyphenated": _re.sub(r"[^\d-]", "", addr, count=1),
+        "numeric": _re.sub(r"[^\d]", "", addr, count=1),
+        "has_hyphen": "-" in addr,
+    }
+
+
+def _matches_standard(q: dict, f: dict, prefix: bool = False) -> int:
+    """→ -1 no match; ≥0 match rank (lower is better)."""
+    if prefix:
+        if f["raw"].startswith(q["raw"]):
+            return 0
+        if f["raw"].startswith(q["numeric"]):
+            return 1
+        return -1
+    if f["raw"] == q["raw"]:
+        return 0
+    if f["raw"] == q["numeric"]:
+        return 1
+    if f["initial_numeric"] and f["initial_numeric"] == q["initial_numeric"]:
+        return 2
+    return -1
+
+
+def _matches_queens(q: dict, f: dict, prefix: bool = False) -> int:
+    if prefix:
+        if f["raw"].startswith(q["raw"]):
+            return 0
+        if f["hyphenated"].startswith(q["hyphenated"]):
+            return 1
+        if f["numeric"].startswith(q["numeric"]) and not q["has_hyphen"]:
+            return 2
+        return -1
+    if f["raw"] == q["raw"]:
+        return 0
+    if f["hyphenated"] == q["hyphenated"]:
+        return 1
+    if f["numeric"] == q["numeric"] and not q["has_hyphen"]:
+        return 2
+    return -1
+
+
+ADDRESS_STYLE_VTABLE = {
+    "standard": (_standard_match_strings, _matches_standard),
+    "queens": (_queens_match_strings, _matches_queens),
+}
+
+
+def match_address_cluster(feature, number: str, prefix: bool = False) -> int | None:
+    """→ index into the feature's address cluster matching `number`
+    under the feature's address style, or None (addresscluster.js
+    getAddressStyle + matchesStyle)."""
+    anj = feature.addr_numbers_json
+    if not anj:
+        return None
+    nums = json.loads(anj)
+    style = getattr(feature, "addr_style", "") or "standard"
+    if style not in ADDRESS_STYLE_VTABLE:
+        style = "standard"
+    gen, matcher = ADDRESS_STYLE_VTABLE[style]
+    q = gen(number)
+    best_rank, best_i = None, None
+    for i, n in enumerate(nums):
+        rank = matcher(q, gen(str(n)), prefix)
+        if rank >= 0 and (best_rank is None or rank < best_rank):
+            best_rank, best_i = rank, i
+    return best_i
+
+
 def resolve_address(feature, number: str) -> dict | None:
-    """Address cluster exact match (R5, addresscluster.js:61-218) then
-    TIGER-range interpolation with parity masks (R6, addressitp.js:35-169;
-    nearest-fallback ≤400 housenumbers)."""
+    """Address cluster match via the style vtable (R5,
+    addresscluster.js:61-218, 338-420) then TIGER-range interpolation
+    with parity masks (R6, addressitp.js:35-169; nearest-fallback ≤400
+    housenumbers)."""
     anj = feature.addr_numbers_json
     if anj:
         nums = json.loads(anj)
-        if number in nums:
+        hit = match_address_cluster(feature, number)
+        if hit is not None:
             geom = json.loads(feature.geometry_json)
             coords = geom["coordinates"] if geom["type"] == "MultiPoint" else []
-            if len(coords) > nums.index(number):
-                pt = coords[nums.index(number)]
-                return {"address": number, "lon": float(pt[0]), "lat": float(pt[1]),
+            if len(coords) > hit:
+                pt = coords[hit]
+                return {"address": str(nums[hit]), "lon": float(pt[0]), "lat": float(pt[1]),
                         "omitted": False, "line": None}
 
     arj = feature.addr_range_json
@@ -575,6 +680,79 @@ def _display_text(feature, language: str | None) -> tuple[str, str | None]:
     available = {"default": feature.text, **langs}
     key, text = closest_lang(language, available)
     return (text or feature.text), (None if key == "default" else key)
+
+
+def get_matching_text(index: IndexData, feature, source_phash: int,
+                      language: str | None, query_text: str,
+                      closest_key: str | None,
+                      display: str) -> tuple[str | None, str | None]:
+    """getMatchingText (format-features.js:383-488): recover WHICH
+    synonym/translation produced the matched phrase via the stored
+    source text hash, pick the best by query edit distance when several
+    share the hash, resolve its language with closest-lang, drop
+    category matches, and suppress when it equals the display text.
+    Returns (matching_text, matching_language)."""
+    from ..text.closest_lang import closest_lang_label
+    from ..util.hashing import phrase_hash
+
+    try:
+        langs = json.loads(feature.langs_json) if feature.langs_json else {}
+    except (TypeError, ValueError):
+        langs = {}
+    closest_text = display.split(",")[0].strip()
+
+    # candidate source texts keyed by language ("default" = main+synonyms)
+    text_sources: dict[str, list[str]] = {
+        "default": [feature.text] + list(feature.synonyms or [])}
+    for k, v in langs.items():
+        if v:
+            text_sources[k] = v.split(",") if isinstance(v, str) else list(v)
+
+    hash_matches: dict[str, list[str]] = {}
+    for key, texts_ in text_sources.items():
+        for t in texts_:
+            t = t.strip()
+            if t and phrase_hash(t) == source_phash:
+                hash_matches.setdefault(t, []).append(key)
+    if not hash_matches:
+        return None, None
+    if len(hash_matches) == 1:
+        best_phrase = next(iter(hash_matches))
+    else:
+        qt = (query_text or "").lower()
+        best_phrase = min(
+            hash_matches,
+            key=lambda a: (dl_distance(qt, a.lower(), max(len(qt), len(a))), a))
+
+    keys = hash_matches[best_phrase]
+    best = None
+    if language:
+        lbl = closest_lang_label(language, [k for k in keys if k != "default"])
+        if lbl:
+            best = lbl
+    elif "default" in keys:
+        best = "default"
+    if best is None:
+        non_def = sorted(k for k in keys if k != "default")
+        if not non_def and "default" in keys:
+            best = "default"
+        elif non_def:
+            best = non_def[0]
+    if best is None:
+        return None, None
+
+    matching_text = best_phrase.strip()
+    if best == "default":
+        # category matches never surface as matching_text
+        # (format-features.js:462-464)
+        if matching_text in index.layer_categories.get(feature.layer, ()):
+            return None, None
+    if not matching_text or matching_text == closest_text:
+        return None, None
+    matching_language = None
+    if best != "default" and best != closest_key:
+        matching_language = best.replace("_", "-")
+    return matching_text, matching_language
 
 
 # layers whose features can inherit / grant score for the squishy logic
@@ -681,7 +859,8 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
                 language_mode: str | None = None,
                 stacks: list[str] | None = None,
                 bbox: list[float] | None = None,
-                allow_dupes: bool = False) -> list[dict]:
+                allow_dupes: bool = False,
+                worldview: str | None = None) -> list[dict]:
     from ..text.token_replacer import replace_global_tokens
 
     if index.global_rules:
@@ -773,9 +952,34 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
                 query_len = len(hyp_tokens)
                 tokens = hyp_tokens
                 break
+    # types filter with subtype support (filter-sources.js:43-57
+    # sourceMatchesTypes): "poi.landmark" passes layers whose config
+    # declares the subtype in scoreranges; the score-range check itself
+    # happens per feature below (featureMatchesTypes, :82-110)
+    plain_types: set = set()
+    subtype_filters: list[tuple[str, str]] = []
     if types:
-        allowed = set(types)
-        pms = [p for p in pms if p.layer in allowed]
+        for t in types:
+            if "." in t:
+                base, sub = t.split(".", 1)
+                subtype_filters.append((base, sub))
+            else:
+                plain_types.add(t)
+
+        def pm_allowed(p) -> bool:
+            if p.layer in plain_types:
+                return True
+            for base, sub in subtype_filters:
+                if p.layer == base and sub in index.layer_scoreranges.get(base, {}):
+                    return True
+            return False
+
+        pms = [p for p in pms if pm_allowed(p)]
+    # worldview filter (context.js:37-67 byworldview): layers bound to a
+    # different worldview don't participate
+    if worldview is not None:
+        pms = [p for p in pms
+               if index.layer_worldview.get(p.layer, "all") in ("all", worldview)]
     if not pms:
         return []
 
@@ -838,6 +1042,21 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
             ):
                 continue
 
+        # subtype score-range check (featureMatchesTypes,
+        # filter-sources.js:82-110): a feature reached only via a
+        # "type.subtype" filter must fall in the subtype's score range
+        if subtype_filters and feature.layer not in plain_types:
+            in_range = False
+            for base, sub in subtype_filters:
+                rng_ = index.layer_scoreranges.get(base, {}).get(sub)
+                if base == feature.layer and rng_ is not None:
+                    lo_, hi_ = rng_[0] * index.max_score, rng_[1] * index.max_score
+                    if lo_ <= float(feature.score) <= hi_:
+                        in_range = True
+                        break
+            if not in_range:
+                continue
+
         display, matched_lang = _display_text(feature, language)
         if language_mode == "strict" and language and matched_lang is None:
             # strict language mode drops features without the language
@@ -858,20 +1077,18 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
                 ctx_names.append(_display_text(c, language)[0])
         if index.config is not None and index.config.place_format:
             place_name = index.config.render_place_name(
-                display, ctx_names, matched_address)
+                display, ctx_names, matched_address, language=matched_lang)
         else:
             name_prefix = f"{matched_address} " if matched_address else ""
             place_name = name_prefix + ", ".join([display] + ctx_names)
         # matching_text: the indexed synonym/translation that matched,
         # when it differs from the display form (getMatchingText,
         # format-features.js:383-488)
-        # a category-matched subquery never becomes matching_text
-        # (format-features.js:462-464)
-        matched_sub = covers[0].pm.subquery
-        matching_text = None
-        if matched_sub and matched_sub not in display.lower() \
-                and not covers[0].pm.cat_match:
-            matching_text = matched_sub
+        # matching_text via the stored source-phrase hash
+        # (getMatchingText, format-features.js:383-488)
+        matching_text, matching_language = get_matching_text(
+            index, feature, covers[0].grid.phash, language,
+            covers[0].pm.subquery, matched_lang, display)
 
         ghost = float(feature.score) < 0
         relevance = _direction_effects(covers, st.relev)
@@ -941,6 +1158,7 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
             "routable_lon": routable[0] if routable else None,
             "routable_lat": routable[1] if routable else None,
             "matching_text": matching_text,
+            "matching_language": matching_language,
             "language": matched_lang,
             "place_name": place_name,
         }
@@ -1052,11 +1270,18 @@ def reverse_multi(index: IndexData, lon: float, lat: float, limit: int,
         ctx = _context_for(index, r, int(feature.idx))
         zoom = int(feature.zoom)
         flon, flat = float(feature.center_lon), float(feature.center_lat)
+        address = None
+        snapped = reverse_address_snap(feature, lon, lat)
+        if snapped:
+            flon, flat = snapped["lon"], snapped["lat"]
+            address = snapped["address"]
+        name_prefix = f"{address} " if address else ""
         tx, ty = lonlat_to_tile(flon, flat, zoom)
         out.append({
             "feature_id": feature.doc_id,
             "relevance": 1.0,
-            "place_name": ", ".join([feature.text] + [c.text for c in ctx]),
+            "place_name": name_prefix + ", ".join(
+                [feature.text] + [c.text for c in ctx]),
             "center_lon": flon, "center_lat": flat,
             "cell_zxy": f"{zoom}/{int(tx)}/{int(ty)}",
             "h3_r7": hex_cell(flon, flat, 7), "h3_r8": hex_cell(flon, flat, 8),
@@ -1064,7 +1289,7 @@ def reverse_multi(index: IndexData, lon: float, lat: float, limit: int,
             "context": [c.doc_id for c in ctx],
             "score": float(feature.score), "scoredist": -neg_ds,
             "rank": len(out),
-            "address": None, "routable_lon": None, "routable_lat": None,
+            "address": address, "routable_lon": None, "routable_lat": None,
         })
         if len(out) >= limit:
             break
@@ -1072,7 +1297,8 @@ def reverse_multi(index: IndexData, lon: float, lat: float, limit: int,
 
 
 def reverse_one(index: IndexData, lon: float, lat: float, limit: int = 1,
-                types: list[str] | None = None) -> list[dict]:
+                types: list[str] | None = None,
+                worldview: str | None = None) -> list[dict]:
     """Reverse geocode: PIP + nearest per layer, stacked fine→coarse
     (context.js:31-136, nearest :269-304). Multi-result reverse requires
     an explicit single type (geocode.js:216-220); without one the limit
@@ -1097,6 +1323,9 @@ def reverse_one(index: IndexData, lon: float, lat: float, limit: int = 1,
     near_layers = f["layer"][near]
     for layer in index.layers:
         if types and layer not in types:
+            continue
+        if worldview is not None and \
+                index.layer_worldview.get(layer, "all") not in ("all", worldview):
             continue
         cand = near[near_layers == layer]
         if len(cand) == 0:
@@ -1131,26 +1360,147 @@ def reverse_one(index: IndexData, lon: float, lat: float, limit: int = 1,
     for i in range(min(limit, 1)):
         top = hits[0]
         ctx_rows = hits[1:]
-        place_name = ", ".join([top.text] + [c.text for c in ctx_rows])
+        # reverse address snap (context.js:694-716): the top hit of an
+        # address feature resolves to the snapped cluster/ITP point
+        snapped = reverse_address_snap(top, lon, lat)
+        out_lon, out_lat = float(top.center_lon), float(top.center_lat)
+        address = None
+        if snapped:
+            out_lon, out_lat = snapped["lon"], snapped["lat"]
+            address = snapped["address"]
+        name_prefix = f"{address} " if address else ""
+        place_name = name_prefix + ", ".join([top.text] + [c.text for c in ctx_rows])
         zoom = int(top.zoom)
-        tx, ty = lonlat_to_tile(float(top.center_lon), float(top.center_lat), zoom)
+        tx, ty = lonlat_to_tile(out_lon, out_lat, zoom)
         out.append({
             "feature_id": top.doc_id,
             "relevance": 1.0,
             "place_name": place_name,
-            "center_lon": float(top.center_lon),
-            "center_lat": float(top.center_lat),
+            "center_lon": out_lon,
+            "center_lat": out_lat,
             "cell_zxy": f"{zoom}/{int(tx)}/{int(ty)}",
-            "h3_r7": hex_cell(float(top.center_lon), float(top.center_lat), 7),
-            "h3_r8": hex_cell(float(top.center_lon), float(top.center_lat), 8),
-            "h3_r9": hex_cell(float(top.center_lon), float(top.center_lat), 9),
-            "s2_cell": s2_cell(float(top.center_lon), float(top.center_lat), 12),
+            "h3_r7": hex_cell(out_lon, out_lat, 7),
+            "h3_r8": hex_cell(out_lon, out_lat, 8),
+            "h3_r9": hex_cell(out_lon, out_lat, 9),
+            "s2_cell": s2_cell(out_lon, out_lat, 12),
             "context": [c.doc_id for c in ctx_rows],
             "score": float(top.score),
             "scoredist": 0.0,
             "rank": 0,
+            "address": address,
         })
     return out
+
+
+def _cluster_reverse(feature, lon: float, lat: float) -> dict | None:
+    """Nearest address-cluster point to the query
+    (addresscluster.js reverse:228-273)."""
+    anj = feature.addr_numbers_json
+    if not anj:
+        return None
+    nums = json.loads(anj)
+    geom = json.loads(feature.geometry_json)
+    coords = geom["coordinates"] if geom["type"] == "MultiPoint" else []
+    if not coords or not nums:
+        return None
+    arr = np.asarray(coords, dtype=np.float64)
+    d = np.asarray(prox.haversine_miles(lon, lat, arr[:, 0], arr[:, 1]))
+    i = int(np.argmin(d))
+    if i >= len(nums):
+        return None
+    return {"address": str(nums[i]), "lon": float(arr[i, 0]),
+            "lat": float(arr[i, 1]), "distance": float(d[i])}
+
+
+def _det2d(sx, sy, ex, ey, qx, qy) -> float:
+    return (ex - sx) * (qy - sy) - (ey - sy) * (qx - sx)
+
+
+def _itp_reverse(feature, lon: float, lat: float) -> dict | None:
+    """Reverse TIGER-range interpolation (addressitp.js reverse:178-268):
+    snap to the nearest point on the range lines, pick the street side
+    by the 2D determinant, interpolate the housenumber along the line
+    with parity rounding."""
+    arj = feature.addr_range_json
+    if not arj:
+        return None
+    rng = json.loads(arj)
+    geom = json.loads(feature.geometry_json)
+    lines = geom["coordinates"] if geom["type"] == "MultiLineString" else [geom["coordinates"]]
+
+    best = None  # (dist, line_idx, seg_idx, t, px, py)
+    for mi, line in enumerate(lines):
+        for si in range(len(line) - 1):
+            (x1, y1), (x2, y2) = line[si], line[si + 1]
+            dx, dy = x2 - x1, y2 - y1
+            L2 = dx * dx + dy * dy
+            t = 0.0 if L2 == 0 else max(0.0, min(1.0, ((lon - x1) * dx + (lat - y1) * dy) / L2))
+            px, py = x1 + t * dx, y1 + t * dy
+            d = float(prox.haversine_miles(lon, lat, px, py))
+            if best is None or d < best[0]:
+                best = (d, mi, si, t, px, py)
+    if best is None:
+        return None
+    d, mi, si, t, px, py = best
+    line = lines[mi]
+
+    # travelled fraction along the whole line (planar lengths — the
+    # ratio is what matters, addressitp.js matchSide distRatio)
+    seg_len = [float(np.hypot(line[i + 1][0] - line[i][0], line[i + 1][1] - line[i][1]))
+               for i in range(len(line) - 1)]
+    total = sum(seg_len) or 1.0
+    travelled = sum(seg_len[:si]) + seg_len[si] * t
+
+    side = "left" if _det2d(line[si][0], line[si][1], line[si + 1][0],
+                            line[si + 1][1], lon, lat) >= 0 else "right"
+
+    def side_range(side_key: str):
+        s0 = side_key[0]  # 'l'/'r'
+        frs = rng.get(f"{s0}fromhn") or []
+        tos = rng.get(f"{s0}tohn") or []
+        pars = rng.get(f"parity{s0}") or []
+        if mi < len(frs) and frs[mi] and mi < len(tos) and tos[mi]:
+            fr, to = int(frs[mi][0]), int(tos[mi][0])
+            parity = (pars[mi][0] if mi < len(pars) and pars[mi] else "B")
+            return fr, to, parity
+        return None
+
+    def match_side(side_key: str, strict: bool = False):
+        r = side_range(side_key)
+        if r is None:
+            if strict:
+                return None
+            return match_side("right" if side_key == "left" else "left", True)
+        fr, to, parity = r
+        ratio = travelled / total
+        num = fr + (to - fr) * ratio
+        if parity == "O":
+            num = round((num + 1) / 2) * 2 - 1
+        elif parity == "E":
+            num = round(num / 2) * 2
+        else:
+            num = round(num)
+        return int(num)
+
+    num = match_side(side)
+    return {"address": str(num) if num is not None else None,
+            "lon": px, "lat": py, "distance": d}
+
+
+def reverse_address_snap(feature, lon: float, lat: float) -> dict | None:
+    """Snap a reverse query onto an address feature: cluster point vs
+    ITP range with the reference's 200 m tiebreak (context.js:694-716 —
+    ITP wins only when closer AND >0.2 km from the cluster point)."""
+    addrpt = _cluster_reverse(feature, lon, lat)
+    addritp = _itp_reverse(feature, lon, lat)
+    if addrpt and addritp:
+        d_between = float(prox.haversine_miles(
+            addrpt["lon"], addrpt["lat"], addritp["lon"], addritp["lat"]))
+        KM02_MILES = 0.2 / 1.609344
+        if addritp["distance"] < addrpt["distance"] and d_between > KM02_MILES:
+            return addritp
+        return addrpt
+    return addrpt or addritp
 
 
 def hydrate_one(index: IndexData, row: int) -> list[dict]:
@@ -1195,7 +1545,8 @@ RESULT_FIELDS = [
     ("context", pa.list_(pa.string())), ("score", pa.float64()),
     ("scoredist", pa.float64()), ("address", pa.string()),
     ("routable_lon", pa.float64()), ("routable_lat", pa.float64()),
-    ("matching_text", pa.string()), ("language", pa.string()),
+    ("matching_text", pa.string()), ("matching_language", pa.string()),
+    ("language", pa.string()),
 ]
 RESULT_SCHEMA = pa.schema(RESULT_FIELDS)
 
@@ -1220,10 +1571,11 @@ class ForwardGeocoder:
         limits = batch["limit"].to_pylist() if "limit" in cols else [5] * len(queries)
         types_col = batch["types"].to_pylist() if "types" in cols else [None] * len(queries)
         lang_col = batch["language"].to_pylist() if "language" in cols else [None] * len(queries)
+        wv_col = batch["worldview"].to_pylist() if "worldview" in cols else [None] * len(queries)
 
         rows = {name: [] for name, _ in RESULT_FIELDS}
-        for qid, q, plon, plat, lim, qtypes, qlang in zip(
-                qids, queries, prox_lon, prox_lat, limits, types_col, lang_col):
+        for qid, q, plon, plat, lim, qtypes, qlang, qwv in zip(
+                qids, queries, prox_lon, prox_lat, limits, types_col, lang_col, wv_col):
             lim = int(lim) if lim is not None else 5
             idq = parse_id_query(q)
             rev = as_reverse(q)
@@ -1233,12 +1585,13 @@ class ForwardGeocoder:
                 results = hydrate_one(self.index, row) if row is not None else []
             elif rev is not None:
                 results = reverse_one(self.index, rev[0], rev[1], limit=lim,
-                                      types=list(qtypes) if qtypes is not None and len(qtypes) else None)
+                                      types=list(qtypes) if qtypes is not None and len(qtypes) else None,
+                                      worldview=qwv)
             else:
                 p = (plon, plat) if plon is not None and plat is not None else None
                 results = forward_one(self.index, q, proximity=p, limit=lim,
                                       types=list(qtypes) if qtypes is not None and len(qtypes) else None,
-                                      language=qlang)
+                                      language=qlang, worldview=qwv)
             for r in results:
                 rows["query_id"].append(qid)
                 for name, _ in RESULT_FIELDS[1:]:

@@ -89,6 +89,7 @@ STACK_SCHEMA = pa.schema([
     ("address", pa.list_(pa.string())),
     ("sd0", pa.list_(pa.float64())),        # stage-2 scoredist (determinism sort)
     ("top_subquery", pa.list_(pa.string())),  # matching_text derivation
+    ("top_phash", pa.list_(pa.int64())),      # source text hash of top cover
     ("cover_tmpids", pa.list_(pa.int64())),
     ("cover_counts", pa.list_(pa.int32())),
 ])
@@ -273,8 +274,8 @@ def coalesce_group(group, rows) -> None:
     stacks = stack_and_coalesce(pms, qlen)[: constants.VERIFYMATCH_STACK_LIMIT]
     if not stacks:
         return
-    relevs, tmpids, zooms, gxs, gys, gscores, addrs, sd0s, subs = \
-        [], [], [], [], [], [], [], [], []
+    relevs, tmpids, zooms, gxs, gys, gscores, addrs, sd0s, subs, phs = \
+        [], [], [], [], [], [], [], [], [], []
     cov_flat: list[int] = []
     cov_counts: list[int] = []
     for st in stacks:
@@ -288,6 +289,7 @@ def coalesce_group(group, rows) -> None:
         addrs.append(next((e.pm.address for e in covers if e.pm.address), None))
         sd0s.append(covers[0].grid.scoredist)
         subs.append(covers[0].pm.subquery)
+        phs.append(covers[0].grid.phash)
         cov_flat.extend(e.grid.tmpid for e in covers)
         cov_counts.append(len(covers))
     rows["query_id"].append(qid)
@@ -303,6 +305,7 @@ def coalesce_group(group, rows) -> None:
     rows["address"].append(addrs)
     rows["sd0"].append(sd0s)
     rows["top_subquery"].append(subs)
+    rows["top_phash"].append(phs)
     rows["cover_tmpids"].append(cov_flat)
     rows["cover_counts"].append(cov_counts)
 
@@ -334,6 +337,7 @@ class VerifyStage:
             _display_text,
             _squishy_boost,
             attach_cells,
+            get_matching_text,
         )
 
         d = batch.to_pydict()
@@ -399,14 +403,13 @@ class VerifyStage:
                         ctx_names.append(_display_text(c, None)[0])
                 if self.index.config is not None and self.index.config.place_format:
                     place_name = self.index.config.render_place_name(
-                        display, ctx_names, matched_address)
+                        display, ctx_names, matched_address, language=matched_lang)
                 else:
                     name_prefix = f"{matched_address} " if matched_address else ""
                     place_name = name_prefix + ", ".join([display] + ctx_names)
-                matched_sub = d["top_subquery"][qi][si]
-                matching_text = None
-                if matched_sub and matched_sub not in display.lower():
-                    matching_text = matched_sub
+                matching_text, matching_language = get_matching_text(
+                    self.index, feature, int(d["top_phash"][qi][si]), None,
+                    d["top_subquery"][qi][si], matched_lang, display)
 
                 ghost = float(feature.score) < 0
                 relevance = float(d["relev"][qi][si])
@@ -459,7 +462,9 @@ class VerifyStage:
                     "address": matched_address,
                     "routable_lon": routable[0] if routable else None,
                     "routable_lat": routable[1] if routable else None,
-                    "matching_text": matching_text, "language": matched_lang,
+                    "matching_text": matching_text,
+                    "matching_language": matching_language,
+                    "language": matched_lang,
                 }
                 prev = best.get(tmpid)
                 if prev is None or (cand["relevance"], cand["composite"]) > (

@@ -99,6 +99,7 @@ def parse_docs_batch(batch: pa.Table) -> pa.Table:
         "covers_x": [], "covers_y": [], "media_refs": [], "spans": [],
         "addr_numbers_json": [], "addr_range_json": [],
         "intersections_json": [], "proximity_radius": [], "overrides_json": [],
+        "addr_style": [],
     }
 
     for doc_id, spans in zip(doc_ids, spans_col):
@@ -115,6 +116,7 @@ def parse_docs_batch(batch: pa.Table) -> pa.Table:
         text, synonyms, langs, score, media = "", [], {}, 0.0, []
         geom, center = None, None
         addr_numbers, addr_range = None, None
+        addr_style = "standard"
         intersections = []
         prox_radius = 0.0
         overrides = {}
@@ -148,6 +150,8 @@ def parse_docs_batch(batch: pa.Table) -> pa.Table:
                 addr_numbers = s["text"].split(",")
             elif k == "addr_range":
                 addr_range = json.loads(s["text"])
+            elif k == "address_style":
+                addr_style = s["text"] or "standard"
             elif k == "intersection":
                 intersections.append(s["text"])
             elif k == "proximity_radius":
@@ -189,6 +193,7 @@ def parse_docs_batch(batch: pa.Table) -> pa.Table:
         out["intersections_json"].append(json.dumps(intersections) if intersections else "")
         out["proximity_radius"].append(prox_radius)
         out["overrides_json"].append(json.dumps(overrides, sort_keys=True) if overrides else "")
+        out["addr_style"].append(addr_style)
 
     schema_overrides = {
         "idx": pa.int32(), "zoom": pa.int32(), "fid": pa.int64(),
@@ -364,7 +369,11 @@ class PhraseGen:
                     if cross_toks:
                         inters.append(["+intersection"] + cross_toks + [","])
 
-            seen: dict[str, tuple[float, int]] = {}
+            # seen: phrase → (relev, lang bitset, source text hash); the
+            # source hash survives into the grid rows so getMatchingText
+            # can recover WHICH synonym/translation produced the match
+            # (carmen:source_phrase_hash, format-features.js:397-412)
+            seen: dict[str, tuple[float, int, int]] = {}
             for text, lset in texts:
                 ph = phrase_hash(text)
                 for toks, reduce_rel in self._token_variants(text):
@@ -378,11 +387,11 @@ class PhraseGen:
                                                    reduce_relevance=vrel):
                         prev = seen.get(p.phrase)
                         if prev and prev[0] >= p.relev:
-                            seen[p.phrase] = (prev[0], prev[1] | lset)
+                            seen[p.phrase] = (prev[0], prev[1] | lset, prev[2])
                         else:
-                            seen[p.phrase] = (p.relev, (prev[1] if prev else 0) | lset)
+                            seen[p.phrase] = (p.relev, (prev[1] if prev else 0) | lset, p.hash)
 
-            for phrase, (relev, lset) in seen.items():
+            for phrase, (relev, lset, src_hash) in seen.items():
                 for x, y in zip(xs, ys):
                     out["phrase"].append(phrase)
                     out["layer"].append(cols["layer"][r])
@@ -395,7 +404,7 @@ class PhraseGen:
                     out["x"].append(x)
                     out["y"].append(y)
                     out["fid"].append(fid)
-                    out["phash"].append(phrase_hash(phrase))
+                    out["phash"].append(src_hash)
                     out["score"].append(score)
 
         return pa.table({
@@ -605,7 +614,7 @@ def build_index(docs_ds, freq_min_count: int = 1, config=None) -> CarmenIndex:
         "langs_json", "score", "center_lon", "center_lat", "geometry_json",
         "bbox_w", "bbox_s", "bbox_e", "bbox_n", "spans",
         "addr_numbers_json", "addr_range_json", "intersections_json",
-        "proximity_radius", "overrides_json",
+        "proximity_radius", "overrides_json", "addr_style",
     ]
     feat_tbl = feat_tbl.select(feature_cols)
     # canonical feature order: context/reverse tie-breaks are
@@ -674,7 +683,7 @@ def build_index_streaming(docs_ds, out_dir: str, freq_min_count: int = 1,
         "langs_json", "score", "center_lon", "center_lat", "geometry_json",
         "bbox_w", "bbox_s", "bbox_e", "bbox_n", "spans",
         "addr_numbers_json", "addr_range_json", "intersections_json",
-        "proximity_radius", "overrides_json",
+        "proximity_radius", "overrides_json", "addr_style",
     ]
     os.makedirs(out_dir, exist_ok=True)
     # table-granular resume: a killed `ray job submit` run skips tables
