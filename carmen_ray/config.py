@@ -67,6 +67,9 @@ class LayerConfig:
     # geocoder_worldview (context.js:37-67): the worldview this layer's
     # data represents; "all" participates in every worldview
     geocoder_worldview: str = "all"
+    # geocoder_ignore_order (verifymatch.js:805-811): matches from this
+    # layer neither set the query direction nor take the backy penalty
+    geocoder_ignore_order: bool = False
 
 
 @dataclass
@@ -86,6 +89,11 @@ class GeocoderConfig:
     # templates keyed by language code, e.g. {"ja": "{context} {name}"};
     # falls back to place_format then the default
     place_formats: dict = field(default_factory=dict)
+    # geocoder_inverse_tokens (index.js:208, options docs :56): explicit
+    # abbreviation-reversal map ("st" → "street"); applied as inverse
+    # complex rules so the reversed variants rank below canonical ones
+    # in indexing variant order (token.js:286-302 `changes` bookkeeping)
+    inverse_tokens: dict = field(default_factory=dict)
 
     def render_place_name(self, name: str, context_names: list[str],
                           address: str | None = None,
@@ -114,6 +122,11 @@ class GeocoderConfig:
             create_complex_replacer(cat["complex"], include_unambiguous=True)
             if cat["complex"] else []
         )
+        if self.inverse_tokens:
+            inv_rules = create_complex_replacer(self.inverse_tokens)
+            for r in inv_rules:
+                r.inverse = True
+            complex_rules = complex_rules + inv_rules
         global_rules = create_global_replacer(self.global_tokens) if self.global_tokens else []
         return simple, complex_rules, global_rules
 

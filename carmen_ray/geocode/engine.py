@@ -97,6 +97,7 @@ class IndexData:
         self.layer_categories: dict[str, set] = {}
         self.layer_scoreranges: dict[str, dict] = {}
         self.layer_worldview: dict[str, str] = {}
+        self.ignore_order_layers: set[str] = set()
         if config is not None:
             for lname, lc in getattr(config, "layers", {}).items():
                 cats = getattr(lc, "geocoder_categories", None)
@@ -108,6 +109,8 @@ class IndexData:
                 wv = getattr(lc, "geocoder_worldview", None)
                 if wv:
                     self.layer_worldview[lname] = wv
+                if getattr(lc, "geocoder_ignore_order", False):
+                    self.ignore_order_layers.add(lname)
 
         sort_cols = ["phrase", "idx", "fid", "x", "y", "lang_set"]
         if "lang_set_hi" in phrase_grid.column_names:
@@ -761,39 +764,96 @@ INHERIT_SCORE_LAYERS = {"place"}
 GRANT_SCORE_LAYERS = {"region", "country"}
 
 
-def _direction_effects(covers, relevance: float) -> float:
+def _direction_effects(covers, relevance: float,
+                       ignore_layers: frozenset = frozenset()) -> float:
     """Backy ×0.5 + direction bonus (verifymatch.js:847-933):
     walk the matched covers in hierarchy order (fine→coarse); establish
     the typed direction from the first pair of masks; each
     order-contradicting cover contributes only half its relev; a
     directioned match costs 0.01, refunded when it matches the expected
-    address order (ascending by default)."""
+    address order (ascending by default). Covers from layers with
+    geocoder_ignore_order (verifymatch.js:805-811, 905-912) neither set
+    the direction nor take the backy penalty."""
     if len(covers) < 2:
         return relevance
     direction = None
     lastmask = -1
     lasttext = None
+    lastlayer = None
     adj = 0.0
     for k, e in enumerate(covers):
         backy = False
+        ignore = e.pm.layer in ignore_layers or (
+            lastlayer is not None and lastlayer in ignore_layers)
         if k > 0:
-            if direction is None:
+            if direction is None and not ignore:
                 direction = "ascending" if lastmask < e.pm.mask else "descending"
             if e.pm.subquery != lasttext:
                 if direction == "ascending":
                     backy = lastmask > e.pm.mask
                 else:
                     backy = lastmask < e.pm.mask
-        if backy:
+        if backy and not ignore:
             adj -= 0.5 * e.relev
         lastmask = e.pm.mask
         lasttext = e.pm.subquery
+        lastlayer = e.pm.layer
     relevance = relevance + adj
     if direction:
         relevance -= 0.01
         if direction == "ascending":  # default geocoder_address_order
             relevance += 0.01
     return max(relevance, 0.0)
+
+
+def close_but_no_cigar_adj(tmpids, idxs, zooms, sublens, masks, relevs,
+                           feature_tmpid: int, ctx) -> float:
+    """verifymatch.js:781-793, 903-930: covers whose feature is NOT in
+    the result's context chain get half credit when the chain holds a
+    different feature of the same index (nearby same-layer match) and
+    zero credit otherwise. Returns the relevance ADJUSTMENT (≤0)
+    relative to the full-credit stack relev, mirroring the reference's
+    context-walk recompute. Noise guard: low-zoom (≤8) or very short
+    (≤3 chars) near-misses are dropped entirely; near-miss credit only
+    counts when its masks don't collide with the aligned ones.
+
+    Array form shared by the fused and staged verify stages: parallel
+    per-cover arrays (grid tmpid, index, zoom, subquery char length,
+    mask, rebalanced relev)."""
+    chain_tmpids = {feature_tmpid}
+    chain_idxs = set()
+    for c in ctx:
+        chain_tmpids.add(int(c.idx) * TMPID_SHIFT + int(c.fid))
+        chain_idxs.add(int(c.idx))
+    chain_idxs.add(feature_tmpid >> 25)
+
+    usedmask = 0
+    for t, m in zip(tmpids, masks):
+        if t in chain_tmpids:
+            usedmask |= m
+    adj = 0.0
+    close_credit = 0.0
+    closemask = 0
+    for t, ix, z, sl, m, rv in zip(tmpids, idxs, zooms, sublens, masks, relevs):
+        if t in chain_tmpids:
+            continue
+        if ix in chain_idxs and z > 8 and sl > 3:
+            adj -= rv                 # remove full credit...
+            close_credit += 0.5 * rv  # ...maybe restore half
+            closemask |= m
+        else:
+            adj -= rv                 # unmatched cover: no credit
+    if closemask and (closemask & usedmask) == 0:
+        adj += close_credit
+    return adj
+
+
+def _close_but_no_cigar(covers, feature_tmpid: int, ctx) -> float:
+    return close_but_no_cigar_adj(
+        [e.grid.tmpid for e in covers], [e.pm.idx for e in covers],
+        [e.pm.zoom for e in covers], [len(e.pm.subquery) for e in covers],
+        [e.pm.mask for e in covers], [e.relev for e in covers],
+        feature_tmpid, ctx)
 
 
 def _squishy_boost(index: IndexData, feature, ctx, matched_tmpids: set) -> float:
@@ -1091,7 +1151,11 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
             covers[0].pm.subquery, matched_lang, display)
 
         ghost = float(feature.score) < 0
-        relevance = _direction_effects(covers, st.relev)
+        relevance = _direction_effects(
+            covers, st.relev, frozenset(index.ignore_order_layers))
+        # near-miss covers (same index, different feature) → half credit;
+        # fully unmatched covers → none (verifymatch context-walk)
+        relevance += _close_but_no_cigar(covers, top.grid.tmpid, ctx)
         # context squishy (+0.01, verifymatch.js:966-975): an unmatched
         # context element doubling the name of a matched inherit-score
         # context element ("main st new york new york") nudges relevance

@@ -68,6 +68,7 @@ PM_SCHEMA = pa.schema([
     ("subquery", pa.string()),             # matched subquery text — the
                                            # direction-effects walk compares
                                            # adjacent cover texts
+    ("ignore_order", pa.bool_()),          # layer's geocoder_ignore_order
 ])
 
 # one row PER QUERY leaving coalesce: each column is a list over the
@@ -92,6 +93,12 @@ STACK_SCHEMA = pa.schema([
     ("top_phash", pa.list_(pa.int64())),      # source text hash of top cover
     ("cover_tmpids", pa.list_(pa.int64())),
     ("cover_counts", pa.list_(pa.int32())),
+    # parallel to cover_tmpids — the close-but-no-cigar context walk
+    ("cover_idxs", pa.list_(pa.int32())),
+    ("cover_zooms", pa.list_(pa.int32())),
+    ("cover_sublens", pa.list_(pa.int32())),
+    ("cover_masks", pa.list_(pa.int64())),
+    ("cover_relevs", pa.list_(pa.float64())),
 ])
 
 
@@ -170,6 +177,7 @@ class PhrasematchStage:
                 rows["grid_scores"].append([g.score for g in pm.grids])
                 rows["max_score"].append(self.index.max_score)
                 rows["subquery"].append(pm.subquery)
+                rows["ignore_order"].append(pm.layer in self.index.ignore_order_layers)
         return pa.table({n: pa.array(rows[n], type=PM_SCHEMA.field(n).type) for n in PM_SCHEMA.names})
 
 
@@ -271,6 +279,9 @@ def coalesce_group(group, rows) -> None:
             address=r.address if isinstance(r.address, str) else None,
         ))
 
+    ignore_layers = frozenset(
+        str(r.layer) for r in group.itertuples()
+        if getattr(r, "ignore_order", False))
     stacks = stack_and_coalesce(pms, qlen)[: constants.VERIFYMATCH_STACK_LIMIT]
     if not stacks:
         return
@@ -278,9 +289,14 @@ def coalesce_group(group, rows) -> None:
         [], [], [], [], [], [], [], [], [], []
     cov_flat: list[int] = []
     cov_counts: list[int] = []
+    cov_idx: list[int] = []
+    cov_zoom: list[int] = []
+    cov_sublen: list[int] = []
+    cov_mask: list[int] = []
+    cov_relev: list[float] = []
     for st in stacks:
         covers = st.covers()
-        relevs.append(_direction_effects(covers, st.relev))
+        relevs.append(_direction_effects(covers, st.relev, ignore_layers))
         tmpids.append(covers[0].grid.tmpid)
         zooms.append(covers[0].pm.zoom)
         gxs.append(covers[0].grid.x)
@@ -292,6 +308,11 @@ def coalesce_group(group, rows) -> None:
         phs.append(covers[0].grid.phash)
         cov_flat.extend(e.grid.tmpid for e in covers)
         cov_counts.append(len(covers))
+        cov_idx.extend(e.pm.idx for e in covers)
+        cov_zoom.extend(e.pm.zoom for e in covers)
+        cov_sublen.extend(len(e.pm.subquery) for e in covers)
+        cov_mask.extend(e.pm.mask for e in covers)
+        cov_relev.extend(e.relev for e in covers)
     rows["query_id"].append(qid)
     rows["limit"].append(lim)
     rows["proximity_lon"].append(plon if has_prox else None)
@@ -308,6 +329,11 @@ def coalesce_group(group, rows) -> None:
     rows["top_phash"].append(phs)
     rows["cover_tmpids"].append(cov_flat)
     rows["cover_counts"].append(cov_counts)
+    rows["cover_idxs"].append(cov_idx)
+    rows["cover_zooms"].append(cov_zoom)
+    rows["cover_sublens"].append(cov_sublen)
+    rows["cover_masks"].append(cov_mask)
+    rows["cover_relevs"].append(cov_relev)
 
 
 class VerifyStage:
@@ -337,6 +363,7 @@ class VerifyStage:
             _display_text,
             _squishy_boost,
             attach_cells,
+            close_but_no_cigar_adj,
             get_matching_text,
         )
 
@@ -413,6 +440,12 @@ class VerifyStage:
 
                 ghost = float(feature.score) < 0
                 relevance = float(d["relev"][qi][si])
+                sl_ = slice(cov_off[si], cov_off[si + 1])
+                relevance += close_but_no_cigar_adj(
+                    cov_flat[sl_], d["cover_idxs"][qi][sl_],
+                    d["cover_zooms"][qi][sl_], d["cover_sublens"][qi][sl_],
+                    d["cover_masks"][qi][sl_], d["cover_relevs"][qi][sl_],
+                    tmpid, ctx)
                 covers_tmp = set(cov_flat[cov_off[si]:cov_off[si + 1]])
                 squishy_ctx_target = None
                 for c in ctx:

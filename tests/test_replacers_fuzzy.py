@@ -286,3 +286,38 @@ def test_fuzzy_token_count_gate(cfg_index):
     assert all(r["feature_id"] != street.doc_id or r["relevance"] < 0.75
                for r in res) or not res or \
         all(street.text.split()[0] not in (r.get("matching_text") or "") for r in res)
+
+
+def test_inverse_tokens_index_variants(ray_session):
+    """geocoder_inverse_tokens (index.js:208): an explicit reversal map
+    adds index-time variants ('sankt' for 'st') ranked below canonical,
+    so queries using the expanded form still match."""
+    import json as _json
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from carmen_ray.config import GeocoderConfig
+    from carmen_ray.geocode.engine import IndexData, forward_one
+    from carmen_ray.index.build import build_index
+    from carmen_ray.sources.synth import SPAN_TYPE, _mk_spans
+
+    cfg = GeocoderConfig(inverse_tokens={"st": "sankt"})
+    spans = _mk_spans([
+        ("text", "st goar", ""),
+        ("geom", _json.dumps({"type": "Point", "coordinates": [8.0, 50.0]}), ""),
+        ("center", "8,50", ""),
+        ("score", "10", ""),
+    ])
+    tbl = pa.table({
+        "doc_id": pa.array(["place.1"], type=pa.string()),
+        "spans": pa.array([spans], type=pa.list_(SPAN_TYPE)),
+    })
+    idx = build_index(rd.from_arrow(tbl).repartition(1), config=cfg)
+    pg = set(idx.phrase_grid.to_pandas()["phrase"])
+    assert "st goar" in pg
+    assert "sankt goar" in pg  # the inverse variant got indexed
+    index = IndexData(idx.features, idx.phrase_grid, idx.freq, idx.max_score,
+                      idx.layer_zooms, config=cfg)
+    res = forward_one(index, "sankt goar")
+    assert res and res[0]["feature_id"] == "place.1"
