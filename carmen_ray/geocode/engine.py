@@ -341,16 +341,21 @@ def query_hypotheses(index: IndexData, tokens: list[str], fuzzy: bool = True) ->
     return hyps
 
 
-def _emit_phrase_rows(index: IndexData, lo: int, hi: int, mask: int,
-                      weight: float, joined: str, use_prefix: bool,
-                      address: str | None, out: list,
-                      edit_distance: int = 0) -> None:
-    """Emit one Phrasematch per source index for rows [lo, hi)."""
-    c = index.pg_cols
-    idxs = c["idx"][lo:hi]
-    phashes = c.get("phash")
-    for idx in np.unique(idxs):
-        rel = np.flatnonzero(idxs == idx) + lo
+class PhrasematchCollector:
+    """Default collector: builds Phrasematch + Grid objects (the fused
+    path's stacking inputs). The staged PhrasematchStage swaps in a
+    packed-row collector that writes numpy slices straight into the
+    exchange schema — building Grid objects just to re-encode them was
+    ~40% of staged phrasematch time."""
+
+    def __init__(self):
+        self.out: list[Phrasematch] = []
+
+    def emit(self, index: "IndexData", idx: int, rel: np.ndarray, mask: int,
+             weight: float, joined: str, use_prefix: bool,
+             address: str | None, edit_distance: int) -> None:
+        c = index.pg_cols
+        phashes = c.get("phash")
         grids = [
             Grid(
                 x=int(c["x"][i]), y=int(c["y"][i]),
@@ -362,7 +367,7 @@ def _emit_phrase_rows(index: IndexData, lo: int, hi: int, mask: int,
             for i in rel
         ]
         layer = str(c["layer"][rel[0]])
-        out.append(Phrasematch(
+        self.out.append(Phrasematch(
             idx=int(idx), layer=layer,
             zoom=int(c["zoom"][rel[0]]),
             mask=mask, weight=weight, subquery=joined,
@@ -374,12 +379,26 @@ def _emit_phrase_rows(index: IndexData, lo: int, hi: int, mask: int,
         ))
 
 
+def _emit_phrase_rows(index: IndexData, lo: int, hi: int, mask: int,
+                      weight: float, joined: str, use_prefix: bool,
+                      address: str | None, collector,
+                      edit_distance: int = 0) -> None:
+    """Group rows [lo, hi) by source index and hand each group to the
+    collector."""
+    idxs = index.pg_cols["idx"][lo:hi]
+    for idx in np.unique(idxs):
+        rel = np.flatnonzero(idxs == idx) + lo
+        collector.emit(index, int(idx), rel, mask, weight, joined,
+                       use_prefix, address, edit_distance)
+
+
 def phrasematch_query(index: IndexData, tokens: list[str], autocomplete: bool = True,
                       languages: list[str] | None = None,
                       weight_multiplier: float = 1.0,
                       seen: set | None = None,
                       address: str | None = None,
-                      fuzzy_max_distance: int = 0) -> list[Phrasematch]:
+                      fuzzy_max_distance: int = 0,
+                      collector=None) -> list[Phrasematch]:
     """All subquery-window matches against the phrase table (J1).
 
     With fuzzy_max_distance=1, every window also fuzzy-matches whole
@@ -393,7 +412,9 @@ def phrasematch_query(index: IndexData, tokens: list[str], autocomplete: bool = 
     n = len(tokens)
     if n == 0:
         return []
-    out: list[Phrasematch] = []
+    if collector is None:
+        collector = PhrasematchCollector()
+    out = collector
     if seen is None:
         seen = set()
     for mask in continuous_masks(n):
@@ -432,7 +453,7 @@ def phrasematch_query(index: IndexData, tokens: list[str], autocomplete: bool = 
                 weight = (len(sub) / n) * weight_multiplier * penalty
                 _emit_phrase_rows(index, lo, hi, mask, weight, cand,
                                   False, address, out, edit_distance=d)
-    return out
+    return getattr(collector, "out", [])
 
 
 def filter_misspelled_short(pms: list) -> list:

@@ -61,6 +61,7 @@ PM_SCHEMA = pa.schema([
     ("address", pa.string()),
     ("grids", pa.list_(pa.uint64())),      # 53-bit packed (x,y,relev,score3,fid)
     ("grid_scores", pa.list_(pa.float64())),  # raw scores (decoded path)
+    ("phashes", pa.list_(pa.int64())),     # per-grid source text hash
     ("max_score", pa.float64()),           # index max_score, carried so the
                                            # coalesce stage (no index access)
                                            # normalizes scoredist identically
@@ -102,6 +103,56 @@ STACK_SCHEMA = pa.schema([
 ])
 
 
+from dataclasses import dataclass as _dataclass
+
+
+@_dataclass(slots=True)
+class _PackedRow:
+    """One phrasematch as exchange-ready packed data. Quacks like a
+    Phrasematch for filter_misspelled_short (subquery/mask/edit_distance)."""
+
+    idx: int
+    layer: str
+    zoom: int
+    mask: int
+    weight: float
+    prefix: bool
+    address: str | None
+    grids: list
+    grid_scores: list
+    phashes: list
+    subquery: str
+    edit_distance: int
+
+
+class PackedCollector:
+    """phrasematch_query collector that packs grid slices straight from
+    the numpy phrase-grid columns — no Grid/Phrasematch objects, no
+    re-encode (that was ~40% of staged phrasematch time)."""
+
+    def __init__(self):
+        self.entries: list[_PackedRow] = []
+
+    def emit(self, index, idx, rel, mask, weight, joined, use_prefix,
+             address, edit_distance):
+        c = index.pg_cols
+        packed = gridmod.encode(
+            c["x"][rel], c["y"][rel], c["relev"][rel],
+            np.zeros(len(rel), dtype=np.int64),  # score3 re-derived at verify
+            c["fid"][rel],
+        )
+        phashes = c.get("phash")
+        self.entries.append(_PackedRow(
+            idx=int(idx), layer=str(c["layer"][rel[0]]),
+            zoom=int(c["zoom"][rel[0]]), mask=mask, weight=weight,
+            prefix=use_prefix, address=address,
+            grids=packed.tolist(),
+            grid_scores=c["score"][rel].tolist(),
+            phashes=(phashes[rel].tolist() if phashes is not None else [0] * len(rel)),
+            subquery=joined, edit_distance=edit_distance,
+        ))
+
+
 class PhrasematchStage:
     """Actor: queries → phrasematch rows. Holds only the phrase/grid
     table (optionally one prefix-bin shard via shard/of_n)."""
@@ -125,6 +176,7 @@ class PhrasematchStage:
         from ..text.termops import num_tokenize
         from ..text.token_replacer import replace_global_tokens
         from ..text.tokenize import normalize_query, tokenize
+        from .engine import filter_misspelled_short
 
         rows = {name: [] for name in PM_SCHEMA.names}
         for qid, q, lo, la, lim in zip(qids, queries, plon, plat, lims):
@@ -135,25 +187,24 @@ class PhrasematchStage:
                 tokens = self.index.simple.replace(tokens)
             if not tokens:
                 continue
-            pms: list[Phrasematch] = []
+            col = PackedCollector()
             tried: set = set()
             fz = 1 if len(tokens) <= constants.MAX_CORRECTION_LENGTH else 0
             for hyp, penalty in query_hypotheses(self.index, tokens, fuzzy=False):
                 if len(hyp) != len(tokens):
                     continue
-                pms.extend(phrasematch_query(self.index, hyp, weight_multiplier=penalty,
-                                             seen=tried, fuzzy_max_distance=fz))
+                phrasematch_query(self.index, hyp, weight_multiplier=penalty,
+                                  seen=tried, fuzzy_max_distance=fz, collector=col)
             for var_tokens, addr in num_tokenize(tokens):
-                pms.extend(phrasematch_query(self.index, var_tokens, seen=tried,
-                                             address=addr["number"]))
+                phrasematch_query(self.index, var_tokens, seen=tried,
+                                  address=addr["number"], collector=col)
                 if addr["position"] > 0:
                     swapped = [var_tokens[addr["position"]]] + [
                         t for i, t in enumerate(var_tokens) if i != addr["position"]]
-                    pms.extend(phrasematch_query(self.index, swapped, weight_multiplier=0.99,
-                                                 seen=tried, address=addr["number"]))
-            from .engine import filter_misspelled_short
+                    phrasematch_query(self.index, swapped, weight_multiplier=0.99,
+                                      seen=tried, address=addr["number"], collector=col)
 
-            pms = filter_misspelled_short(pms)
+            pms = filter_misspelled_short(col.entries)
             for pm in pms:
                 rows["query_id"].append(qid)
                 rows["query_len"].append(len(tokens))
@@ -167,14 +218,9 @@ class PhrasematchStage:
                 rows["weight"].append(pm.weight)
                 rows["prefix"].append(pm.prefix)
                 rows["address"].append(pm.address)
-                packed = gridmod.encode(
-                    [g.x for g in pm.grids], [g.y for g in pm.grids],
-                    [g.relev for g in pm.grids],
-                    [0] * len(pm.grids),  # score3 re-derived at verify
-                    [g.fid for g in pm.grids],
-                )
-                rows["grids"].append(packed.tolist())
-                rows["grid_scores"].append([g.score for g in pm.grids])
+                rows["grids"].append(pm.grids)
+                rows["grid_scores"].append(pm.grid_scores)
+                rows["phashes"].append(pm.phashes)
                 rows["max_score"].append(self.index.max_score)
                 rows["subquery"].append(pm.subquery)
                 rows["ignore_order"].append(pm.layer in self.index.ignore_order_layers)
@@ -266,11 +312,11 @@ def coalesce_group(group, rows) -> None:
         idx_base = int(r.idx) * (1 << 25)
         grids = [
             Grid(x=x, y=y, relev=rv, score=sc, fid=fd, tmpid=idx_base + fd,
-                 distance=dv, scoredist=sv)
-            for x, y, rv, sc, fd, dv, sv in zip(
+                 distance=dv, scoredist=sv, phash=ph)
+            for x, y, rv, sc, fd, dv, sv, ph in zip(
                 dec["x"].tolist(), dec["y"].tolist(), dec["relev"].tolist(),
                 scores.tolist(), dec["id"].tolist(), dists.tolist(),
-                np.asarray(sds).tolist())
+                np.asarray(sds).tolist(), list(r.phashes))
         ]
         pms.append(Phrasematch(
             idx=int(r.idx), layer=str(r.layer), zoom=int(r.zoom), mask=int(r.mask),

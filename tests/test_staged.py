@@ -31,12 +31,16 @@ def test_staged_matches_fused(built, ray_session):
     fused = forward_geocode_ds(rd.from_arrow(queries), idx, concurrency=1).to_pandas()
     staged = forward_geocode_staged(rd.from_arrow(queries), idx, concurrency=1).to_pandas()
 
-    top_f = fused[fused["rank"] == 0].set_index("query_id")[["feature_id", "relevance"]]
-    top_s = staged[staged["rank"] == 0].set_index("query_id")[["feature_id", "relevance"]]
+    cols = ["feature_id", "relevance", "matching_text"]
+    top_f = fused[fused["rank"] == 0].set_index("query_id")[cols]
+    top_s = staged[staged["rank"] == 0].set_index("query_id")[cols]
     assert set(top_f.index) == set(top_s.index)
     joined = top_f.join(top_s, lsuffix="_f", rsuffix="_s")
     assert (joined["feature_id_f"] == joined["feature_id_s"]).all()
     assert (joined["relevance_f"] == joined["relevance_s"]).all()
+    mt_f = joined["matching_text_f"].fillna("")
+    mt_s = joined["matching_text_s"].fillna("")
+    assert (mt_f == mt_s).all()
 
 
 def test_phrase_sharded_stage_covers_all(built, ray_session):
