@@ -232,38 +232,50 @@ def coalesce_shard(shard_group):
     pandas-grouped inside (the coarse-shard pattern from ops/agg).
     Returns an Arrow table in STACK_SCHEMA (one row per query)."""
     rows = {n: [] for n in STACK_SCHEMA.names}
-    for _, g in shard_group.groupby("query_id", sort=False):
-        coalesce_group(g, rows)
+    # one numpy extraction for the whole shard, then per-query slices —
+    # pandas scalar .iloc/.itertuples dominated this stage before
+    cols = {c: shard_group[c].to_numpy() for c in shard_group.columns}
+    qids = cols["query_id"]
+    order = np.argsort(qids, kind="mergesort")
+    sorted_qids = qids[order]
+    bounds = np.flatnonzero(np.concatenate(
+        [[True], sorted_qids[1:] != sorted_qids[:-1]]))
+    bounds = np.append(bounds, len(sorted_qids))
+    for b in range(len(bounds) - 1):
+        sel = order[bounds[b]:bounds[b + 1]]
+        coalesce_group({c: v[sel] for c, v in cols.items()}, rows)
     return pa.table({n: pa.array(rows[n], type=STACK_SCHEMA.field(n).type)
                      for n in STACK_SCHEMA.names})
 
 
-def coalesce_group(group, rows) -> None:
+def coalesce_group(col: dict, rows) -> None:
     """Pure per-query coalesce: rebuild phrasematches from packed rows,
     stack, apply the direction effects (verifymatch.js:847-933 — covers
     carry mask+subquery, all present here), append ONE row of
-    stack-lists for the query."""
+    stack-lists for the query. `col` is a dict of numpy column slices
+    for one query's pm rows."""
     import pandas as pd
 
-    from ..util.proximity import scoredist as prox_scoredist
     from .engine import _direction_effects
 
-    if len(group) == 0:
+    n_rows = len(col["query_id"])
+    if n_rows == 0:
         return
-    qid = group["query_id"].iloc[0]
-    qlen = int(group["query_len"].iloc[0])
-    plon = group["proximity_lon"].iloc[0]
-    plat = group["proximity_lat"].iloc[0]
-    lim = int(group["limit"].iloc[0])
+    qid = col["query_id"][0]
+    qlen = int(col["query_len"][0])
+    plon = col["proximity_lon"][0]
+    plat = col["proximity_lat"][0]
+    lim = int(col["limit"][0])
     has_prox = plon is not None and not pd.isna(plon)
 
     # decode every pm row, then run the proximity math ONCE over all of
     # the query's grids concatenated (avg pm row holds <10 grids — both
     # per-grid scalar calls and per-row numpy were overhead-bound)
+    zooms_col = col["zoom"]
     decoded = []
-    for r in group.itertuples():
-        dec = gridmod.decode(np.asarray(r.grids, dtype=np.uint64))
-        decoded.append((r, dec, np.asarray(r.grid_scores, dtype=np.float64)))
+    for i in range(n_rows):
+        dec = gridmod.decode(np.asarray(col["grids"][i], dtype=np.uint64))
+        decoded.append((i, dec, np.asarray(col["grid_scores"][i], dtype=np.float64)))
 
     if has_prox and decoded:
         from ..util.proximity import haversine_miles, scale_radius, score_weight
@@ -271,11 +283,11 @@ def coalesce_group(group, rows) -> None:
         all_x = np.concatenate([d["x"].astype(np.float64) for _, d, _ in decoded])
         all_y = np.concatenate([d["y"].astype(np.float64) for _, d, _ in decoded])
         all_n = np.concatenate([
-            np.full(len(d["x"]), 2.0 ** int(r.zoom)) for r, d, _ in decoded])
+            np.full(len(d["x"]), 2.0 ** int(zooms_col[i])) for i, d, _ in decoded])
         all_scores = np.concatenate([s for _, _, s in decoded])
         all_zoom = np.concatenate([
-            np.full(len(d["x"]), int(r.zoom), dtype=np.int64) for r, d, _ in decoded])
-        max_score = float(decoded[0][0].max_score)  # constant per index
+            np.full(len(d["x"]), int(zooms_col[i]), dtype=np.int64) for i, d, _ in decoded])
+        max_score = float(col["max_score"][0])  # constant per index
         clon = (all_x + 0.5) / all_n * 360.0 - 180.0
         clat = np.degrees(np.arctan(np.sinh(np.pi * (1 - 2 * (all_y + 0.5) / all_n))))
         best = haversine_miles(plon, plat, clon, clat)
@@ -300,7 +312,7 @@ def coalesce_group(group, rows) -> None:
 
     pms = []
     off = 0
-    for r, dec, scores in decoded:
+    for i, dec, scores in decoded:
         m = len(dec["x"])
         if has_prox:
             dists = all_dist[off:off + m]
@@ -309,25 +321,26 @@ def coalesce_group(group, rows) -> None:
             dists = np.zeros(m)
             sds = scores
         off += m
-        idx_base = int(r.idx) * (1 << 25)
+        idx_base = int(col["idx"][i]) * (1 << 25)
+        addr_v = col["address"][i]
         grids = [
             Grid(x=x, y=y, relev=rv, score=sc, fid=fd, tmpid=idx_base + fd,
                  distance=dv, scoredist=sv, phash=ph)
             for x, y, rv, sc, fd, dv, sv, ph in zip(
                 dec["x"].tolist(), dec["y"].tolist(), dec["relev"].tolist(),
                 scores.tolist(), dec["id"].tolist(), dists.tolist(),
-                np.asarray(sds).tolist(), list(r.phashes))
+                np.asarray(sds).tolist(), list(col["phashes"][i]))
         ]
         pms.append(Phrasematch(
-            idx=int(r.idx), layer=str(r.layer), zoom=int(r.zoom), mask=int(r.mask),
-            weight=float(r.weight), subquery=str(r.subquery), phrase_id=0,
-            prefix=bool(r.prefix), grids=grids,
-            address=r.address if isinstance(r.address, str) else None,
+            idx=int(col["idx"][i]), layer=str(col["layer"][i]),
+            zoom=int(zooms_col[i]), mask=int(col["mask"][i]),
+            weight=float(col["weight"][i]), subquery=str(col["subquery"][i]),
+            phrase_id=0, prefix=bool(col["prefix"][i]), grids=grids,
+            address=addr_v if isinstance(addr_v, str) else None,
         ))
 
-    ignore_layers = frozenset(
-        str(r.layer) for r in group.itertuples()
-        if getattr(r, "ignore_order", False))
+    io_mask = col["ignore_order"].astype(bool)
+    ignore_layers = frozenset(str(l) for l in col["layer"][io_mask])
     stacks = stack_and_coalesce(pms, qlen)[: constants.VERIFYMATCH_STACK_LIMIT]
     if not stacks:
         return
