@@ -29,7 +29,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-N_QUERIES = int(os.environ.get("GRAFT_BENCH_QUERIES", "60000"))
+N_QUERIES = int(os.environ.get("GRAFT_BENCH_QUERIES", "120000"))
 # headline corpus = 10× the sf mapping: the staged scale path must be
 # exercised on a corpus the fused broadcast design starts to strain at
 CORPUS_MULT = int(os.environ.get("GRAFT_CORPUS_MULT", "10"))
@@ -92,11 +92,16 @@ def run_bench(include_ops: bool = True) -> dict:
     queries_per_s = N_QUERIES / geocode_s if geocode_s else 0.0
 
     # ---- fused comparison (broadcast-index pool, same corpus) --------
-    t_f = time.time()
-    queries = make_queries(index, N_QUERIES)
-    qds = rd.from_arrow(queries.drop_columns(["kind"])).repartition(pool * 2)
-    n_fused = forward_geocode_ds(qds, index, concurrency=pool, batch_size=128).count()
-    fused_s = time.time() - t_f
+    # skipped in scaling legs: only the staged headline feeds the
+    # efficiency ratio, and the extra leg doubles wall time
+    if os.environ.get("GRAFT_SKIP_FUSED") == "1":
+        n_fused, fused_s = None, 0.0
+    else:
+        t_f = time.time()
+        queries = make_queries(index, N_QUERIES)
+        qds = rd.from_arrow(queries.drop_columns(["kind"])).repartition(pool * 2)
+        n_fused = forward_geocode_ds(qds, index, concurrency=pool, batch_size=128).count()
+        fused_s = time.time() - t_f
 
     out = {
         "metric": "geocode_join_sec",
@@ -141,7 +146,8 @@ def run_bench(include_ops: bool = True) -> dict:
 
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_OPS="1")
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_OPS="1",
+                   GRAFT_SKIP_FUSED="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

@@ -70,7 +70,8 @@ class IndexData:
     the hot path) + lookup dicts + a per-feature context cache."""
 
     def __init__(self, features: pa.Table, phrase_grid: pa.Table,
-                 freq: dict, max_score: float, layer_zooms: dict, config=None):
+                 freq: dict, max_score: float, layer_zooms: dict, config=None,
+                 presorted: bool = False):
         from .. import constants as _c
 
         self.config = config
@@ -112,11 +113,17 @@ class IndexData:
                 if getattr(lc, "geocoder_ignore_order", False):
                     self.ignore_order_layers.add(lname)
 
-        sort_cols = ["phrase", "idx", "fid", "x", "y", "lang_set"]
-        if "lang_set_hi" in phrase_grid.column_names:
-            sort_cols.append("lang_set_hi")
-        pg = phrase_grid.to_pandas().sort_values(
-            sort_cols, kind="mergesort").reset_index(drop=True)
+        # the index build emits the canonical sort order and filters
+        # preserve it — actors on the hot path skip the per-actor
+        # re-sort (it was the largest fixed cost at high actor counts)
+        if presorted:
+            pg = phrase_grid.to_pandas().reset_index(drop=True)
+        else:
+            sort_cols = ["phrase", "idx", "fid", "x", "y", "lang_set"]
+            if "lang_set_hi" in phrase_grid.column_names:
+                sort_cols.append("lang_set_hi")
+            pg = phrase_grid.to_pandas().sort_values(
+                sort_cols, kind="mergesort").reset_index(drop=True)
         self.phrases = pg["phrase"].to_numpy(dtype=object)
         self.pg_cols = {
             c: pg[c].to_numpy()
@@ -1645,7 +1652,8 @@ class ForwardGeocoder:
     """
 
     def __init__(self, features, phrase_grid, freq, max_score, layer_zooms, config=None):
-        self.index = IndexData(features, phrase_grid, freq, max_score, layer_zooms, config=config)
+        self.index = IndexData(features, phrase_grid, freq, max_score, layer_zooms,
+                               config=config, presorted=True)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cols = batch.column_names
@@ -1708,6 +1716,7 @@ def forward_geocode_ds(queries_ds, index, concurrency: int = 4, batch_size: int 
         # tasks and deadlocks the streaming executor on small clusters.
         # num_cpus=0.5 keeps scheduler slots free for the map/shuffle
         # tasks even when several geocode pools coexist on few CPUs.
-        concurrency=(1, concurrency) if isinstance(concurrency, int) else concurrency,
+        concurrency=((max(1, concurrency // 2), concurrency)
+                     if isinstance(concurrency, int) else concurrency),
         num_cpus=0.5,
     )

@@ -163,7 +163,7 @@ class PhrasematchStage:
             pids = np.asarray(phrase_grid["phrase_id"], dtype=np.int64) >> 40
             phrase_grid = phrase_grid.filter(pa.array(pids % of_n == shard))
         self.index = IndexData(features, phrase_grid, freq, max_score,
-                               layer_zooms, config=config)
+                               layer_zooms, config=config, presorted=True)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cols = batch.column_names
@@ -403,7 +403,7 @@ class VerifyStage:
     def __init__(self, features, phrase_grid, freq, max_score, layer_zooms, config=None):
         # phrase table not needed here; pass a minimal empty grid table
         self.index = IndexData(features, phrase_grid.slice(0, 0), freq, max_score,
-                               layer_zooms, config=config)
+                               layer_zooms, config=config, presorted=True)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         """One input row = one query (STACK_SCHEMA). Mirrors the fused
@@ -603,7 +603,11 @@ def forward_geocode_staged(queries_ds, index, concurrency: int = 4, config=None,
         "freq": index.freq, "max_score": index.max_score,
         "layer_zooms": index.layer_zooms, "config": config,
     }
-    conc = (1, concurrency) if isinstance(concurrency, int) else concurrency
+    # ramp floor at half the cap: autoscaling from 1 actor wastes the
+    # first seconds of every run at low parallelism (hurts short bench
+    # legs); fractional num_cpus keeps scheduler slots free regardless
+    conc = ((max(1, concurrency // 2), concurrency)
+            if isinstance(concurrency, int) else concurrency)
     if phrase_shards <= 1:
         pm_rows = queries_ds.map_batches(
             PhrasematchStage, fn_constructor_kwargs=kwargs,
@@ -614,7 +618,8 @@ def forward_geocode_staged(queries_ds, index, concurrency: int = 4, config=None,
         # size each shard's pool so the pools together fit the CPU
         # budget — phrase_shards full-size pools oversubscribe and
         # thrash (measured 7× parallelism on 32 CPUs before this)
-        conc = (1, max(1, (concurrency + phrase_shards - 1) // phrase_shards))
+        per = max(1, (concurrency + phrase_shards - 1) // phrase_shards)
+        conc = (max(1, per // 2), per)
         # phrase-sharded fan-out: every query visits every shard's actor
         # pool; each pool holds only its prefix-bin slice of the phrase
         # table (phrase rows are disjoint across shards, so the union has
@@ -651,6 +656,7 @@ def forward_geocode_staged(queries_ds, index, concurrency: int = 4, config=None,
     return stacks.map_batches(
         VerifyStage, fn_constructor_kwargs=kwargs,
         batch_format="pyarrow", batch_size=512,
-        concurrency=(1, concurrency) if isinstance(concurrency, int) else concurrency,
+        concurrency=((max(1, concurrency // 2), concurrency)
+                     if isinstance(concurrency, int) else concurrency),
         num_cpus=0.5,
     )

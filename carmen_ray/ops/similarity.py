@@ -162,6 +162,43 @@ def pairwise_cosine_dedup(ds, threshold: float = 0.95, dim: int = 32,
     )
 
 
+class BruteCosinePairs:
+    """Exact all-pairs cosine ≥ threshold (the verification baseline for
+    the LSH near-dup path): each actor loads the comparison matrix once
+    from parquet in __init__ (broadcast-by-path, no driver
+    materialization) and each batch is one float64 GEMM against it.
+    i<j ordering by id avoids duplicates. At 100 TB this stays the
+    oracle-check harness; `pairwise_cosine_dedup` is the scale path."""
+
+    def __init__(self, parquet_path: str, threshold: float,
+                 id_col: str = "vec_id", col: str = "embedding"):
+        import pyarrow.parquet as _pq
+
+        t = _pq.read_table(parquet_path, columns=[id_col, col])
+        self.ids = np.asarray(t[id_col].to_pylist())
+        m = np.asarray(t[col].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        self.mat = m / norms[:, None]
+        self.threshold = threshold
+        self.id_col = id_col
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_a = np.asarray(batch[self.id_col].to_pylist())
+        m = np.asarray(batch[self.col].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (m / norms[:, None]) @ self.mat.T
+        ia, ib = np.nonzero((sims >= self.threshold)
+                            & (ids_a[:, None] < self.ids[None, :]))
+        return pa.table({
+            "id_a": pa.array(ids_a[ia]),
+            "id_b": pa.array(self.ids[ib]),
+            "cosine_sim": pa.array(np.round(sims[ia, ib], 6)),
+        })
+
+
 # ------------------------------------------------------------------ IVF ---
 
 

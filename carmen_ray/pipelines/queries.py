@@ -432,6 +432,32 @@ def q_embedding_dedup(sf_dir: str):
     return pairwise_cosine_dedup(ds, threshold=0.99, dim=len(q))
 
 
+def q_embedding_pairs_brute(sf_dir: str):
+    """Exact all-pairs cosine ≥ 0.4 — the oracle-checkable verification
+    baseline for the cosine near-dup family (planted-pair pytest covers
+    the LSH scale path)."""
+    from ..ops.similarity import BruteCosinePairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ds.map_batches(
+        BruteCosinePairs,
+        fn_constructor_kwargs={"parquet_path": f"{sf_dir}/embeddings.parquet",
+                               "threshold": 0.4},
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+
+
+SQL_EMBEDDING_PAIRS = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+"""
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -454,6 +480,7 @@ QUERIES = {
     "knn_cosine": q_knn_cosine,
     "knn_lsh": q_knn_lsh,
     "embedding_dedup": q_embedding_dedup,
+    "embedding_pairs_brute": q_embedding_pairs_brute,
 }
 
 ORACLES = {
@@ -468,6 +495,7 @@ ORACLES = {
     "text_token_counts": SQL_TOKEN_COUNTS,
     "exact_dedup": SQL_EXACT_DEDUP_COUNTS,
     "knn_cosine": SQL_KNN_COSINE,
+    "embedding_pairs_brute": SQL_EMBEDDING_PAIRS,
     # lang_id / fingerprint / minhash / simhash / knn_lsh / knn_ivf /
     # embedding_dedup / media_features / geocode_join / geo_cells /
     # raster_vector_join: non-SQL-expressible (heuristic models, hash
