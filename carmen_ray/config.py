@@ -89,6 +89,10 @@ class GeocoderConfig:
     # templates keyed by language code, e.g. {"ja": "{context} {name}"};
     # falls back to place_format then the default
     place_formats: dict = field(default_factory=dict)
+    # geocoder_frequent_word_list (index.js:217-222, indexdocs.js:399):
+    # words whose omission from a permutation still counts as a full
+    # match at indexing time (relevance not degraded for dropping them)
+    frequent_word_list: list = field(default_factory=list)
     # geocoder_inverse_tokens (index.js:208, options docs :56): explicit
     # abbreviation-reversal map ("st" → "street"); applied as inverse
     # complex rules so the reversed variants rank below canonical ones

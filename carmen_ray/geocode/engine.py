@@ -1006,15 +1006,19 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
     # penalty (phrasematch.js R1)
     from ..text.termops import num_tokenize
 
+    # address permutations run with the same fuzzy budget as the main
+    # hypotheses (phrasematch.js:236 fuzzyMatchMulti takes maxDistance)
     for var_tokens, addr in num_tokenize(tokens):
         pms.extend(phrasematch_query(index, var_tokens, autocomplete=autocomplete,
-                                     seen=tried, address=addr["number"]))
+                                     seen=tried, address=addr["number"],
+                                     fuzzy_max_distance=fz))
         if addr["position"] > 0:
             swapped = [var_tokens[addr["position"]]] + [
                 t for i, t in enumerate(var_tokens) if i != addr["position"]]
             pms.extend(phrasematch_query(index, swapped, autocomplete=autocomplete,
                                          weight_multiplier=0.99, seen=tried,
-                                         address=addr["number"]))
+                                         address=addr["number"],
+                                         fuzzy_max_distance=fz))
     # single-number prefix waffling (numTokenizePrefix, termops.js:917-943)
     if autocomplete and len(tokens) == 1:
         from ..text.termops import num_tokenize_prefix

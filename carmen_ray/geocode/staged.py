@@ -197,12 +197,14 @@ class PhrasematchStage:
                                   seen=tried, fuzzy_max_distance=fz, collector=col)
             for var_tokens, addr in num_tokenize(tokens):
                 phrasematch_query(self.index, var_tokens, seen=tried,
-                                  address=addr["number"], collector=col)
+                                  address=addr["number"], collector=col,
+                                  fuzzy_max_distance=fz)
                 if addr["position"] > 0:
                     swapped = [var_tokens[addr["position"]]] + [
                         t for i, t in enumerate(var_tokens) if i != addr["position"]]
                     phrasematch_query(self.index, swapped, weight_multiplier=0.99,
-                                      seen=tried, address=addr["number"], collector=col)
+                                      seen=tried, address=addr["number"], collector=col,
+                                      fuzzy_max_distance=fz)
 
             pms = filter_misspelled_short(col.entries)
             for pm in pms:

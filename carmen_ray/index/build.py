@@ -280,6 +280,10 @@ class PhraseGen:
         self.freq = freq
         self.max_score = max(max_score, 1.0)
         self.lang_map = lang_map
+        # geocoder_frequent_word_list (index.js:217-222): lowercase set
+        self.frequent_words = None
+        if config is not None and getattr(config, "frequent_word_list", None):
+            self.frequent_words = {w.lower() for w in config.frequent_word_list}
         if config is not None:
             self.simple, self.complex_rules, self.global_rules = config.build_replacers()
         else:
@@ -384,6 +388,7 @@ class PhraseGen:
                         variants.append((itoks + toks, reduce_rel))
                     for vtoks, vrel in variants:
                      for p in get_indexable_phrases(vtoks, self.freq, text_hash=ph,
+                                                   frequent_words=self.frequent_words,
                                                    reduce_relevance=vrel):
                         prev = seen.get(p.phrase)
                         if prev and prev[0] >= p.relev:

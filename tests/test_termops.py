@@ -260,3 +260,45 @@ def test_3bit_log_scale_reference_parity():
     for n, want in dec.items():
         assert decode_3bit_log(n, 10, True) == want, n
     assert decode_3bit_log(6.5, 1.01) == 1.0092824097422461
+
+
+def test_frequent_word_list_relevance_floor(ray_session):
+    """geocoder_frequent_word_list (index.js:217-222): a permutation
+    that drops a listed word still gets indexed (floored at the 0.8
+    relevance bucket, termops.js:668-672) instead of being discarded."""
+    import json as _json
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from carmen_ray.config import GeocoderConfig
+    from carmen_ray.geocode.engine import IndexData, forward_one
+    from carmen_ray.index.build import build_index
+    from carmen_ray.sources.synth import SPAN_TYPE, _mk_spans
+
+    spans = _mk_spans([
+        ("text", "the grand arcade", ""),
+        ("geom", _json.dumps({"type": "Point", "coordinates": [9.0, 9.0]}), ""),
+        ("center", "9,9", ""),
+        ("score", "10", ""),
+    ])
+    tbl = pa.table({
+        "doc_id": pa.array(["poi.5"], type=pa.string()),
+        "spans": pa.array([spans], type=pa.list_(SPAN_TYPE)),
+    })
+    # without the list, dropping "the" sinks below the 0.8 floor and the
+    # phrase is NOT indexed at all
+    idx0 = build_index(rd.from_arrow(tbl).repartition(1))
+    assert "grand arcade" not in set(idx0.phrase_grid.to_pandas()["phrase"])
+
+    cfg = GeocoderConfig(frequent_word_list=["the"])
+    idx = build_index(rd.from_arrow(tbl).repartition(1), config=cfg)
+    pg = idx.phrase_grid.to_pandas().set_index("phrase")
+    assert "grand arcade" in pg.index
+    # the-dropped phrase keeps the reference's ≥0.8 relevance floor
+    assert float(pg.loc["grand arcade", "relev"]) >= 0.8
+    index = IndexData(idx.features, idx.phrase_grid, idx.freq, idx.max_score,
+                      idx.layer_zooms, config=cfg)
+    res = forward_one(index, "grand arcade")
+    assert res and res[0]["feature_id"] == "poi.5"
+    assert res[0]["relevance"] >= 0.8
