@@ -107,6 +107,7 @@ def stack_and_coalesce(
     phrasematches: list[Phrasematch],
     query_len: int,
     max_stacks: int = constants.SPATIALMATCH_STACK_LIMIT,
+    idx_rank: dict | None = None,
 ) -> list[Stack]:
     """Enumerate consistent stacks with caps, rebalance, dedup, sort.
 
@@ -166,11 +167,17 @@ def stack_and_coalesce(
             -s.relev, -s.entries[0].grid.scoredist, s.entries[0].grid.tmpid))
         partials = partials[: constants.STACKABLE_LIMIT]
 
-    # keep only maximal-quality stacks: rebalance + gap penalty
+    # keep only maximal-quality stacks: rebalance + gap penalty. The gap
+    # is measured over the DENSE rank of layers present in this index
+    # (carmen's ndx — a corpus with no postcode layer has no
+    # place→street gap), not the global layer numbering.
     out: list[Stack] = []
     for st in partials:
         rebalanced = rebalance(st, query_len)
-        idxs = sorted(e.idx for e in rebalanced.entries)
+        if idx_rank:
+            idxs = sorted(idx_rank.get(e.idx, e.idx) for e in rebalanced.entries)
+        else:
+            idxs = sorted(e.idx for e in rebalanced.entries)
         if len(idxs) > 1 and any(b - a > 1 for a, b in zip(idxs, idxs[1:])):
             rebalanced.relev = round_to(rebalanced.relev - 0.01, 8)
         out.append(rebalanced)

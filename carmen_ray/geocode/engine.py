@@ -152,6 +152,10 @@ class IndexData:
         self._tmpid_rows = order
         order = sorted(set(zip(f["layer"], f["idx"])), key=lambda t: t[1])
         self.layers = [l for l, _ in order]
+        # dense rank of present layers (carmen's ndx): hierarchy-gap
+        # penalties are measured over configured indexes, not the global
+        # layer numbering
+        self.idx_rank = {int(ix): r for r, (_, ix) in enumerate(order)}
         self.layer_rows = {l: np.flatnonzero(self._f["layer"] == l) for l in self.layers}
         self.layer_bbox = {
             l: (
@@ -1087,7 +1091,7 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
                 g.distance = 0.0
                 g.scoredist = g.score
 
-    cand_stacks = stack_and_coalesce(pms, query_len)
+    cand_stacks = stack_and_coalesce(pms, query_len, idx_rank=index.idx_rank)
     # verify EVERY candidate stack and keep the best per feature — a
     # feature can be reached by several mask assignments ("new york new
     # york") and carmen scores them all, keeping the max

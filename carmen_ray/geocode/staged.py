@@ -70,6 +70,7 @@ PM_SCHEMA = pa.schema([
                                            # direction-effects walk compares
                                            # adjacent cover texts
     ("ignore_order", pa.bool_()),          # layer's geocoder_ignore_order
+    ("ndx", pa.int32()),                   # dense layer rank (gap penalty)
 ])
 
 # one row PER QUERY leaving coalesce: each column is a list over the
@@ -123,6 +124,7 @@ class _PackedRow:
     phashes: list
     subquery: str
     edit_distance: int
+    ndx: int
 
 
 class PackedCollector:
@@ -150,6 +152,7 @@ class PackedCollector:
             grid_scores=c["score"][rel].tolist(),
             phashes=(phashes[rel].tolist() if phashes is not None else [0] * len(rel)),
             subquery=joined, edit_distance=edit_distance,
+            ndx=index.idx_rank.get(int(idx), int(idx)),
         ))
 
 
@@ -226,6 +229,7 @@ class PhrasematchStage:
                 rows["max_score"].append(self.index.max_score)
                 rows["subquery"].append(pm.subquery)
                 rows["ignore_order"].append(pm.layer in self.index.ignore_order_layers)
+                rows["ndx"].append(pm.ndx)
         return pa.table({n: pa.array(rows[n], type=PM_SCHEMA.field(n).type) for n in PM_SCHEMA.names})
 
 
@@ -343,7 +347,9 @@ def coalesce_group(col: dict, rows) -> None:
 
     io_mask = col["ignore_order"].astype(bool)
     ignore_layers = frozenset(str(l) for l in col["layer"][io_mask])
-    stacks = stack_and_coalesce(pms, qlen)[: constants.VERIFYMATCH_STACK_LIMIT]
+    idx_rank = {int(i): int(n) for i, n in zip(col["idx"], col["ndx"])}
+    stacks = stack_and_coalesce(
+        pms, qlen, idx_rank=idx_rank)[: constants.VERIFYMATCH_STACK_LIMIT]
     if not stacks:
         return
     relevs, tmpids, zooms, gxs, gys, gscores, addrs, sd0s, subs, phs = \

@@ -36,8 +36,9 @@ import math
 import numpy as np
 import pyarrow as pa
 
-LAYERS = ("country", "region", "place", "street", "address", "poi")
-LAYER_ZOOM = {"country": 1, "region": 4, "place": 6, "street": 10, "address": 12, "poi": 12}
+# postcode sits between place and street like carmen's default stack
+LAYERS = ("country", "region", "place", "postcode", "street", "address", "poi")
+LAYER_ZOOM = {"country": 1, "region": 4, "place": 6, "postcode": 6, "street": 10, "address": 12, "poi": 12}
 LAYER_IDX = {name: i for i, name in enumerate(LAYERS)}
 
 _NAME_A = ("west", "east", "north", "south", "new", "old", "lake", "fair", "spring", "oak")

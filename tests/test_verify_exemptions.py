@@ -100,8 +100,9 @@ def test_close_but_no_cigar_half_credit(ray_session):
 
     aligned = forward_one(index, "blue cafe oak ave")
     a = [r for r in aligned if r["feature_id"] == "poi.1"]
-    # 0.99: full coverage minus the poi→street hierarchy-gap penalty
-    assert a and a[0]["relevance"] == pytest.approx(0.99)
+    # 1.0: street and poi are ADJACENT in this corpus's dense layer
+    # ranks (no postcode/address layers present), so no gap penalty
+    assert a and a[0]["relevance"] == pytest.approx(1.0)
 
     cigar = forward_one(index, "blue cafe main st")
     c = [r for r in cigar if r["feature_id"] == "poi.1"]
