@@ -736,9 +736,14 @@ def get_matching_text(index: IndexData, feature, source_phash: int,
         langs = {}
     closest_text = display.split(",")[0].strip()
 
-    # candidate source texts keyed by language ("default" = main+synonyms)
+    # candidate source texts keyed by language ("default" = main+synonyms).
+    # synonyms is an element of a numpy object column (an ndarray after
+    # the Arrow list<string> → pandas conversion) — `arr or []` raises on
+    # 2+-element arrays, so test None/len explicitly.
+    _syns = getattr(feature, "synonyms", None)
     text_sources: dict[str, list[str]] = {
-        "default": [feature.text] + list(feature.synonyms or [])}
+        "default": [feature.text]
+        + (list(_syns) if _syns is not None and len(_syns) else [])}
     for k, v in langs.items():
         if v:
             text_sources[k] = v.split(",") if isinstance(v, str) else list(v)

@@ -185,3 +185,41 @@ def test_worldview_and_subtype_filters(ray_session):
     assert forward_one(index, "disputed region", worldview="xx")
     assert not forward_one(index, "disputed region", worldview="yy")
     assert forward_one(index, "disputed region")  # no worldview → all
+
+
+def test_multi_synonym_feature(ray_session):
+    """Features with 2+ synonyms (the reference's comma-synonym fixtures,
+    geocode-unit.synonyms.test.js) must not crash get_matching_text —
+    regression for numpy-array truthiness on the synonyms column."""
+    import warnings
+
+    import ray.data as rd
+
+    from carmen_ray.geocode.engine import forward_one
+    from carmen_ray.index.build import build_index
+    from carmen_ray.sources.synth import SPAN_TYPE, _mk_spans
+
+    spans = _mk_spans([
+        ("text", "new york", ""),
+        ("synonym", "nyc", ""),
+        ("synonym", "big apple", ""),
+        ("synonym", "gotham", ""),
+        ("geom", _json.dumps({"type": "Point", "coordinates": [3.0, 3.0]}), ""),
+        ("center", "3,3", ""),
+        ("score", "100", ""),
+    ])
+    tbl = pa.table({
+        "doc_id": pa.array(["place.9"], type=pa.string()),
+        "spans": pa.array([spans], type=pa.list_(SPAN_TYPE)),
+    })
+    idx = build_index(rd.from_arrow(tbl).repartition(1))
+    index = _index_data(idx)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", DeprecationWarning)
+        for q, want in [("nyc", "nyc"), ("big apple", "big apple"),
+                        ("gotham", "gotham")]:
+            res = forward_one(index, q)
+            assert res and res[0]["feature_id"] == "place.9"
+            assert res[0]["matching_text"] == want
+        res = forward_one(index, "new york")
+        assert res and res[0]["matching_text"] is None
