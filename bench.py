@@ -34,6 +34,7 @@ N_QUERIES = int(os.environ.get("GRAFT_BENCH_QUERIES", "120000"))
 # exercised on a corpus the fused broadcast design starts to strain at
 CORPUS_MULT = int(os.environ.get("GRAFT_CORPUS_MULT", "10"))
 PHRASE_SHARDS = int(os.environ.get("GRAFT_PHRASE_SHARDS", "2"))
+VERIFY_SHARDS = int(os.environ.get("GRAFT_VERIFY_SHARDS", "2"))
 
 BENCH_QUERIES = [
     "pricing_summary",
@@ -67,16 +68,18 @@ def run_bench(include_ops: bool = True) -> dict:
         build_corpus_and_index_streaming,
         corpus_scale_for,
         flagship_staged,
-        make_queries,
+        make_queries_from_dir,
     )
     from carmen_ray.geocode.engine import forward_geocode_ds
     import ray.data as rd
 
     # ---- streaming index build (reported, not the scaling headline) --
+    # load=False: the index lands as partitioned parquet and the driver
+    # keeps only the path — actors read their own shards
     t0 = time.time()
     scale = corpus_scale_for(SF_DIR)
-    corpus_tbl, index = build_corpus_and_index_streaming(
-        scale=scale, blocks=NUM_CPUS, corpus_mult=CORPUS_MULT)
+    corpus_tbl, index_dir = build_corpus_and_index_streaming(
+        scale=scale, blocks=NUM_CPUS, corpus_mult=CORPUS_MULT, load=False)
     build_s = time.time() - t0
 
     # ---- headline: staged geocode-join over a fixed query batch ------
@@ -86,7 +89,8 @@ def run_bench(include_ops: bool = True) -> dict:
     pool = max(2, NUM_CPUS - 2)
     results = flagship_staged(
         None, concurrency=pool, n_queries=N_QUERIES,
-        phrase_shards=PHRASE_SHARDS, index=index)
+        phrase_shards=PHRASE_SHARDS, verify_shards=VERIFY_SHARDS,
+        index_dir=index_dir)
     n_results = results.count()
     geocode_s = time.time() - t1
     queries_per_s = N_QUERIES / geocode_s if geocode_s else 0.0
@@ -98,9 +102,10 @@ def run_bench(include_ops: bool = True) -> dict:
         n_fused, fused_s = None, 0.0
     else:
         t_f = time.time()
-        queries = make_queries(index, N_QUERIES)
+        queries = make_queries_from_dir(index_dir, N_QUERIES)
         qds = rd.from_arrow(queries.drop_columns(["kind"])).repartition(pool * 2)
-        n_fused = forward_geocode_ds(qds, index, concurrency=pool, batch_size=128).count()
+        n_fused = forward_geocode_ds(
+            qds, index_dir=index_dir, concurrency=pool, batch_size=128).count()
         fused_s = time.time() - t_f
 
     out = {
@@ -114,6 +119,7 @@ def run_bench(include_ops: bool = True) -> dict:
             "index_docs": corpus_tbl.num_rows,
             "corpus_mult": CORPUS_MULT,
             "phrase_shards": PHRASE_SHARDS,
+            "verify_shards": VERIFY_SHARDS,
             "index_build_sec": round(build_s, 3),
             "index_docs_per_sec": round(corpus_tbl.num_rows / build_s, 1) if build_s else 0,
             "n_queries": N_QUERIES,

@@ -14,3 +14,13 @@ SPATIALMATCH_STACK_LIMIT = 40
 VERIFYMATCH_STACK_LIMIT = 20
 VERIFYMATCH_MAX_FEATURES_LIMIT = 50
 MAX_CONTEXTS_LIMIT = 20
+
+# --- sharded-index layout knobs (ours, not the reference's) ---
+# feature-shard modulus: features parquet is hive-partitioned by
+# fshard = fid % FSHARD_MOD; a VerifyHydrate pool of of_n actors owns
+# the fshard values where fshard % of_n == shard. 16 keeps local test
+# layouts small; a real cluster would raise it (256+) — only the
+# modulus changes, not the routing math.
+FSHARD_MOD = 16
+# phrase-shard modulus (matches index/build.add_bin's pshard = pbin % 64)
+PSHARD_MOD = 64

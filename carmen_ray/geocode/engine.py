@@ -69,9 +69,10 @@ class IndexData:
     """Compact in-actor index: sorted numpy columns (no per-row pandas in
     the hot path) + lookup dicts + a per-feature context cache."""
 
-    def __init__(self, features: pa.Table, phrase_grid: pa.Table,
+    def __init__(self, features: pa.Table | None, phrase_grid: pa.Table,
                  freq: dict, max_score: float, layer_zooms: dict, config=None,
-                 presorted: bool = False):
+                 presorted: bool = False, idx_rank: dict | None = None,
+                 build_cell_index: bool = True):
         from .. import constants as _c
 
         self.config = config
@@ -137,6 +138,34 @@ class IndexData:
         self.layer_zooms = layer_zooms
         self.max_zoom = max(layer_zooms.values()) if layer_zooms else 14
 
+        if features is None:
+            # features-free mode (the sharded PhrasematchStage): only the
+            # phrase/grid side is resident — no feature store, no tmpid
+            # index, no cell index. idx_rank (carmen's dense ndx over
+            # configured indexes) can't be derived from a phrase SHARD
+            # (a shard may miss whole layers), so it must be passed in —
+            # the streaming build persists it in index_meta.json.
+            self._f = None
+            self.n_features = 0
+            self.doc_index = {}
+            self.by_fid = {}
+            self._tmpids_sorted = np.empty(0, dtype=np.int64)
+            self._tmpid_rows = np.empty(0, dtype=np.int64)
+            self.layers = []
+            if idx_rank is not None:
+                self.idx_rank = {int(k): int(v) for k, v in idx_rank.items()}
+            else:
+                uniq = np.unique(self.pg_cols["idx"]) if "idx" in self.pg_cols else []
+                self.idx_rank = {int(ix): r for r, ix in enumerate(uniq)}
+            self.layer_rows = {}
+            self.layer_bbox = {}
+            self._geom_cache = {}
+            self._context_cache = {}
+            self.cell_zoom = 10
+            self.cell_index = {}
+            self.cell_global = []
+            return
+
         f = features.to_pandas().reset_index(drop=True)
         self._f = {c: f[c].to_numpy() for c in f.columns}
         self.n_features = len(f)
@@ -150,12 +179,20 @@ class IndexData:
         order = np.argsort(tmpids, kind="mergesort")
         self._tmpids_sorted = tmpids[order]
         self._tmpid_rows = order
-        order = sorted(set(zip(f["layer"], f["idx"])), key=lambda t: t[1])
-        self.layers = [l for l, _ in order]
-        # dense rank of present layers (carmen's ndx): hierarchy-gap
-        # penalties are measured over configured indexes, not the global
-        # layer numbering
-        self.idx_rank = {int(ix): r for r, (_, ix) in enumerate(order)}
+        if idx_rank is not None:
+            # sharded feature store: local layers are a subset — ranks
+            # come from the build-time metadata so they stay globally
+            # consistent across shards
+            self.idx_rank = {int(k): int(v) for k, v in idx_rank.items()}
+            order = sorted(set(zip(f["layer"], f["idx"])), key=lambda t: t[1])
+            self.layers = [l for l, _ in order]
+        else:
+            order = sorted(set(zip(f["layer"], f["idx"])), key=lambda t: t[1])
+            self.layers = [l for l, _ in order]
+            # dense rank of present layers (carmen's ndx): hierarchy-gap
+            # penalties are measured over configured indexes, not the
+            # global layer numbering
+            self.idx_rank = {int(ix): r for r, (_, ix) in enumerate(order)}
         self.layer_rows = {l: np.flatnonzero(self._f["layer"] == l) for l in self.layers}
         self.layer_bbox = {
             l: (
@@ -175,7 +212,7 @@ class IndexData:
         self.cell_zoom = 10
         self.cell_index: dict[tuple[int, int], list[int]] = {}
         self.cell_global: list[int] = []
-        if self.n_features:
+        if build_cell_index and self.n_features:
             nz = 2.0 ** self.cell_zoom
             w_, s_, e_, n_ = (self._f["bbox_w"], self._f["bbox_s"],
                              self._f["bbox_e"], self._f["bbox_n"])
@@ -904,9 +941,9 @@ def _squishy_boost(index: IndexData, feature, ctx, matched_tmpids: set) -> float
     for parent in ctx:
         if parent.layer not in GRANT_SCORE_LAYERS:
             continue
-        prow = index.doc_index.get(parent.doc_id)
-        if prow is None:
-            continue
+        # parents carry idx/fid/score directly (Feature or a denormalized
+        # context row) — no feature-store lookup, so hash(fid)-sharded
+        # verify actors grant the boost without holding the parent's row
         ptmpid = int(parent.idx) * TMPID_SHIFT + int(parent.fid)
         if ptmpid not in matched_tmpids:
             continue
@@ -1660,11 +1697,26 @@ class ForwardGeocoder:
     """Actor-pool stage: batch of query rows → result rows.
 
     Constructor receives the index tables (Ray ships them to each actor
-    once — the broadcast join). At 100 TB the constructor instead takes
-    parquet paths + a prefix-bin range and memory-maps its shard.
+    once — the broadcast join), or an `index_dir` so each actor loads
+    the compact index from the partitioned parquet layout itself and
+    nothing index-sized transits the driver. This is the COMPACT path
+    (whole index per actor) used when the index fits a worker —
+    reverse/id serving and small corpora; the sharded scale path is
+    geocode/staged.py.
     """
 
-    def __init__(self, features, phrase_grid, freq, max_score, layer_zooms, config=None):
+    def __init__(self, features=None, phrase_grid=None, freq=None,
+                 max_score=None, layer_zooms=None, config=None,
+                 index_dir: str | None = None):
+        if index_dir is not None:
+            from ..index.build import load_index_streaming
+
+            idx = load_index_streaming(index_dir)
+            features, phrase_grid = idx.features, idx.phrase_grid
+            if "spans" in features.column_names:
+                features = features.drop_columns(["spans"])
+            freq, max_score = idx.freq, idx.max_score
+            layer_zooms = idx.layer_zooms
         self.index = IndexData(features, phrase_grid, freq, max_score, layer_zooms,
                                config=config, presorted=True)
 
@@ -1705,23 +1757,28 @@ class ForwardGeocoder:
         return pa.table({name: pa.array(rows[name], type=t) for name, t in RESULT_FIELDS})
 
 
-def forward_geocode_ds(queries_ds, index, concurrency: int = 4, batch_size: int = 256,
-                       config=None):
-    """queries Dataset → results Dataset via the fused actor pool."""
-    # the query actors never touch the spans payload — don't ship it
-    feats = index.features
-    if "spans" in feats.column_names:
-        feats = feats.drop_columns(["spans"])
-    return queries_ds.map_batches(
-        ForwardGeocoder,
-        fn_constructor_kwargs={
+def forward_geocode_ds(queries_ds, index=None, concurrency: int = 4, batch_size: int = 256,
+                       config=None, index_dir: str | None = None):
+    """queries Dataset → results Dataset via the fused actor pool.
+    With index_dir, actors self-load from parquet (driver ships paths)."""
+    if index_dir is not None:
+        kwargs = {"index_dir": index_dir, "config": config}
+    else:
+        # the query actors never touch the spans payload — don't ship it
+        feats = index.features
+        if "spans" in feats.column_names:
+            feats = feats.drop_columns(["spans"])
+        kwargs = {
             "features": feats,
             "phrase_grid": index.phrase_grid,
             "freq": index.freq,
             "max_score": index.max_score,
             "layer_zooms": index.layer_zooms,
             "config": config,
-        },
+        }
+    return queries_ds.map_batches(
+        ForwardGeocoder,
+        fn_constructor_kwargs=kwargs,
         batch_format="pyarrow",
         batch_size=batch_size,
         # autoscaling (1, n) pool: a fixed-size pool of n == num_cpus

@@ -3,28 +3,38 @@
 The fused actor (engine.ForwardGeocoder) holds the whole index per
 actor; that stops working when a layer's phrase/grid tables outgrow one
 worker. This variant is the SURVEY.md §3.2 Ray shape with the explicit
-shuffle:
+shuffles:
 
     queries → mB-actor(PhrasematchStage: phrase windows → grid rows)
-            → groupby(query_id)                      # the shuffle
+            → groupby(query_id)                  # shuffle 1
             → map_groups(coalesce: stack+rebalance+topk, pure python)
-            → mB-actor(VerifyStage: feature hydrate + context + format)
+            → fan-out by vshard = fid % FSHARD_MOD
+            → mB-actor(VerifyHydrate: per-candidate feature hydrate,
+                       each actor holds ONE hash(fid) shard of features)
+            → groupby(query_id)                  # shuffle 2
+            → map_groups(assemble: dedupe + final sort + limit)
 
 Forward queries only — reverse/id queries route through the fused
 actor (engine.ForwardGeocoder), which is also the fast path when the
 index fits an actor.
 
+No stage holds the whole index: PhrasematchStage actors hold only a
+pshard slice of the phrase/grid table (features-free IndexData — the
+feature store is never built there); VerifyHydrate actors hold only an
+fshard slice of the feature table, with context attributes denormalized
+onto each row at build time (index/context.py `context_json`) so
+hydration never needs a cross-shard lookup. With `index_dir` set, each
+actor reads its own shard straight from the partitioned parquet layout
+— nothing index-sized ever lives on the driver.
+
 Stage boundaries carry narrow Arrow rows: grids packed with the 53-bit
 grid encoding (util/grid.py) — exactly what a phrase-sharded cluster
-would exchange. PhrasematchStage actors can then hold only a
-prefix-bin shard of the phrase table (shard_of_n constructor arg), with
-queries fanned out to every shard and the groupby(query_id) shuffle
-re-assembling per-query state — no actor ever needs the whole index.
+would exchange.
 
 Proximity note: stage-2 scoredist uses the tile-corner distance (the
-feature center isn't hydrated yet); stage 3 recomputes the precise
-scoredist before the final sort, so final ordering matches the fused
-path.
+feature center isn't hydrated yet); VerifyHydrate recomputes the
+precise scoredist before the final sort, so final ordering matches the
+fused path.
 """
 
 from __future__ import annotations
@@ -73,35 +83,53 @@ PM_SCHEMA = pa.schema([
     ("ndx", pa.int32()),                   # dense layer rank (gap penalty)
 ])
 
-# one row PER QUERY leaving coalesce: each column is a list over the
-# query's candidate stacks (cover_tmpids flattened with cover_counts
-# giving per-stack lengths). Packing per query means a downstream
-# map_batches boundary can never split one query's stacks across two
-# verify batches (which duplicated rank-0 rows).
-STACK_SCHEMA = pa.schema([
+# one row PER CANDIDATE STACK leaving coalesce. Candidates are routed to
+# the VerifyHydrate shard that owns the top cover's feature (vshard);
+# the final groupby(query_id) reassembles, dedupes and ranks. `si` is
+# the stack ordinal within its query — dedup tie-breaks are
+# first-stack-wins in the fused path, and arrival order through two
+# shuffles is nondeterministic, so the ordinal must ride along.
+CAND_SCHEMA = pa.schema([
     ("query_id", pa.string()),
     ("limit", pa.int32()),
     ("proximity_lon", pa.float64()),
     ("proximity_lat", pa.float64()),
-    ("relev", pa.list_(pa.float64())),      # post direction-effects, unrounded
-    ("tmpid", pa.list_(pa.int64())),        # top cover's grid tmpid
-    ("zoom", pa.list_(pa.int32())),         # top cover's pm zoom
-    ("gx", pa.list_(pa.int32())),           # top cover's grid x
-    ("gy", pa.list_(pa.int32())),           # top cover's grid y
-    ("gscore", pa.list_(pa.float64())),     # top cover's grid score
-    ("address", pa.list_(pa.string())),
-    ("sd0", pa.list_(pa.float64())),        # stage-2 scoredist (determinism sort)
-    ("top_subquery", pa.list_(pa.string())),  # matching_text derivation
-    ("top_phash", pa.list_(pa.int64())),      # source text hash of top cover
+    ("si", pa.int32()),
+    ("relev", pa.float64()),        # post direction-effects, unrounded
+    ("tmpid", pa.int64()),          # top cover's grid tmpid
+    ("zoom", pa.int32()),           # top cover's pm zoom
+    ("gx", pa.int32()),             # top cover's grid x
+    ("gy", pa.int32()),             # top cover's grid y
+    ("gscore", pa.float64()),       # top cover's grid score
+    ("address", pa.string()),
+    ("top_subquery", pa.string()),  # matching_text derivation
+    ("top_phash", pa.int64()),      # source text hash of top cover
     ("cover_tmpids", pa.list_(pa.int64())),
-    ("cover_counts", pa.list_(pa.int32())),
-    # parallel to cover_tmpids — the close-but-no-cigar context walk
     ("cover_idxs", pa.list_(pa.int32())),
     ("cover_zooms", pa.list_(pa.int32())),
     ("cover_sublens", pa.list_(pa.int32())),
     ("cover_masks", pa.list_(pa.int64())),
     ("cover_relevs", pa.list_(pa.float64())),
+    ("vshard", pa.int32()),         # fid % FSHARD_MOD of the top cover
 ])
+
+# hydrated candidate rows (VerifyHydrate output): everything assemble
+# needs to dedupe/sort/rank without touching the index again
+_HYD_FIELDS = [
+    ("query_id", pa.string()), ("limit", pa.int32()), ("si", pa.int32()),
+    ("tmpid", pa.int64()),
+    ("feature_id", pa.string()), ("relevance", pa.float64()),
+    ("composite", pa.float64()), ("place_name", pa.string()),
+    ("center_lon", pa.float64()), ("center_lat", pa.float64()),
+    ("fzoom", pa.int32()),
+    ("context", pa.list_(pa.string())), ("score", pa.float64()),
+    ("scoredist", pa.float64()), ("idx", pa.int32()), ("fid", pa.int64()),
+    ("address", pa.string()),
+    ("routable_lon", pa.float64()), ("routable_lat", pa.float64()),
+    ("matching_text", pa.string()), ("matching_language", pa.string()),
+    ("language", pa.string()),
+]
+HYD_SCHEMA = pa.schema(_HYD_FIELDS)
 
 
 from dataclasses import dataclass as _dataclass
@@ -156,17 +184,52 @@ class PackedCollector:
         ))
 
 
-class PhrasematchStage:
-    """Actor: queries → phrasematch rows. Holds only the phrase/grid
-    table (optionally one prefix-bin shard via shard/of_n)."""
+def _pg_shard_filter(phrase_grid: pa.Table, shard: int, of_n: int) -> pa.Table:
+    """In-memory phrase-shard slice, same key as the parquet layout:
+    pshard = (phrase_id >> 40) % PSHARD_MOD, actor owns pshard % of_n."""
+    pids = np.asarray(phrase_grid["phrase_id"], dtype=np.int64) >> 40
+    return phrase_grid.filter(pa.array((pids % constants.PSHARD_MOD) % of_n == shard))
 
-    def __init__(self, features, phrase_grid, freq, max_score, layer_zooms,
-                 config=None, shard: int = 0, of_n: int = 1):
-        if of_n > 1:
-            pids = np.asarray(phrase_grid["phrase_id"], dtype=np.int64) >> 40
-            phrase_grid = phrase_grid.filter(pa.array(pids % of_n == shard))
-        self.index = IndexData(features, phrase_grid, freq, max_score,
-                               layer_zooms, config=config, presorted=True)
+
+class PhrasematchStage:
+    """Actor: queries → phrasematch rows. Holds ONLY its pshard slice of
+    the phrase/grid table — the IndexData is features-free (no feature
+    store, tmpid index or cell index is ever built here).
+
+    Construction modes:
+      * index_dir=...: the actor reads its own shard from the
+        partitioned parquet layout (build_index_streaming output) and
+        the scalar metadata from index_meta.json — nothing shipped from
+        the driver but the path and shard coordinates.
+      * phrase_grid=... (tables): compact/test mode; `features` is
+        accepted for backward compatibility but only consulted to derive
+        idx_rank when none is given.
+    """
+
+    def __init__(self, features=None, phrase_grid=None, freq=None,
+                 max_score=None, layer_zooms=None, config=None,
+                 shard: int = 0, of_n: int = 1, index_dir: str | None = None,
+                 idx_rank: dict | None = None):
+        if index_dir is not None:
+            from ..index.build import load_index_meta, read_phrase_shard
+
+            meta = load_index_meta(index_dir)
+            phrase_grid = read_phrase_shard(index_dir, shard, of_n)
+            freq = meta["freq"]
+            max_score = meta["max_score"]
+            layer_zooms = meta["layer_zooms"]
+            idx_rank = meta["idx_rank"]
+        else:
+            if of_n > 1:
+                phrase_grid = _pg_shard_filter(phrase_grid, shard, of_n)
+            if idx_rank is None and features is not None:
+                pairs = sorted(set(zip(features["layer"].to_pylist(),
+                                       features["idx"].to_pylist())),
+                               key=lambda t: t[1])
+                idx_rank = {int(ix): r for r, (_, ix) in enumerate(pairs)}
+        self.index = IndexData(None, phrase_grid, freq, max_score,
+                               layer_zooms, config=config, presorted=True,
+                               idx_rank=idx_rank)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cols = batch.column_names
@@ -235,9 +298,9 @@ class PhrasematchStage:
 
 def coalesce_shard(shard_group):
     """One shuffle group per query-id shard; exact per-query coalesce is
-    pandas-grouped inside (the coarse-shard pattern from ops/agg).
-    Returns an Arrow table in STACK_SCHEMA (one row per query)."""
-    rows = {n: [] for n in STACK_SCHEMA.names}
+    grouped inside (the coarse-shard pattern from ops/agg). Returns an
+    Arrow table in CAND_SCHEMA (one row per candidate stack)."""
+    rows = {n: [] for n in CAND_SCHEMA.names}
     # one numpy extraction for the whole shard, then per-query slices —
     # pandas scalar .iloc/.itertuples dominated this stage before
     cols = {c: shard_group[c].to_numpy() for c in shard_group.columns}
@@ -250,16 +313,16 @@ def coalesce_shard(shard_group):
     for b in range(len(bounds) - 1):
         sel = order[bounds[b]:bounds[b + 1]]
         coalesce_group({c: v[sel] for c, v in cols.items()}, rows)
-    return pa.table({n: pa.array(rows[n], type=STACK_SCHEMA.field(n).type)
-                     for n in STACK_SCHEMA.names})
+    return pa.table({n: pa.array(rows[n], type=CAND_SCHEMA.field(n).type)
+                     for n in CAND_SCHEMA.names})
 
 
 def coalesce_group(col: dict, rows) -> None:
     """Pure per-query coalesce: rebuild phrasematches from packed rows,
     stack, apply the direction effects (verifymatch.js:847-933 — covers
-    carry mask+subquery, all present here), append ONE row of
-    stack-lists for the query. `col` is a dict of numpy column slices
-    for one query's pm rows."""
+    carry mask+subquery, all present here), append ONE CAND row per
+    candidate stack. `col` is a dict of numpy column slices for one
+    query's pm rows."""
     import pandas as pd
 
     from .engine import _direction_effects
@@ -352,73 +415,118 @@ def coalesce_group(col: dict, rows) -> None:
         pms, qlen, idx_rank=idx_rank)[: constants.VERIFYMATCH_STACK_LIMIT]
     if not stacks:
         return
-    relevs, tmpids, zooms, gxs, gys, gscores, addrs, sd0s, subs, phs = \
-        [], [], [], [], [], [], [], [], [], []
-    cov_flat: list[int] = []
-    cov_counts: list[int] = []
-    cov_idx: list[int] = []
-    cov_zoom: list[int] = []
-    cov_sublen: list[int] = []
-    cov_mask: list[int] = []
-    cov_relev: list[float] = []
-    for st in stacks:
+    for si, st in enumerate(stacks):
         covers = st.covers()
-        relevs.append(_direction_effects(covers, st.relev, ignore_layers))
-        tmpids.append(covers[0].grid.tmpid)
-        zooms.append(covers[0].pm.zoom)
-        gxs.append(covers[0].grid.x)
-        gys.append(covers[0].grid.y)
-        gscores.append(covers[0].grid.score)
-        addrs.append(next((e.pm.address for e in covers if e.pm.address), None))
-        sd0s.append(covers[0].grid.scoredist)
-        subs.append(covers[0].pm.subquery)
-        phs.append(covers[0].grid.phash)
-        cov_flat.extend(e.grid.tmpid for e in covers)
-        cov_counts.append(len(covers))
-        cov_idx.extend(e.pm.idx for e in covers)
-        cov_zoom.extend(e.pm.zoom for e in covers)
-        cov_sublen.extend(len(e.pm.subquery) for e in covers)
-        cov_mask.extend(e.pm.mask for e in covers)
-        cov_relev.extend(e.relev for e in covers)
-    rows["query_id"].append(qid)
-    rows["limit"].append(lim)
-    rows["proximity_lon"].append(plon if has_prox else None)
-    rows["proximity_lat"].append(plat if has_prox else None)
-    rows["relev"].append(relevs)
-    rows["tmpid"].append(tmpids)
-    rows["zoom"].append(zooms)
-    rows["gx"].append(gxs)
-    rows["gy"].append(gys)
-    rows["gscore"].append(gscores)
-    rows["address"].append(addrs)
-    rows["sd0"].append(sd0s)
-    rows["top_subquery"].append(subs)
-    rows["top_phash"].append(phs)
-    rows["cover_tmpids"].append(cov_flat)
-    rows["cover_counts"].append(cov_counts)
-    rows["cover_idxs"].append(cov_idx)
-    rows["cover_zooms"].append(cov_zoom)
-    rows["cover_sublens"].append(cov_sublen)
-    rows["cover_masks"].append(cov_mask)
-    rows["cover_relevs"].append(cov_relev)
+        tmpid = covers[0].grid.tmpid
+        rows["query_id"].append(qid)
+        rows["limit"].append(lim)
+        rows["proximity_lon"].append(plon if has_prox else None)
+        rows["proximity_lat"].append(plat if has_prox else None)
+        rows["si"].append(si)
+        rows["relev"].append(_direction_effects(covers, st.relev, ignore_layers))
+        rows["tmpid"].append(tmpid)
+        rows["zoom"].append(covers[0].pm.zoom)
+        rows["gx"].append(covers[0].grid.x)
+        rows["gy"].append(covers[0].grid.y)
+        rows["gscore"].append(covers[0].grid.score)
+        rows["address"].append(next((e.pm.address for e in covers if e.pm.address), None))
+        rows["top_subquery"].append(covers[0].pm.subquery)
+        rows["top_phash"].append(covers[0].grid.phash)
+        rows["cover_tmpids"].append([e.grid.tmpid for e in covers])
+        rows["cover_idxs"].append([e.pm.idx for e in covers])
+        rows["cover_zooms"].append([e.pm.zoom for e in covers])
+        rows["cover_sublens"].append([len(e.pm.subquery) for e in covers])
+        rows["cover_masks"].append([e.pm.mask for e in covers])
+        rows["cover_relevs"].append([e.relev for e in covers])
+        rows["vshard"].append(int(tmpid % constants.FSHARD_MOD))
 
 
-class VerifyStage:
-    """Actor: stack rows → final result rows (feature hydrate + precise
-    proximity scoredist + context + dedupe + format). Holds the feature
-    table only — at scale, sharded by hash(fid) with a second groupby."""
+class _CtxRow:
+    """Denormalized context entry (index/context.py `context_json`):
+    quacks like a Feature for the verify-side context consumers."""
 
-    def __init__(self, features, phrase_grid, freq, max_score, layer_zooms, config=None):
-        # phrase table not needed here; pass a minimal empty grid table
-        self.index = IndexData(features, phrase_grid.slice(0, 0), freq, max_score,
-                               layer_zooms, config=config, presorted=True)
+    __slots__ = ("doc_id", "layer", "idx", "fid", "text", "score")
+
+    def __init__(self, d: dict):
+        self.doc_id = d["doc_id"]
+        self.layer = d["layer"]
+        self.idx = d["idx"]
+        self.fid = d["fid"]
+        self.text = d["text"]
+        self.score = d["score"]
+
+
+class VerifyHydrate:
+    """Actor: candidate rows (CAND_SCHEMA) → hydrated rows (HYD_SCHEMA).
+
+    Holds ONE hash(fid) shard of the feature table. Context attributes
+    are read from the denormalized `context_json` column, so no
+    candidate ever needs a feature row outside this actor's shard.
+
+    Construction modes mirror PhrasematchStage: index_dir (actors read
+    their fshard slice from the hive-partitioned parquet) or an
+    in-memory features table (filtered to the shard when of_n > 1)."""
+
+    def __init__(self, features=None, freq=None, max_score=None,
+                 layer_zooms=None, config=None, shard: int = 0,
+                 of_n: int = 1, index_dir: str | None = None,
+                 idx_rank: dict | None = None):
+        if index_dir is not None:
+            from ..index.build import load_index_meta, read_feature_shard
+
+            meta = load_index_meta(index_dir)
+            features = read_feature_shard(index_dir, shard, of_n)
+            max_score = meta["max_score"]
+            layer_zooms = meta["layer_zooms"]
+            idx_rank = meta["idx_rank"]
+        elif of_n > 1:
+            fids = np.asarray(features["fid"], dtype=np.int64)
+            keep = (fids % constants.FSHARD_MOD) % of_n == shard
+            features = features.filter(pa.array(keep))
+        empty_pg = pa.table({
+            "phrase": pa.array([], type=pa.string()),
+            "idx": pa.array([], type=pa.int32()),
+            "layer": pa.array([], type=pa.string()),
+            "zoom": pa.array([], type=pa.int32()),
+            "relev": pa.array([], type=pa.float64()),
+            "score": pa.array([], type=pa.float64()),
+            "x": pa.array([], type=pa.int32()),
+            "y": pa.array([], type=pa.int32()),
+            "fid": pa.array([], type=pa.int64()),
+            "phrase_id": pa.array([], type=pa.int64()),
+            "lang_set": pa.array([], type=pa.uint64()),
+        })
+        # verify never probes phrases or cell rings — skip those indexes
+        self.index = IndexData(features, empty_pg, freq or {}, max_score,
+                               layer_zooms, config=config, presorted=True,
+                               idx_rank=idx_rank, build_cell_index=False)
+        self._has_ctx_json = (self.index._f is not None
+                              and "context_json" in self.index._f)
+        self._ctx_cache: dict[int, list] = {}
+
+    def _ctx(self, frow: int, feature):
+        """Context chain for a feature row: denormalized column when the
+        index was built with it, else the legacy full-table walk (valid
+        only in unsharded mode)."""
+        cached = self._ctx_cache.get(frow)
+        if cached is not None:
+            return cached
+        if self._has_ctx_json:
+            import json as _json
+
+            raw = self.index._f["context_json"][frow]
+            out = [_CtxRow(d) for d in _json.loads(raw)] if raw else []
+        else:
+            out = _context_for(self.index, frow, int(feature.idx))
+        self._ctx_cache[frow] = out
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        """One input row = one query (STACK_SCHEMA). Mirrors the fused
+        """One input row = one candidate stack. Mirrors the fused
         forward_one verify loop: precise feature-center proximity
         (min(center, furthest-tile-corner) bound like attach_proximity),
-        context squishy, squishy score inheritance, ghost/place-name
-        dedup, identical final sort."""
+        context squishy, squishy score inheritance, matching_text; the
+        per-query dedup/sort/limit happens downstream in assemble."""
         import json as _json
 
         from ..geom.ops import nearest_point_on_multiline
@@ -429,214 +537,286 @@ class VerifyStage:
             TMPID_SHIFT,
             _display_text,
             _squishy_boost,
-            attach_cells,
             close_but_no_cigar_adj,
             get_matching_text,
         )
 
         d = batch.to_pydict()
-        rows = {name: [] for name, _ in RESULT_FIELDS}
-        for qi in range(batch.num_rows):
-            qid = d["query_id"][qi]
-            lim = int(d["limit"][qi])
-            plon, plat = d["proximity_lon"][qi], d["proximity_lat"][qi]
+        rows = {name: [] for name, _ in _HYD_FIELDS}
+        for ri in range(batch.num_rows):
+            plon, plat = d["proximity_lon"][ri], d["proximity_lat"][ri]
             has_prox = plon is not None
-            cov_flat = d["cover_tmpids"][qi]
-            cov_counts = d["cover_counts"][qi]
-            cov_off = np.concatenate([[0], np.cumsum(cov_counts)]).astype(int)
-            best: dict[int, dict] = {}
-            for si in range(len(d["tmpid"][qi])):
-                tmpid = int(d["tmpid"][qi][si])
-                frow = self.index.row_by_tmpid(tmpid)
-                if frow is None:
-                    continue
-                feature = self.index.feature_at(frow)
-                ctx = _context_for(self.index, frow, int(feature.idx))
-                addr_number = d["address"][qi][si]
-                resolved = resolve_address(feature, addr_number) if addr_number else None
-                matched_address = resolved["address"] if resolved else None
-                routable = None
-                if resolved and resolved.get("line"):
-                    routable = nearest_point_on_multiline(
-                        resolved["lon"], resolved["lat"], [resolved["line"]])
-                zoom_pm = int(d["zoom"][qi][si])
-                gscore = float(d["gscore"][qi][si])
-                if has_prox:
-                    # fused attach_proximity: distance = min(center
-                    # haversine, furthest corner of the cover tile)
-                    center_d = float(prox.haversine_miles(
-                        plon, plat, float(feature.center_lon), float(feature.center_lat)))
-                    gx, gy = float(d["gx"][qi][si]), float(d["gy"][qi][si])
-                    nz = 2.0 ** zoom_pm
-                    max_corner = 0.0
-                    for dx in (0.0, 1.0):
-                        for dy in (0.0, 1.0):
-                            lon_c = (gx + dx) / nz * 360.0 - 180.0
-                            lat_c = float(np.degrees(np.arctan(
-                                np.sinh(np.pi * (1 - 2 * (gy + dy) / nz)))))
-                            max_corner = max(max_corner, float(
-                                prox.haversine_miles(plon, plat, lon_c, lat_c)))
-                    dist = min(center_d, max_corner)
-                    scoredist = float(prox.scoredist(
-                        gscore, self.index.min_score, self.index.max_score,
-                        dist, zoom_pm))
-                else:
-                    dist = 0.0
-                    scoredist = gscore
+            tmpid = int(d["tmpid"][ri])
+            frow = self.index.row_by_tmpid(tmpid)
+            if frow is None:
+                continue
+            feature = self.index.feature_at(frow)
+            ctx = self._ctx(frow, feature)
+            addr_number = d["address"][ri]
+            resolved = resolve_address(feature, addr_number) if addr_number else None
+            matched_address = resolved["address"] if resolved else None
+            routable = None
+            if resolved and resolved.get("line"):
+                routable = nearest_point_on_multiline(
+                    resolved["lon"], resolved["lat"], [resolved["line"]])
+            zoom_pm = int(d["zoom"][ri])
+            gscore = float(d["gscore"][ri])
+            if has_prox:
+                # fused attach_proximity: distance = min(center
+                # haversine, furthest corner of the cover tile)
+                center_d = float(prox.haversine_miles(
+                    plon, plat, float(feature.center_lon), float(feature.center_lat)))
+                gx, gy = float(d["gx"][ri]), float(d["gy"][ri])
+                nz = 2.0 ** zoom_pm
+                max_corner = 0.0
+                for dx in (0.0, 1.0):
+                    for dy in (0.0, 1.0):
+                        lon_c = (gx + dx) / nz * 360.0 - 180.0
+                        lat_c = float(np.degrees(np.arctan(
+                            np.sinh(np.pi * (1 - 2 * (gy + dy) / nz)))))
+                        max_corner = max(max_corner, float(
+                            prox.haversine_miles(plon, plat, lon_c, lat_c)))
+                dist = min(center_d, max_corner)
+                scoredist = float(prox.scoredist(
+                    gscore, self.index.min_score, self.index.max_score,
+                    dist, zoom_pm))
+            else:
+                dist = 0.0
+                scoredist = gscore
 
-                display, matched_lang = _display_text(feature, None)
-                overrides = {}
-                ojson = getattr(feature, "overrides_json", "") or ""
-                if ojson:
-                    overrides = _json.loads(ojson)
-                ctx_names = []
-                for c in ctx:
-                    if c.layer in overrides and str(c.text) != overrides[c.layer]:
-                        ctx_names.append(overrides[c.layer])
-                    else:
-                        ctx_names.append(_display_text(c, None)[0])
-                if self.index.config is not None and self.index.config.place_format:
-                    place_name = self.index.config.render_place_name(
-                        display, ctx_names, matched_address, language=matched_lang)
+            display, matched_lang = _display_text(feature, None)
+            overrides = {}
+            ojson = getattr(feature, "overrides_json", "") or ""
+            if ojson:
+                overrides = _json.loads(ojson)
+            ctx_names = []
+            for c in ctx:
+                if c.layer in overrides and str(c.text) != overrides[c.layer]:
+                    ctx_names.append(overrides[c.layer])
                 else:
-                    name_prefix = f"{matched_address} " if matched_address else ""
-                    place_name = name_prefix + ", ".join([display] + ctx_names)
-                matching_text, matching_language = get_matching_text(
-                    self.index, feature, int(d["top_phash"][qi][si]), None,
-                    d["top_subquery"][qi][si], matched_lang, display)
+                    ctx_names.append(_display_text(c, None)[0])
+            if self.index.config is not None and self.index.config.place_format:
+                place_name = self.index.config.render_place_name(
+                    display, ctx_names, matched_address, language=matched_lang)
+            else:
+                name_prefix = f"{matched_address} " if matched_address else ""
+                place_name = name_prefix + ", ".join([display] + ctx_names)
+            matching_text, matching_language = get_matching_text(
+                self.index, feature, int(d["top_phash"][ri]), None,
+                d["top_subquery"][ri], matched_lang, display)
 
-                ghost = float(feature.score) < 0
-                relevance = float(d["relev"][qi][si])
-                sl_ = slice(cov_off[si], cov_off[si + 1])
-                relevance += close_but_no_cigar_adj(
-                    cov_flat[sl_], d["cover_idxs"][qi][sl_],
-                    d["cover_zooms"][qi][sl_], d["cover_sublens"][qi][sl_],
-                    d["cover_masks"][qi][sl_], d["cover_relevs"][qi][sl_],
-                    tmpid, ctx)
-                covers_tmp = set(cov_flat[cov_off[si]:cov_off[si + 1]])
-                squishy_ctx_target = None
+            ghost = float(feature.score) < 0
+            relevance = float(d["relev"][ri])
+            relevance += close_but_no_cigar_adj(
+                d["cover_tmpids"][ri], d["cover_idxs"][ri],
+                d["cover_zooms"][ri], d["cover_sublens"][ri],
+                d["cover_masks"][ri], d["cover_relevs"][ri],
+                tmpid, ctx)
+            covers_tmp = set(d["cover_tmpids"][ri])
+            squishy_ctx_target = None
+            for c in ctx:
+                ctmp = int(c.idx) * TMPID_SHIFT + int(c.fid)
+                if ctmp in covers_tmp and c.layer in INHERIT_SCORE_LAYERS:
+                    squishy_ctx_target = str(c.text).lower()
+                    break
+            if squishy_ctx_target is not None:
                 for c in ctx:
                     ctmp = int(c.idx) * TMPID_SHIFT + int(c.fid)
-                    if ctmp in covers_tmp and c.layer in INHERIT_SCORE_LAYERS:
-                        squishy_ctx_target = str(c.text).lower()
+                    if ctmp not in covers_tmp and c.layer in GRANT_SCORE_LAYERS \
+                            and str(c.text).lower() == squishy_ctx_target:
+                        relevance += 0.01
                         break
-                if squishy_ctx_target is not None:
-                    for c in ctx:
-                        ctmp = int(c.idx) * TMPID_SHIFT + int(c.fid)
-                        if ctmp not in covers_tmp and c.layer in GRANT_SCORE_LAYERS \
-                                and str(c.text).lower() == squishy_ctx_target:
-                            relevance += 0.01
-                            break
-                relevance = round_to(relevance, 6)
+            relevance = round_to(relevance, 6)
 
-                feat_radius = float(getattr(feature, "proximity_radius", 0.0) or 0.0) or None
-                if has_prox and feat_radius:
+            feat_radius = float(getattr(feature, "proximity_radius", 0.0) or 0.0) or None
+            if has_prox and feat_radius:
+                scoredist = float(prox.scoredist(
+                    float(feature.score), self.index.min_score,
+                    self.index.max_score, dist, int(feature.zoom),
+                    radius=feat_radius))
+            squishy = _squishy_boost(self.index, feature, ctx, covers_tmp)
+            if squishy > 0:
+                boosted = min(float(feature.score) + squishy, self.index.max_score)
+                if has_prox:
                     scoredist = float(prox.scoredist(
-                        float(feature.score), self.index.min_score,
-                        self.index.max_score, dist, int(feature.zoom),
-                        radius=feat_radius))
-                squishy = _squishy_boost(self.index, feature, ctx, covers_tmp)
-                if squishy > 0:
-                    boosted = min(float(feature.score) + squishy, self.index.max_score)
-                    if has_prox:
-                        scoredist = float(prox.scoredist(
-                            boosted, self.index.min_score, self.index.max_score,
-                            dist, int(feature.zoom), radius=feat_radius))
-                    else:
-                        scoredist = scoredist + squishy
-                composite = prox.relevance_score(
-                    relevance, scoredist if has_prox else 1.0,
-                    address=matched_address if addr_number else "n/a", ghost=ghost)
-                if resolved:
-                    lon, lat = resolved["lon"], resolved["lat"]
+                        boosted, self.index.min_score, self.index.max_score,
+                        dist, int(feature.zoom), radius=feat_radius))
                 else:
-                    lon, lat = float(feature.center_lon), float(feature.center_lat)
-                cand = {
-                    "feature_id": feature.doc_id, "relevance": relevance,
-                    "composite": composite, "place_name": place_name,
-                    "center_lon": lon, "center_lat": lat,
-                    "zoom": int(feature.zoom),  # cells derived after the limit
-                    "context": [c.doc_id for c in ctx],
-                    "score": float(feature.score), "scoredist": float(scoredist),
-                    "idx": int(feature.idx), "fid": int(feature.fid),
-                    "address": matched_address,
-                    "routable_lon": routable[0] if routable else None,
-                    "routable_lat": routable[1] if routable else None,
-                    "matching_text": matching_text,
-                    "matching_language": matching_language,
-                    "language": matched_lang,
-                }
-                prev = best.get(tmpid)
-                if prev is None or (cand["relevance"], cand["composite"]) > (
-                        prev["relevance"], prev["composite"]):
-                    best[tmpid] = cand
+                    scoredist = scoredist + squishy
+            composite = prox.relevance_score(
+                relevance, scoredist if has_prox else 1.0,
+                address=matched_address if addr_number else "n/a", ghost=ghost)
+            if resolved:
+                lon, lat = resolved["lon"], resolved["lat"]
+            else:
+                lon, lat = float(feature.center_lon), float(feature.center_lat)
+            rows["query_id"].append(d["query_id"][ri])
+            rows["limit"].append(int(d["limit"][ri]))
+            rows["si"].append(int(d["si"][ri]))
+            rows["tmpid"].append(tmpid)
+            rows["feature_id"].append(feature.doc_id)
+            rows["relevance"].append(relevance)
+            rows["composite"].append(composite)
+            rows["place_name"].append(place_name)
+            rows["center_lon"].append(lon)
+            rows["center_lat"].append(lat)
+            rows["fzoom"].append(int(feature.zoom))
+            rows["context"].append([c.doc_id for c in ctx])
+            rows["score"].append(float(feature.score))
+            rows["scoredist"].append(float(scoredist))
+            rows["idx"].append(int(feature.idx))
+            rows["fid"].append(int(feature.fid))
+            rows["address"].append(matched_address)
+            rows["routable_lon"].append(routable[0] if routable else None)
+            rows["routable_lat"].append(routable[1] if routable else None)
+            rows["matching_text"].append(matching_text)
+            rows["matching_language"].append(matching_language)
+            rows["language"].append(matched_lang)
+        return pa.table({name: pa.array(rows[name], type=t)
+                         for name, t in _HYD_FIELDS})
 
-            # D2 place-name dedup, then D3 ghost-vs-scored (fused order)
-            results = []
-            seen_names: set[str] = set()
-            for cand in sorted(best.values(), key=lambda x: (
-                    -x["relevance"], -x["composite"], -x["scoredist"], x["idx"], x["fid"])):
-                if cand["place_name"] in seen_names:
-                    continue
-                seen_names.add(cand["place_name"])
-                results.append(cand)
-            scored_texts = {
-                r["place_name"].split(",")[0].strip().lower()
-                for r in results if r["score"] >= 0
+
+def assemble_shard(shard_group) -> pa.Table:
+    """Final per-query assembly (pure, no index access): best-per-tmpid,
+    D2 place-name dedup, D3 ghost-vs-scored dedup, the fused path's
+    total-order sort, limit, cell derivation. One shuffle group holds
+    many queries (coarse qshard); exact grouping is done inside."""
+    from .engine import attach_cells
+
+    rows = {name: [] for name, _ in RESULT_FIELDS}
+    cols = {c: shard_group[c].to_numpy() for c in shard_group.columns}
+    qids = cols["query_id"]
+    order = np.argsort(qids, kind="mergesort")
+    sorted_qids = qids[order]
+    bounds = np.flatnonzero(np.concatenate(
+        [[True], sorted_qids[1:] != sorted_qids[:-1]]))
+    bounds = np.append(bounds, len(sorted_qids))
+    hyd_names = [n for n, _ in _HYD_FIELDS]
+    for b in range(len(bounds) - 1):
+        sel = order[bounds[b]:bounds[b + 1]]
+        cands = [
+            {n: cols[n][i] for n in hyd_names}
+            for i in sel
+        ]
+        # fused tie order: stacks are visited si-ascending and a later
+        # candidate replaces only on strictly greater (relevance,
+        # composite) — sort by si to recreate first-stack-wins
+        cands.sort(key=lambda c: c["si"])
+        qid = cands[0]["query_id"]
+        lim = int(cands[0]["limit"])
+        best: dict[int, dict] = {}
+        for cand in cands:
+            prev = best.get(cand["tmpid"])
+            if prev is None or (cand["relevance"], cand["composite"]) > (
+                    prev["relevance"], prev["composite"]):
+                best[cand["tmpid"]] = cand
+
+        # D2 place-name dedup, then D3 ghost-vs-scored (fused order)
+        results = []
+        seen_names: set[str] = set()
+        for cand in sorted(best.values(), key=lambda x: (
+                -x["relevance"], -x["composite"], -x["scoredist"], x["idx"], x["fid"])):
+            if cand["place_name"] in seen_names:
+                continue
+            seen_names.add(cand["place_name"])
+            results.append(cand)
+        scored_texts = {
+            r["place_name"].split(",")[0].strip().lower()
+            for r in results if r["score"] >= 0
+        }
+        results = [
+            r for r in results
+            if r["score"] >= 0
+            or r["place_name"].split(",")[0].strip().lower() not in scored_texts
+        ]
+        results.sort(key=lambda x: (
+            -x["relevance"], -x["composite"], -x["scoredist"], x["idx"], x["fid"]))
+        for rank, res in enumerate(results[:lim]):
+            out = {
+                "feature_id": res["feature_id"], "relevance": float(res["relevance"]),
+                "place_name": res["place_name"],
+                "center_lon": float(res["center_lon"]),
+                "center_lat": float(res["center_lat"]),
+                "zoom": int(res["fzoom"]),
+                "context": list(res["context"]),
+                "score": float(res["score"]), "scoredist": float(res["scoredist"]),
+                "address": res["address"],
+                "routable_lon": res["routable_lon"],
+                "routable_lat": res["routable_lat"],
+                "matching_text": res["matching_text"],
+                "matching_language": res["matching_language"],
+                "language": res["language"],
+                "rank": rank,
             }
-            results = [
-                r for r in results
-                if r["score"] >= 0
-                or r["place_name"].split(",")[0].strip().lower() not in scored_texts
-            ]
-            results.sort(key=lambda x: (
-                -x["relevance"], -x["composite"], -x["scoredist"], x["idx"], x["fid"]))
-            for rank, res in enumerate(results[:lim]):
-                rows["query_id"].append(qid)
-                res["rank"] = rank
-                attach_cells(res)  # cells only for surviving rows
-                for name, _ in RESULT_FIELDS[1:]:
-                    rows[name].append(res.get(name))
-        return pa.table({name: pa.array(rows[name], type=t) for name, t in RESULT_FIELDS})
+            attach_cells(out)  # cells only for surviving rows
+            rows["query_id"].append(qid)
+            for name, _ in RESULT_FIELDS[1:]:
+                rows[name].append(out.get(name))
+    return pa.table({name: pa.array(rows[name], type=t) for name, t in RESULT_FIELDS})
 
 
-def forward_geocode_staged(queries_ds, index, concurrency: int = 4, config=None,
-                           phrase_shards: int = 1):
-    """The three-stage pipeline with the explicit per-query shuffle."""
-    feats = index.features
-    if "spans" in feats.column_names:
-        feats = feats.drop_columns(["spans"])
-    kwargs = {
-        "features": feats, "phrase_grid": index.phrase_grid,
-        "freq": index.freq, "max_score": index.max_score,
-        "layer_zooms": index.layer_zooms, "config": config,
-    }
-    # ramp floor at half the cap: autoscaling from 1 actor wastes the
-    # first seconds of every run at low parallelism (hurts short bench
-    # legs); fractional num_cpus keeps scheduler slots free regardless
-    conc = ((max(1, concurrency // 2), concurrency)
-            if isinstance(concurrency, int) else concurrency)
+def _pool_size(concurrency: int, pools: int) -> tuple[int, int]:
+    """Autoscaling (floor, cap) for one of `pools` coexisting actor
+    pools under a shared CPU budget — full-size pools per shard
+    oversubscribe and thrash (measured 7× parallelism on 32 CPUs)."""
+    per = max(1, (concurrency + pools - 1) // pools)
+    return (max(1, per // 2), per)
+
+
+def forward_geocode_staged(queries_ds, index=None, concurrency: int = 4,
+                           config=None, phrase_shards: int = 1,
+                           verify_shards: int = 1,
+                           index_dir: str | None = None):
+    """The staged pipeline with the explicit per-query shuffles.
+
+    index_dir mode: every actor reads its own shard from the
+    partitioned parquet index — the driver ships only the path, shard
+    coordinates and config. Table mode (index=CarmenIndex) ships the
+    phrase/feature tables through fn_constructor_kwargs for
+    compact/test use."""
+    if index_dir is not None:
+        pm_base = {"index_dir": index_dir, "config": config}
+        vf_base = {"index_dir": index_dir, "config": config}
+    else:
+        feats = index.features
+        if "spans" in feats.column_names:
+            feats = feats.drop_columns(["spans"])
+        pairs = sorted(set(zip(feats["layer"].to_pylist(),
+                               feats["idx"].to_pylist())), key=lambda t: t[1])
+        idx_rank = {int(ix): r for r, (_, ix) in enumerate(pairs)}
+        pm_base = {
+            "phrase_grid": index.phrase_grid, "freq": index.freq,
+            "max_score": index.max_score, "layer_zooms": index.layer_zooms,
+            "config": config, "idx_rank": idx_rank,
+        }
+        vf_base = {
+            "features": feats, "max_score": index.max_score,
+            "layer_zooms": index.layer_zooms, "config": config,
+            "idx_rank": idx_rank,
+        }
+
+    # ---- stage 1: phrase-sharded phrasematch fan-out -----------------
+    # every query visits every shard's actor pool; each pool holds only
+    # its pshard slice of the phrase table (phrase rows are disjoint
+    # across shards, so the union has no duplicate phrasematch rows)
+    conc = _pool_size(concurrency, max(1, phrase_shards))
+    if phrase_shards > 1:
+        # a union branch per shard re-executes the shared upstream plan
+        # once PER BRANCH (Ray Data unions duplicate lineage, they don't
+        # share subplans) — pin the query blocks first so the fan-out
+        # reads them instead of recomputing; the query batch is narrow,
+        # so the object-store footprint is tiny even at bench scale
+        queries_ds = queries_ds.materialize()
     if phrase_shards <= 1:
         pm_rows = queries_ds.map_batches(
-            PhrasematchStage, fn_constructor_kwargs=kwargs,
+            PhrasematchStage, fn_constructor_kwargs=pm_base,
             batch_format="pyarrow", batch_size=256, concurrency=conc,
             num_cpus=0.5,
         )
     else:
-        # size each shard's pool so the pools together fit the CPU
-        # budget — phrase_shards full-size pools oversubscribe and
-        # thrash (measured 7× parallelism on 32 CPUs before this)
-        per = max(1, (concurrency + phrase_shards - 1) // phrase_shards)
-        conc = (max(1, per // 2), per)
-        # phrase-sharded fan-out: every query visits every shard's actor
-        # pool; each pool holds only its prefix-bin slice of the phrase
-        # table (phrase rows are disjoint across shards, so the union has
-        # no duplicate phrasematch rows). The groupby(query_id) shuffle
-        # below reassembles per-query state — no actor holds the whole
-        # phrase table.
         parts = []
         for s in range(phrase_shards):
-            kw = dict(kwargs, shard=s, of_n=phrase_shards)
+            kw = dict(pm_base, shard=s, of_n=phrase_shards)
             parts.append(queries_ds.map_batches(
                 PhrasematchStage, fn_constructor_kwargs=kw,
                 batch_format="pyarrow", batch_size=256, concurrency=conc,
@@ -648,23 +828,58 @@ def forward_geocode_staged(queries_ds, index, concurrency: int = 4, config=None,
         import pandas as pd
 
         df = df.copy()
-        # 256 shards: the coalesce+verify stage is the expensive one
-        # (~9 ms/query); finer groups give the actor pool enough tasks
-        # to ramp to full width and balance skewed queries
+        # 256 shards: the coalesce stage is expensive (~ms/query); finer
+        # groups give the pool enough tasks to ramp to full width and
+        # balance skewed queries
         df["__qshard"] = (
             pd.util.hash_pandas_object(df["query_id"], index=False).to_numpy() % 256
         ).astype("int32")
         return df
 
-    stacks = (
+    # ---- stage 2: shuffle 1 + per-query coalesce ---------------------
+    cands = (
         pm_rows.map_batches(add_qshard, batch_format="pandas")
         .groupby("__qshard")
         .map_groups(coalesce_shard, batch_format="pandas")
     )
-    return stacks.map_batches(
-        VerifyStage, fn_constructor_kwargs=kwargs,
-        batch_format="pyarrow", batch_size=512,
-        concurrency=((max(1, concurrency // 2), concurrency)
-                     if isinstance(concurrency, int) else concurrency),
-        num_cpus=0.5,
+
+    # ---- stage 3: fid-sharded hydrate fan-out ------------------------
+    vconc = _pool_size(concurrency, max(1, verify_shards))
+    if verify_shards > 1:
+        # same lineage-duplication rule as the phrase fan-out: without
+        # this barrier each verify branch re-runs phrasematch + the
+        # qshard sort + coalesce from scratch (the plan instantiates
+        # phrase_shards × verify_shards phrasematch pools, which also
+        # deadlocks small CPU budgets). The candidate set is the
+        # post-coalesce top-k — tiny next to the grid rows — so pinning
+        # it is cheap; the groupby above is an all-to-all barrier anyway
+        cands = cands.materialize()
+    if verify_shards <= 1:
+        hydrated = cands.map_batches(
+            VerifyHydrate, fn_constructor_kwargs=vf_base,
+            batch_format="pyarrow", batch_size=512, concurrency=vconc,
+            num_cpus=0.5,
+        )
+    else:
+        parts = []
+        for s in range(verify_shards):
+            def keep_shard(t: pa.Table, _s=s) -> pa.Table:
+                vs = np.asarray(t["vshard"], dtype=np.int64)
+                return t.filter(pa.array(vs % verify_shards == _s))
+
+            kw = dict(vf_base, shard=s, of_n=verify_shards)
+            parts.append(
+                cands.map_batches(keep_shard, batch_format="pyarrow")
+                .map_batches(
+                    VerifyHydrate, fn_constructor_kwargs=kw,
+                    batch_format="pyarrow", batch_size=512, concurrency=vconc,
+                    num_cpus=0.5,
+                ))
+        hydrated = parts[0].union(*parts[1:])
+
+    # ---- stage 4: shuffle 2 + per-query assembly (pure) --------------
+    return (
+        hydrated.map_batches(add_qshard, batch_format="pandas")
+        .groupby("__qshard")
+        .map_groups(assemble_shard, batch_format="pandas")
     )

@@ -450,7 +450,10 @@ def assign_phrase_ids(phrase_grid_ds):
             codes, _ = pd.factorize(g["phrase"], sort=True)
             g["phrase_id"] = (np.int64(int(pbin)) << np.int64(40)) | codes.astype(np.int64)
             out.append(g)
-        return pd.concat(out, ignore_index=True).drop(columns=["pbin", "pshard"])
+        # pshard stays in the written table: sharded PhrasematchStage
+        # actors read only their pshard slice (parquet row-group pruning
+        # — blocks leave the groupby clustered by pshard)
+        return pd.concat(out, ignore_index=True).drop(columns=["pbin"])
 
     return (
         phrase_grid_ds.map_batches(add_bin, batch_format="pyarrow")
@@ -683,6 +686,22 @@ def build_index_streaming(docs_ds, out_dir: str, freq_min_count: int = 1,
     max_score_row = parsed.max("score")
     max_score = float(max_score_row if max_score_row is not None else 1.0)
 
+    # ONE distinct scan feeds layer_zooms AND the dense layer rank
+    # (carmen's ndx) — persisted in index_meta.json so sharded query
+    # actors (which may hold no feature rows / partial phrase layers)
+    # rank indexes identically everywhere
+    liz = (
+        parsed.select_columns(["layer", "idx", "zoom"])
+        .map_batches(lambda df: df.drop_duplicates(), batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    layer_zooms = {r.layer: int(r.zoom) for r in liz.itertuples()}
+    lix = sorted({(r.layer, int(r.idx)) for r in liz.itertuples()},
+                 key=lambda t: t[1])
+    idx_rank = {int(ix): rank for rank, (_, ix) in enumerate(lix)}
+    layers = [l for l, _ in lix]
+
     feature_cols = [
         "doc_id", "layer", "idx", "zoom", "fid", "text", "synonyms",
         "langs_json", "score", "center_lon", "center_lat", "geometry_json",
@@ -705,19 +724,17 @@ def build_index_streaming(docs_ds, out_dir: str, freq_min_count: int = 1,
         # (no driver materialization — see index/context.py scale note)
         from .context import ContextStage
 
-        lz_prelim = {}
-        for b in parsed.select_columns(["layer", "zoom"]).map_batches(
-                lambda df: df.drop_duplicates(), batch_format="pandas"
-        ).to_pandas().itertuples():
-            lz_prelim[b.layer] = int(b.zoom)
         raw = _rd.read_parquet(f"{out_dir}/features_raw")
+        # hive-partitioned by fshard (fid % FSHARD_MOD): a sharded
+        # VerifyHydrate actor reads only its own fshard directories —
+        # file-level pruning, no whole-table scan per actor
         raw.map_batches(
             ContextStage,
             fn_constructor_kwargs={"features_path": f"{out_dir}/features_raw",
-                                   "layer_zooms": lz_prelim},
+                                   "layer_zooms": layer_zooms},
             batch_format="pyarrow",
             concurrency=(1, 4),
-        ).write_parquet(f"{out_dir}/features")
+        ).write_parquet(f"{out_dir}/features", partition_cols=["fshard"])
         _mark("features")
 
     if not _is_done("phrasegrid"):
@@ -736,42 +753,80 @@ def build_index_streaming(docs_ds, out_dir: str, freq_min_count: int = 1,
             f"{out_dir}/mediacells")
         _mark("mediacells")
 
-    # distinct aggregate, not take_all over every row: dedupe map-side so
-    # only (layer, zoom) uniques reach the driver
-    lz = (
-        parsed.select_columns(["layer", "zoom"])
-        .map_batches(lambda df: df.drop_duplicates(), batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
-    )
-    layer_zooms = {r.layer: int(r.zoom) for r in lz.itertuples()}
     with open(f"{out_dir}/index_meta.json", "w") as f:
-        _json.dump({"freq": freq, "max_score": max_score, "layer_zooms": layer_zooms}, f)
+        _json.dump({"freq": freq, "max_score": max_score,
+                    "layer_zooms": layer_zooms,
+                    "idx_rank": {str(k): v for k, v in idx_rank.items()},
+                    "layers": layers}, f)
+
+
+def load_index_meta(out_dir: str) -> dict:
+    """Scalar index metadata (freq map, max_score, layer_zooms, dense
+    idx_rank, layer list) — the ONLY thing the driver needs to launch
+    the sharded query pipeline; the tables stay in parquet and each
+    actor reads its own shard."""
+    import json as _json
+
+    with open(f"{out_dir}/index_meta.json") as f:
+        meta = _json.load(f)
+    meta["idx_rank"] = {int(k): int(v) for k, v in meta.get("idx_rank", {}).items()}
+    return meta
+
+
+_FEAT_SORT = [("idx", "ascending"), ("fid", "ascending"), ("doc_id", "ascending")]
+_PG_SORT = [
+    ("phrase", "ascending"), ("idx", "ascending"), ("fid", "ascending"),
+    ("x", "ascending"), ("y", "ascending"), ("lang_set", "ascending"),
+    ("lang_set_hi", "ascending"),
+]
+
+
+def read_feature_shard(out_dir: str, shard: int = 0, of_n: int = 1) -> pa.Table:
+    """Feature rows whose fshard % of_n == shard, canonically sorted.
+    The hive fshard= layout prunes at the file level — an of_n-actor
+    pool collectively reads the table exactly once, 1/of_n each."""
+    import pyarrow.dataset as _pds
+
+    from .. import constants as _c
+
+    dset = _pds.dataset(f"{out_dir}/features", format="parquet",
+                        partitioning="hive")
+    if of_n > 1:
+        vals = [v for v in range(_c.FSHARD_MOD) if v % of_n == shard % of_n]
+        tbl = dset.to_table(filter=_pds.field("fshard").isin(vals))
+    else:
+        tbl = dset.to_table()
+    return tbl.sort_by(_FEAT_SORT)
+
+
+def read_phrase_shard(out_dir: str, shard: int = 0, of_n: int = 1) -> pa.Table:
+    """Phrase/grid rows whose pshard % of_n == shard, canonically
+    sorted. Blocks leave the phrase-id groupby clustered by pshard, so
+    the isin filter prunes at row-group granularity."""
+    import pyarrow.dataset as _pds
+
+    from .. import constants as _c
+
+    dset = _pds.dataset(f"{out_dir}/phrasegrid", format="parquet")
+    if of_n > 1:
+        vals = [v for v in range(_c.PSHARD_MOD) if v % of_n == shard % of_n]
+        tbl = dset.to_table(filter=_pds.field("pshard").isin(vals))
+    else:
+        tbl = dset.to_table()
+    return tbl.sort_by(_PG_SORT)
 
 
 def load_index_streaming(out_dir: str) -> "CarmenIndex":
     """Load a streaming-built index directory into a compact CarmenIndex
     (test-scale convenience; at scale, actors read their shard of the
-    parquet directly)."""
+    parquet directly via read_feature_shard / read_phrase_shard)."""
     import glob
-    import json as _json
 
     import pyarrow.parquet as _pq
 
-    with open(f"{out_dir}/index_meta.json") as f:
-        meta = _json.load(f)
-    feats = pa.concat_tables(
-        [_pq.read_table(p) for p in sorted(glob.glob(f"{out_dir}/features/*.parquet"))],
-        promote_options="permissive",
-    ).sort_by([("idx", "ascending"), ("fid", "ascending"), ("doc_id", "ascending")])
-    pg = pa.concat_tables(
-        [_pq.read_table(p) for p in sorted(glob.glob(f"{out_dir}/phrasegrid/*.parquet"))],
-        promote_options="permissive",
-    ).sort_by([
-        ("phrase", "ascending"), ("idx", "ascending"), ("fid", "ascending"),
-        ("x", "ascending"), ("y", "ascending"), ("lang_set", "ascending"),
-        ("lang_set_hi", "ascending"),
-    ])
+    meta = load_index_meta(out_dir)
+    feats = read_feature_shard(out_dir)
+    pg = read_phrase_shard(out_dir)
     media = pa.concat_tables(
         [_pq.read_table(p) for p in sorted(glob.glob(f"{out_dir}/mediacells/*.parquet"))],
         promote_options="permissive",

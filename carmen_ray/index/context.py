@@ -57,23 +57,49 @@ class ContextStage:
         self.index = IndexData(features, empty_pg, {}, 1.0, layer_zooms)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        """Append `context_ids` to the incoming feature rows."""
+        """Append `context_ids`, the denormalized `context_json`, and the
+        feature-shard key `fshard` to the incoming feature rows.
+
+        context_json carries the narrow context attributes the verify
+        stage needs (doc_id, layer, idx, fid, text, score) ON the feature
+        row itself — a hash(fid)-sharded verify actor can then hydrate a
+        candidate without cross-shard feature lookups."""
+        import json as _json
+
         from ..geocode.engine import _context_for
 
         ids = batch["doc_id"].to_pylist()
         out: list[list[str]] = []
+        out_json: list[str] = []
         for doc_id in ids:
             row = self.index.doc_index.get(doc_id)
             if row is None:
                 out.append([])
+                out_json.append("[]")
                 continue
             feature = self.index.feature_at(row)
             ctx = _context_for(self.index, row, int(feature.idx))
             out.append([c.doc_id for c in ctx])
-        if "context_ids" in batch.column_names:
-            batch = batch.drop_columns(["context_ids"])
-        return batch.append_column(
-            "context_ids", pa.array(out, type=pa.list_(pa.string())))
+            out_json.append(_json.dumps([
+                {"doc_id": c.doc_id, "layer": c.layer, "idx": int(c.idx),
+                 "fid": int(c.fid), "text": c.text, "score": float(c.score)}
+                for c in ctx
+            ]))
+        from .. import constants as _c
+
+        drop = [c for c in ("context_ids", "context_json", "fshard")
+                if c in batch.column_names]
+        if drop:
+            batch = batch.drop_columns(drop)
+        # FSHARD_MOD is a power of two (no pc.mod kernel in pyarrow)
+        fshard = pa.compute.cast(
+            pa.compute.bit_wise_and(batch["fid"], _c.FSHARD_MOD - 1), pa.int32())
+        return (
+            batch
+            .append_column("context_ids", pa.array(out, type=pa.list_(pa.string())))
+            .append_column("context_json", pa.array(out_json, type=pa.string()))
+            .append_column("fshard", fshard)
+        )
 
 
 def attach_context(features: pa.Table, layer_zooms: dict,

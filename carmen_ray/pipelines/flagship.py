@@ -44,10 +44,37 @@ def make_queries(index, n_queries: int | None = None) -> pa.Table:
     """Deterministic query mix derived from the corpus: 70% forward (2/7
     with proximity), 20% reverse, 10% id — vectorized so bench-scale
     query batches (10^5+) build in milliseconds."""
-    import numpy as np
-
     f = index.features.to_pandas()
     targets = f[f.layer.isin(["street", "poi", "place"])].reset_index(drop=True)
+    return _queries_from_targets(targets, n_queries)
+
+
+def make_queries_from_dir(index_dir: str, n_queries: int | None = None,
+                          max_targets: int = 500_000) -> pa.Table:
+    """Query batch derived straight from the features parquet — the
+    driver reads only five narrow columns of the query-target layers
+    (bounded by max_targets), never the feature table itself."""
+    import pyarrow.dataset as pds
+
+    dset = pds.dataset(f"{index_dir}/features", format="parquet",
+                       partitioning="hive")
+    tbl = dset.head(
+        max_targets,
+        columns=["doc_id", "layer", "idx", "fid", "text",
+                 "center_lon", "center_lat"],
+        filter=pds.field("layer").isin(["street", "poi", "place"]),
+    )
+    # hive fragments arrive in directory order — restore the canonical
+    # feature order so the derived query batch is deterministic
+    targets = (tbl.to_pandas()
+               .sort_values(["idx", "fid", "doc_id"], kind="mergesort")
+               .reset_index(drop=True))
+    return _queries_from_targets(targets, n_queries)
+
+
+def _queries_from_targets(targets, n_queries: int | None) -> pa.Table:
+    import numpy as np
+
     if n_queries is None:
         n_queries = len(targets)
 
@@ -107,12 +134,14 @@ def flagship_fused(sf_dir: str = "/root/testdata/sf0.001", concurrency: int = 4,
 
 def build_corpus_and_index_streaming(scale: int = 1, blocks: int = 8,
                                      out_dir: str | None = None,
-                                     corpus_mult: int = 1):
+                                     corpus_mult: int = 1, load: bool = True):
     """Streaming-build the index to partitioned parquet (resumable,
-    nothing driver-materialized) and load it back compact for the
-    query stages. corpus_mult scales the corpus past the sf mapping
-    (the bench uses 10× to exercise the sharded path on a corpus the
-    fused-broadcast design would struggle with)."""
+    nothing driver-materialized). load=True loads it back compact for
+    in-memory query stages; load=False returns (corpus, out_dir) and
+    the index tables never touch the driver. corpus_mult scales the
+    corpus past the sf mapping (the bench uses 10× to exercise the
+    sharded path on a corpus the fused-broadcast design would struggle
+    with)."""
     import tempfile
 
     from ..index.build import build_index_streaming, load_index_streaming
@@ -126,22 +155,33 @@ def build_corpus_and_index_streaming(scale: int = 1, blocks: int = 8,
     ds = rd.from_arrow(tbl).repartition(blocks)
     out = out_dir or tempfile.mkdtemp(prefix="carmen_index_", dir="/tmp")
     build_index_streaming(ds, out)
-    return tbl, load_index_streaming(out)
+    if load:
+        return tbl, load_index_streaming(out)
+    return tbl, out
 
 
 def flagship_staged(sf_dir: str = "/root/testdata/sf0.001", concurrency: int = 4,
                     n_queries: int | None = None, phrase_shards: int = 2,
                     out_dir: str | None = None, corpus_mult: int = 1,
-                    index=None):
+                    index=None, verify_shards: int = 2,
+                    index_dir: str | None = None):
     """Scale-path flagship: staged sharded forward geocode over a
-    streaming-built index; reverse/id queries through the fused pool."""
+    streaming-built index; reverse/id queries through the fused pool.
+
+    Default mode is index_dir-based: the driver streaming-builds to
+    parquet and ships only the path — every actor reads its own shard
+    (PhrasematchStage: pshard slice; VerifyHydrate: fshard slice; the
+    fused reverse/id pool self-loads the compact index)."""
     from ..geocode.staged import forward_geocode_staged
 
-    if index is None:
+    if index is None and index_dir is None:
         scale = corpus_scale_for(sf_dir)
-        _, index = build_corpus_and_index_streaming(
-            scale=scale, out_dir=out_dir, corpus_mult=corpus_mult)
-    queries = make_queries(index, n_queries)
+        _, index_dir = build_corpus_and_index_streaming(
+            scale=scale, out_dir=out_dir, corpus_mult=corpus_mult, load=False)
+    if index_dir is not None:
+        queries = make_queries_from_dir(index_dir, n_queries)
+    else:
+        queries = make_queries(index, n_queries)
     is_fwd = pa.compute.equal(queries["kind"], "forward")
     fwd_tbl = queries.filter(is_fwd).drop_columns(["kind"])
     other_tbl = queries.filter(pa.compute.invert(is_fwd)).drop_columns(["kind"])
@@ -150,11 +190,13 @@ def flagship_staged(sf_dir: str = "/root/testdata/sf0.001", concurrency: int = 4
     if fwd_tbl.num_rows:
         qds = rd.from_arrow(fwd_tbl).repartition(max(2, concurrency))
         parts.append(forward_geocode_staged(
-            qds, index, concurrency=concurrency, phrase_shards=phrase_shards))
+            qds, index, concurrency=concurrency, phrase_shards=phrase_shards,
+            verify_shards=verify_shards, index_dir=index_dir))
     if other_tbl.num_rows:
         qds = rd.from_arrow(other_tbl).repartition(max(2, concurrency // 2))
         parts.append(forward_geocode_ds(
-            qds, index, concurrency=max(1, concurrency // 2)))
+            qds, index, concurrency=max(1, concurrency // 2),
+            index_dir=index_dir))
     if not parts:
         return rd.from_arrow(fwd_tbl)
     out = parts[0]

@@ -111,3 +111,87 @@ def test_staged_matches_fused_proximity_and_shards(built, ray_session):
     joined = top_f.join(top_s, lsuffix="_f", rsuffix="_s")
     assert (joined["feature_id_f"] == joined["feature_id_s"]).all()
     assert (joined["relevance_f"] == joined["relevance_s"]).all()
+
+
+@pytest.fixture(scope="module")
+def built_dir(ray_session, tmp_path_factory):
+    """Streaming-built partitioned-parquet index (the index_dir mode)."""
+    import ray.data as rd
+
+    from carmen_ray.index.build import build_index_streaming
+
+    tbl = generate_corpus(n_streets=40, n_pois=20)
+    out = str(tmp_path_factory.mktemp("idx") / "index")
+    build_index_streaming(rd.from_arrow(tbl).repartition(2), out)
+    return out
+
+
+def test_staged_index_dir_matches_fused(built_dir, ray_session):
+    """Fully de-broadcast mode: every actor loads its own shard from the
+    partitioned parquet layout (PhrasematchStage pshard slices,
+    VerifyHydrate fshard slices) — results identical to the fused
+    whole-index actor on the same corpus."""
+    import ray.data as rd
+
+    from carmen_ray.geocode.engine import forward_geocode_ds
+    from carmen_ray.geocode.staged import forward_geocode_staged
+    from carmen_ray.index.build import load_index_streaming
+
+    idx = load_index_streaming(built_dir)
+    f = idx.features.to_pandas()
+    targets = f[f.layer.isin(["street", "poi", "place"])].head(25)
+    queries = pa.table({
+        "query_id": [f"q{i}" for i in range(len(targets))],
+        "query": targets["text"].tolist(),
+        "proximity_lon": targets["center_lon"].tolist()[::-1],
+        "proximity_lat": targets["center_lat"].tolist()[::-1],
+    })
+
+    fused = forward_geocode_ds(rd.from_arrow(queries), idx, concurrency=1).to_pandas()
+    staged = forward_geocode_staged(
+        rd.from_arrow(queries), index_dir=built_dir, concurrency=2,
+        phrase_shards=2, verify_shards=2,
+    ).to_pandas()
+
+    cols = ["feature_id", "relevance", "matching_text", "place_name"]
+    top_f = fused[fused["rank"] == 0].set_index("query_id")[cols].sort_index()
+    top_s = staged[staged["rank"] == 0].set_index("query_id")[cols].sort_index()
+    assert set(top_f.index) == set(top_s.index)
+    joined = top_f.join(top_s, lsuffix="_f", rsuffix="_s")
+    for c in cols:
+        lhs = joined[f"{c}_f"]
+        rhs = joined[f"{c}_s"]
+        if lhs.dtype == object:
+            lhs, rhs = lhs.fillna(""), rhs.fillna("")
+        assert (lhs == rhs).all(), c
+    # full result-set size parity, not just rank 0
+    assert len(fused) == len(staged)
+
+
+def test_verify_hydrate_shards_cover_all(built_dir, ray_session):
+    """VerifyHydrate shards partition the feature table: the union of
+    per-shard feature stores equals the full store, disjointly."""
+    from carmen_ray.geocode.staged import VerifyHydrate
+
+    full = VerifyHydrate(index_dir=built_dir)
+    parts = [VerifyHydrate(index_dir=built_dir, shard=s, of_n=3) for s in range(3)]
+    n_full = full.index.n_features
+    assert n_full > 0
+    assert sum(p.index.n_features for p in parts) == n_full
+    seen = set()
+    for p in parts:
+        ids = set(p.index.doc_index)
+        assert not (seen & ids)
+        seen |= ids
+    assert len(seen) == n_full
+
+
+def test_phrasematch_stage_features_free(built_dir, ray_session):
+    """PhrasematchStage's IndexData holds no feature store (the
+    de-broadcast contract)."""
+    from carmen_ray.geocode.staged import PhrasematchStage
+
+    st = PhrasematchStage(index_dir=built_dir, shard=0, of_n=2)
+    assert st.index._f is None
+    assert st.index.n_features == 0
+    assert st.index.idx_rank  # dense ranks came from index_meta.json
