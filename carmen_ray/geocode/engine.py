@@ -93,6 +93,8 @@ class IndexData:
                 self.deletes.setdefault(w[:i] + w[i + 1:], []).append(w)
         self._phrase_deletes: dict[str, list[str]] | None = None
         self._phrase_vocab: set[str] = set()
+        self._prefix_deletes: dict[str, list[str]] | None = None
+        self._prefix_vocab: set[str] = set()
         # geocoder_categories per layer (phrasematch.js:348-353),
         # scoreranges for subtype filters (filter-sources.js:82-110),
         # worldview binding (context.js:37-67)
@@ -289,6 +291,26 @@ class IndexData:
                 deletes.setdefault(p[:i] + p[i + 1:], []).append(p)
         self._phrase_deletes = deletes
         self._phrase_vocab = vocab
+        # word-boundary PREFIXES of indexed phrases (the fuzzy-store
+        # wordBoundaryPrefix ending, phrasematch.js:88 / carmen-core
+        # ENDING_TYPE): "main street" is a wb-prefix of "main street
+        # apartments", so a typo'd final token can still autocomplete
+        pdeletes: dict[str, list[str]] = {}
+        pvocab: set[str] = set()
+        for p in vocab:
+            pos = 0
+            while True:
+                cut = p.find(" ", pos)
+                pref = p if cut < 0 else p[:cut]
+                if pref not in pvocab and len(pref) >= _c.MIN_CORRECTION_LENGTH:
+                    pvocab.add(pref)
+                    for i in range(len(pref)):
+                        pdeletes.setdefault(pref[:i] + pref[i + 1:], []).append(pref)
+                if cut < 0:
+                    break
+                pos = cut + 1
+        self._prefix_deletes = pdeletes
+        self._prefix_vocab = pvocab
 
     def fuzzy_phrase_lookup(self, joined: str, max_candidates: int = 6) -> list[tuple[str, int]]:
         """Indexed phrases within DL≤1 of `joined` (exact excluded)."""
@@ -307,6 +329,54 @@ class IndexData:
         cands.discard(joined)
         out = [(p, dl_distance(joined, p, 1)) for p in cands]
         out = [(p, d) for p, d in out if d <= 1]
+        out.sort(key=lambda t: (t[1], -self.freq.get(t[0], 0), t[0]))
+        return out[:max_candidates]
+
+    def fuzzy_prefix_lookup(self, joined: str, max_candidates: int = 6) -> list[tuple[str, int]]:
+        """Fuzzy + autocomplete combined endings (phrasematch.js:106-131
+        ending types; docs/index-structure.md fuzzy store): corrected
+        PREFIX strings within DL≤1 of the query window, each to be
+        range-probed with lookup(cand, prefix=True).
+
+        Two candidate sources approximate the FST's prefix endings:
+        - the delete-1 map over word-boundary phrase prefixes
+          (wordBoundaryPrefix: 'main stret' → 'main street' →
+          autocompletes 'main street apartments');
+        - raw delete-1 variants of the window probed as prefixes
+          (anyPrefix insertion typos inside a partial last word:
+          'main strre' → variant 'main stre' prefix-matches).
+        Candidates extending the window itself are dropped — the exact
+        prefix probe already covers everything they would match."""
+        from .. import constants as _c
+
+        if len(joined) < _c.MIN_CORRECTION_LENGTH:
+            return []
+        self._ensure_phrase_deletes()
+        cands: set[str] = set()
+        cands.update(self._prefix_deletes.get(joined, ()))
+        variants: list[str] = []
+        for i in range(len(joined)):
+            v = joined[:i] + joined[i + 1:]
+            variants.append(v)
+            if v in self._prefix_vocab:
+                cands.add(v)
+            cands.update(self._prefix_deletes.get(v, ()))
+        out = []
+        for p in cands:
+            if p == joined or p.startswith(joined):
+                continue
+            d = dl_distance(joined, p, 1)
+            if d <= 1:
+                out.append((p, d))
+        # insertion-typo variants: the corrected prefix IS the variant
+        seen_p = {p for p, _ in out}
+        for v in variants:
+            if (len(v) >= _c.MIN_CORRECTION_LENGTH and v not in seen_p
+                    and v != joined):
+                lo, hi = self.lookup(v, True)
+                if hi > lo:
+                    out.append((v, 1))
+                    seen_p.add(v)
         out.sort(key=lambda t: (t[1], -self.freq.get(t[0], 0), t[0]))
         return out[:max_candidates]
 
@@ -501,6 +571,27 @@ def phrasematch_query(index: IndexData, tokens: list[str], autocomplete: bool = 
                 weight = (len(sub) / n) * weight_multiplier * penalty
                 _emit_phrase_rows(index, lo, hi, mask, weight, cand,
                                   False, address, out, edit_distance=d)
+            if autocomplete and ender:
+                # fuzzy + prefix combined endings (phrasematch.js:106-131):
+                # a misspelled FINAL token still autocompletes
+                for cand, d in index.fuzzy_prefix_lookup(joined):
+                    if (cand, "fzp") in seen:
+                        continue
+                    seen.add((cand, "fzp"))
+                    cand_words = cand.split(" ")
+                    if len(cand_words) == 1 and len(sub) == 1 and (
+                        len(sub[0]) < _c.MIN_CORRECTION_LENGTH
+                        or (len(cand_words[0]) < _c.MIN_CORRECTION_LENGTH
+                            and abs(len(cand_words[0]) - len(sub[0])) <= 1)
+                    ):
+                        continue
+                    lo, hi = index.lookup(cand, True)
+                    if hi <= lo:
+                        continue
+                    penalty = max((len(joined) - d / 2) / len(joined), 0.75)
+                    weight = (len(sub) / n) * weight_multiplier * penalty
+                    _emit_phrase_rows(index, lo, hi, mask, weight, cand,
+                                      True, address, out, edit_distance=d)
     return getattr(collector, "out", [])
 
 

@@ -321,3 +321,58 @@ def test_inverse_tokens_index_variants(ray_session):
                       idx.layer_zooms, config=cfg)
     res = forward_one(index, "sankt goar")
     assert res and res[0]["feature_id"] == "place.1"
+
+
+def test_fuzzy_prefix_autocomplete(ray_session):
+    """Fuzzy + autocomplete combined endings (ST1 residual,
+    phrasematch.js:106-131 ending types): a misspelled FINAL token can
+    still prefix-match. 'esplanade aven' (typo'd prefix of 'avenue')
+    vs 'esplanade stret' (typo'd word-boundary prefix) both resolve."""
+    import json as _json
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from carmen_ray.geocode.engine import IndexData, forward_one
+    from carmen_ray.index.build import build_index
+    from carmen_ray.sources.synth import SPAN_TYPE, _mk_spans
+
+    def doc(doc_id, text, lon, lat):
+        return {"doc_id": doc_id, "spans": _mk_spans([
+            ("text", text, ""),
+            ("geom", _json.dumps({"type": "Point", "coordinates": [lon, lat]}), ""),
+            ("center", f"{lon},{lat}", ""),
+            ("score", "10", ""),
+        ])}
+
+    rows = [
+        doc("street.1", "esplanade street apartments", 10.0, 10.0),
+        doc("street.2", "harbor view road", 11.0, 11.0),
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.string()),
+        "spans": pa.array([r["spans"] for r in rows], type=pa.list_(SPAN_TYPE)),
+    })
+    idx = build_index(rd.from_arrow(tbl).repartition(1))
+    index = IndexData(idx.features, idx.phrase_grid, idx.freq, idx.max_score,
+                      idx.layer_zooms)
+
+    # word-boundary prefix with a typo in its last token: 'stret' is
+    # neither a prefix of 'street apartments' nor DL1 of the full phrase
+    res = forward_one(index, "esplanade stret")
+    assert res, "typo'd word-boundary prefix found nothing"
+    assert res[0]["feature_id"] == "street.1"
+    assert 0.75 <= res[0]["relevance"] < 1.0
+
+    # insertion typo inside a PARTIAL last word (anyPrefix ending):
+    # 'strete' -> delete-variant 'stret'? no — 'strete' delete 'e' →
+    # 'stret' is not a raw prefix; use 'strreet' → variant 'street'
+    res = forward_one(index, "esplanade strreet")
+    assert res, "insertion typo in partial last word found nothing"
+    assert res[0]["feature_id"] == "street.1"
+    assert 0.75 <= res[0]["relevance"] < 1.0
+
+    # exact prefixes are unaffected (and rank full-relevance)
+    res = forward_one(index, "esplanade stre")
+    assert res and res[0]["feature_id"] == "street.1"
+    assert res[0]["relevance"] == 1.0
