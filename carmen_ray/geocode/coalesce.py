@@ -103,11 +103,27 @@ MAX_GRIDS_PER_PM = 64     # stacking considers the top grids per phrasematch
 _MAX_PARTIALS = constants.STACKABLE_LIMIT * 8
 
 
+def non_overlap_from_bits(stack_bits: dict[int, int]) -> dict[int, frozenset[int]]:
+    """idx → set of idx partners whose geocoder_stacks are provably
+    disjoint (the reference's non_overlapping_indexes mask,
+    index.js:325-342). `stack_bits[idx]` is a bitset over the global
+    stack-name registry; 0 = no geocoder_stack configured = overlaps
+    with everything (never pruned). Symmetric by construction."""
+    out: dict[int, frozenset[int]] = {}
+    items = [(i, b) for i, b in stack_bits.items() if b]
+    for i, bi in items:
+        s = frozenset(j for j, bj in items if j != i and not (bi & bj))
+        if s:
+            out[i] = s
+    return out
+
+
 def stack_and_coalesce(
     phrasematches: list[Phrasematch],
     query_len: int,
     max_stacks: int = constants.SPATIALMATCH_STACK_LIMIT,
     idx_rank: dict | None = None,
+    non_overlap: dict[int, frozenset[int]] | None = None,
 ) -> list[Stack]:
     """Enumerate consistent stacks with caps, rebalance, dedup, sort.
 
@@ -139,6 +155,13 @@ def stack_and_coalesce(
                 continue
             if base.entries and pm.idx <= base.entries[-1].idx:
                 continue
+            # non_overlapping_indexes pruning (index.js:325-342, passed
+            # per-phrasematch at phrasematch.js:382): never enumerate a
+            # stack mixing indexes whose geocoder_stacks don't intersect
+            if non_overlap and base.entries:
+                no = non_overlap.get(pm.idx)
+                if no and any(e.idx in no for e in base.entries):
+                    continue
             for grid in pm_grids[i]:
                 if base.entries and not all(
                     _aligned(grid.x, grid.y, pm.zoom, e.grid.x, e.grid.y, e.pm.zoom)

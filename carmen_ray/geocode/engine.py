@@ -72,7 +72,7 @@ class IndexData:
     def __init__(self, features: pa.Table | None, phrase_grid: pa.Table,
                  freq: dict, max_score: float, layer_zooms: dict, config=None,
                  presorted: bool = False, idx_rank: dict | None = None,
-                 build_cell_index: bool = True):
+                 build_cell_index: bool = True, idx_layer: dict | None = None):
         from .. import constants as _c
 
         self.config = config
@@ -166,6 +166,12 @@ class IndexData:
             self.cell_zoom = 10
             self.cell_index = {}
             self.cell_global = []
+            if idx_layer is None and "idx" in self.pg_cols and "layer" in self.pg_cols:
+                idxs = np.asarray(self.pg_cols["idx"])
+                _, first = np.unique(idxs, return_index=True)
+                idx_layer = {int(idxs[i]): str(self.pg_cols["layer"][i])
+                             for i in first}
+            self._compute_non_overlap(idx_layer or {})
             return
 
         f = features.to_pandas().reset_index(drop=True)
@@ -205,6 +211,7 @@ class IndexData:
         }
         self._geom_cache: dict[int, dict] = {}
         self._context_cache: dict[int, list] = {}
+        self._compute_non_overlap({int(ix): str(l) for l, ix in order})
 
         # cell index over feature bboxes (ST3/S7 wired): reverse/kNN
         # candidate generation probes the query point's cell ring
@@ -232,6 +239,32 @@ class IndexData:
                 for cx in range(int(x0[i]), int(x1[i]) + 1):
                     for cy in range(int(y0[i]), int(y1[i]) + 1):
                         self.cell_index.setdefault((cx, cy), []).append(i)
+
+    def _compute_non_overlap(self, idx_layer: dict[int, str]) -> None:
+        """Per-index geocoder_stack bitsets + the non_overlapping_indexes
+        mask (index.js:325-342): two indexes whose geocoder_stacks are
+        both non-empty and disjoint can never co-occur in one spatial
+        stack, so coalesce prunes those combinations before enumeration.
+        Stack names map to a global bit registry; names beyond 63 share
+        the overflow bit (conservative — may fail to prune at huge stack
+        vocabularies, never over-prunes)."""
+        from .coalesce import non_overlap_from_bits
+
+        self.stack_bits: dict[int, int] = {}
+        self.non_overlap: dict[int, frozenset[int]] = {}
+        layers_cfg = getattr(self.config, "layers", None) or {}
+        names = sorted({s for lc in layers_cfg.values()
+                        for s in (getattr(lc, "geocoder_stack", None) or [])})
+        if not names:
+            return
+        bit = {n: min(i, 63) for i, n in enumerate(names)}
+        for ix, lname in idx_layer.items():
+            lc = layers_cfg.get(lname)
+            b = 0
+            for s in (getattr(lc, "geocoder_stack", None) or []) if lc else []:
+                b |= 1 << bit[s]
+            self.stack_bits[int(ix)] = b
+        self.non_overlap = non_overlap_from_bits(self.stack_bits)
 
     def cell_candidates(self, lon: float, lat: float, ring: int = 1) -> np.ndarray:
         """Feature rows whose bbox-cover cells fall within `ring` cells
@@ -1224,7 +1257,8 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
                 g.distance = 0.0
                 g.scoredist = g.score
 
-    cand_stacks = stack_and_coalesce(pms, query_len, idx_rank=index.idx_rank)
+    cand_stacks = stack_and_coalesce(pms, query_len, idx_rank=index.idx_rank,
+                                     non_overlap=getattr(index, "non_overlap", None))
     # verify EVERY candidate stack and keep the best per feature — a
     # feature can be reached by several mask assignments ("new york new
     # york") and carmen scores them all, keeping the max

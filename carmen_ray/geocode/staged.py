@@ -81,6 +81,10 @@ PM_SCHEMA = pa.schema([
                                            # adjacent cover texts
     ("ignore_order", pa.bool_()),          # layer's geocoder_ignore_order
     ("ndx", pa.int32()),                   # dense layer rank (gap penalty)
+    ("stack_bits", pa.int64()),            # geocoder_stack bitset — the
+                                           # coalesce stage rebuilds the
+                                           # non_overlapping_indexes mask
+                                           # (index.js:325-342) from it
 ])
 
 # one row PER CANDIDATE STACK leaving coalesce. Candidates are routed to
@@ -153,6 +157,7 @@ class _PackedRow:
     subquery: str
     edit_distance: int
     ndx: int
+    stack_bits: int
 
 
 class PackedCollector:
@@ -181,6 +186,7 @@ class PackedCollector:
             phashes=(phashes[rel].tolist() if phashes is not None else [0] * len(rel)),
             subquery=joined, edit_distance=edit_distance,
             ndx=index.idx_rank.get(int(idx), int(idx)),
+            stack_bits=getattr(index, "stack_bits", {}).get(int(idx), 0),
         ))
 
 
@@ -293,6 +299,7 @@ class PhrasematchStage:
                 rows["subquery"].append(pm.subquery)
                 rows["ignore_order"].append(pm.layer in self.index.ignore_order_layers)
                 rows["ndx"].append(pm.ndx)
+                rows["stack_bits"].append(pm.stack_bits)
         return pa.table({n: pa.array(rows[n], type=PM_SCHEMA.field(n).type) for n in PM_SCHEMA.names})
 
 
@@ -411,8 +418,15 @@ def coalesce_group(col: dict, rows) -> None:
     io_mask = col["ignore_order"].astype(bool)
     ignore_layers = frozenset(str(l) for l in col["layer"][io_mask])
     idx_rank = {int(i): int(n) for i, n in zip(col["idx"], col["ndx"])}
+    non_overlap = None
+    if "stack_bits" in col and col["stack_bits"].any():
+        from .coalesce import non_overlap_from_bits
+
+        non_overlap = non_overlap_from_bits(
+            {int(i): int(b) for i, b in zip(col["idx"], col["stack_bits"])})
     stacks = stack_and_coalesce(
-        pms, qlen, idx_rank=idx_rank)[: constants.VERIFYMATCH_STACK_LIMIT]
+        pms, qlen, idx_rank=idx_rank,
+        non_overlap=non_overlap)[: constants.VERIFYMATCH_STACK_LIMIT]
     if not stacks:
         return
     for si, st in enumerate(stacks):
