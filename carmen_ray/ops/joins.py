@@ -100,11 +100,16 @@ def _encoded_names(group: pd.DataFrame, side: str) -> list[str]:
 
 
 def hash_join(left, right, on: str | list[str], how: str = "inner", buckets: int = 32,
-              suffixes: tuple[str, str] = ("", "_r")):
+              suffixes: tuple[str, str] = ("", "_r"), left_prep=None):
     """left ⋈ right on key column(s). Both sides shuffle once by
     hash(key) % buckets; the merge inside each bucket is pandas.
     Preserves left rows under how='left' even when a bucket has no
-    right rows (and symmetrically for 'right'/'outer')."""
+    right rows (and symmetrically for 'right'/'outer').
+
+    `left_prep(df)` runs on the decoded left side of each bucket before
+    the merge. Because hash partitioning puts every row of one key in
+    one bucket, a per-bucket drop_duplicates here is a GLOBAL distinct —
+    lets callers fold a dedupe exchange into the join (minhash LSH)."""
     keys = [on] if isinstance(on, str) else list(on)
     tagged = _tag_and_bucket(left, keys, "l", buckets).union(
         _tag_and_bucket(right, keys, "r", buckets)
@@ -112,6 +117,8 @@ def hash_join(left, right, on: str | list[str], how: str = "inner", buckets: int
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
         l = _decode(group, "l", keys)
+        if left_prep is not None and not l.empty:
+            l = left_prep(l)
         r = _decode(group, "r", keys)
         if l.empty and r.empty:
             return pd.DataFrame()

@@ -143,46 +143,61 @@ GROUP BY n_name
 
 
 def q_order_lineitem_join(sf_dir: str):
-    """Large-large join as an explicit partitioned hash join (ops/joins):
-    both sides shuffle once by hash(orderkey) % B, pandas merge inside
-    each bucket, then a combined aggregate — revenue per order priority."""
-    from ..ops.agg import Spec, grouped_aggregate
-    from ..ops.joins import hash_join
-
+    """Large-large join FUSED with both aggregates into one exchange:
+    item revenue partials (map-side combined per batch) and orders
+    bucket by hash(orderkey) % B; each bucket task collapses item
+    partials per orderkey, inner-merges with its orders, and
+    pre-aggregates by o_orderpriority; the tiny per-bucket partials
+    coalesce (repartition(1), no sort) into the 5-row result. The r2
+    plan paid three sort barriers (keyed aggregate → hash_join →
+    final aggregate); this is the 1-shuffle equivalent."""
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     items = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    B = 32
 
-    def item_partial(b: pa.Table) -> pa.Table:
-        rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
-        t = pa.table({"o_orderkey": b["l_orderkey"], "rev": rev})
-        # map-side combine: one row per orderkey per batch
-        df = t.to_pandas().groupby("o_orderkey", as_index=False)["rev"].sum()
-        return pa.Table.from_pandas(df, preserve_index=False)
+    def _bucket(key: pd.Series) -> np.ndarray:
+        return (pd.util.hash_pandas_object(key, index=False).to_numpy() % B).astype(np.int32)
 
-    # collapse to exactly one row per orderkey (narrow keyed aggregate),
-    # then join — so the downstream count is exact
-    item_rev = grouped_aggregate(
-        items.map_batches(item_partial, batch_format="pyarrow"),
-        ["o_orderkey"],
-        [Spec("rev", "rev", "sum")],
-        partial_blocks=8,
-    )
+    def item_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rev = df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy())
+        part = (pd.DataFrame({"o_orderkey": df["l_orderkey"], "rev": rev})
+                .groupby("o_orderkey", as_index=False)["rev"].sum())
+        part["__bucket"] = _bucket(part["o_orderkey"])
+        part["__side"] = np.int8(0)
+        return part
 
-    joined = hash_join(item_rev, orders, on="o_orderkey", buckets=16)
+    def order_tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = _bucket(df["o_orderkey"])
+        df["__side"] = np.int8(1)
+        return df
 
-    return (
-        grouped_aggregate(
-            joined,
-            ["o_orderpriority"],
-            [Spec("revenue", "rev", "sum"), Spec("n_orders", None, "count")],
-            partial_blocks=4,
-        )
-        .map_batches(
-            lambda b: b.set_column(b.schema.get_field_index("revenue"),
-                                   "revenue", pc.round(b["revenue"], 2)),
-            batch_format="pyarrow",
-        )
-    )
+    tagged = items.map_batches(item_partial, batch_format="pandas").union(
+        orders.map_batches(order_tag, batch_format="pandas"))
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        it = group[group["__side"] == np.int8(0)]
+        od = group[group["__side"] == np.int8(1)]
+        if it.empty or od.empty:
+            return pd.DataFrame()
+        # deterministic float accumulation: sort partials before summing
+        it = it.sort_values(["o_orderkey", "rev"], kind="mergesort")
+        rev = it.groupby("o_orderkey", as_index=False)["rev"].sum()
+        j = od[["o_orderkey", "o_orderpriority"]].merge(rev, on="o_orderkey", how="inner")
+        return j.groupby("o_orderpriority", as_index=False).agg(
+            revenue=("rev", "sum"), n_orders=("rev", "size"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        df = df.sort_values(["o_orderpriority", "revenue"], kind="mergesort")
+        out = df.groupby("o_orderpriority", as_index=False).agg(
+            revenue=("revenue", "sum"), n_orders=("n_orders", "sum"))
+        out["revenue"] = out["revenue"].round(2)
+        return out
+
+    return (tagged.groupby("__bucket").map_groups(merge, batch_format="pandas")
+            .repartition(1).map_batches(final, batch_format="pandas"))
 
 
 SQL_ORDER_LINEITEM = """
