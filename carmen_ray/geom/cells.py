@@ -120,12 +120,63 @@ def s2_parent(cell_id: int, level: int) -> int:
     return (cell_id & ~(lsb - 1)) | lsb
 
 
+_IJ_TO_POS_ARR = np.array(_IJ_TO_POS, dtype=np.uint64)        # [orient, (i<<1)|j]
+_POS_TO_ORIENT_ARR = np.array(_POS_TO_ORIENTATION, dtype=np.uint64)
+
+
 def s2_cells(lons, lats, level: int) -> np.ndarray:
-    """Bulk S2 cells → uint64 array (Python loop; used per batch)."""
-    out = np.empty(len(lons), dtype=np.uint64)
-    for idx, (lon, lat) in enumerate(zip(lons, lats)):
-        out[idx] = s2_cell(float(lon), float(lat), level)
-    return out
+    """Bulk S2 cells → uint64 array. Fully vectorized: face/uv/st in
+    numpy passes, the 30-level Hilbert walk as 30 table-lookup passes
+    over the whole batch. Bit-identical to `s2_cell` per element
+    (pinned in tests)."""
+    lon = np.asarray(lons, dtype=np.float64)
+    lat = np.asarray(lats, dtype=np.float64)
+    if lon.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    phi = np.radians(lat)
+    theta = np.radians(lon)
+    cosphi = np.cos(phi)
+    x, y, z = np.cos(theta) * cosphi, np.sin(theta) * cosphi, np.sin(phi)
+
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    face = np.where(
+        (ax >= ay) & (ax >= az), np.where(x > 0, 0, 3),
+        np.where(ay >= az, np.where(y > 0, 1, 4), np.where(z > 0, 2, 5)),
+    )
+    with np.errstate(divide="ignore", invalid="ignore"):
+        u = np.select(
+            [face == 0, face == 1, face == 2, face == 3, face == 4],
+            [y / x, -x / y, -x / z, z / x, z / y], default=-y / z)
+        v = np.select(
+            [face == 0, face == 1, face == 2, face == 3, face == 4],
+            [z / x, z / y, -y / z, y / x, -x / y], default=-x / z)
+
+    def st(w):
+        # both branches evaluate; the unselected one may sqrt a negative
+        with np.errstate(invalid="ignore"):
+            return np.where(w >= 0, 0.5 * np.sqrt(1 + 3 * w), 1 - 0.5 * np.sqrt(1 - 3 * w))
+
+    scale = float(1 << _MAX_LEVEL)
+    lim = (1 << _MAX_LEVEL) - 1
+    i = np.clip(np.floor(st(u) * scale), 0, lim).astype(np.uint64)
+    j = np.clip(np.floor(st(v) * scale), 0, lim).astype(np.uint64)
+
+    face = face.astype(np.uint64)
+    orientation = face & np.uint64(_SWAP_MASK)
+    pos = np.zeros(lon.shape, dtype=np.uint64)
+    one = np.uint64(1)
+    for k in range(_MAX_LEVEL - 1, -1, -1):
+        kk = np.uint64(k)
+        ij = (((i >> kk) & one) << one) | ((j >> kk) & one)
+        p = _IJ_TO_POS_ARR[orientation, ij]
+        pos = (pos << np.uint64(2)) | p
+        orientation ^= _POS_TO_ORIENT_ARR[p]
+
+    cell = (face << np.uint64(61)) | (pos << one) | one
+    if level < _MAX_LEVEL:
+        lsb = np.uint64(1 << (2 * (_MAX_LEVEL - level)))
+        cell = (cell & ~(lsb - one)) | lsb
+    return cell
 
 
 # --------------------------------------------------------- hex (H3ish) ---
@@ -182,7 +233,39 @@ def _axial_round(q: float, r: float) -> tuple[int, int]:
 
 
 def hex_cells(lons, lats, res: int) -> np.ndarray:
-    out = np.empty(len(lons), dtype=np.uint64)
-    for idx, (lon, lat) in enumerate(zip(lons, lats)):
-        out[idx] = hex_cell(float(lon), float(lat), res)
-    return out
+    """Bulk hex cells → uint64, vectorized (bit-identical to `hex_cell`
+    per element; falls back to the h3 library loop when installed)."""
+    lon = np.asarray(lons, dtype=np.float64)
+    lat = np.asarray(lats, dtype=np.float64)
+    if _h3 is not None:  # pragma: no cover - h3 not installed here
+        out = np.empty(len(lon), dtype=np.uint64)
+        for idx in range(len(lon)):
+            out[idx] = hex_cell(float(lon[idx]), float(lat[idx]), res)
+        return out
+    if lon.size == 0:
+        return np.empty(0, dtype=np.uint64)
+
+    edge_km = _HEX_EDGE_KM[res]
+    x = (lon / 360.0 + 0.5) % 1.0
+    latc = np.clip(lat, -85.0511287798066, 85.0511287798066)
+    s = np.sin(np.radians(latc))
+    y = 0.5 - 0.25 * np.log((1 + s) / (1 - s)) / math.pi
+    size = edge_km / _EARTH_CIRCUM_KM
+    q = (_SQRT3 / 3 * x - 1.0 / 3 * y) / size
+    r = (2.0 / 3 * y) / size
+
+    # cube rounding (matches _axial_round: round-half-even like python round)
+    cx, cz = q, r
+    cy = -cx - cz
+    rx, ry, rz = np.round(cx), np.round(cy), np.round(cz)
+    dx, dy, dz = np.abs(rx - cx), np.abs(ry - cy), np.abs(rz - cz)
+    fix_x = (dx > dy) & (dx > dz)
+    fix_z = ~fix_x & (dy <= dz)
+    rx = np.where(fix_x, -ry - rz, rx)
+    rz = np.where(fix_z, -rx - ry, rz)
+    qi = rx.astype(np.int64)
+    ri = rz.astype(np.int64)
+    packed = (np.int64((res & 0xF)) << np.int64(56)) \
+        | ((qi & np.int64(0xFFFFFFF)) << np.int64(28)) \
+        | (ri & np.int64(0xFFFFFFF))
+    return packed.astype(np.uint64)

@@ -37,7 +37,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..geom import wkb as wkbmod
-from ..geom.cells import hex_cell, s2_cell
 from ..geom.ops import center_of, geom_bbox
 from ..geom.tile import cover, lonlat_to_tile, parse_zxy
 from ..sources.synth import LAYER_IDX, LAYER_ZOOM
@@ -468,8 +467,12 @@ def assign_phrase_ids(phrase_grid_ds):
 def media_cells_batch(batch: pa.Table) -> pa.Table:
     """Every media_ref-bearing doc → (media_ref, zxy cell, H3 r7-9, S2)
     keyed by the doc center — the raster↔vector join key table."""
-    out = {"doc_id": [], "media_ref": [], "zxy": [], "h3_r7": [], "h3_r8": [],
-           "h3_r9": [], "s2_cell": []}
+    from ..geom.cells import hex_cells, s2_cells
+
+    # ragged ref explosion stays a Python pass (string parsing); the
+    # cell kernels run once, vectorized, over the collected coords
+    out = {"doc_id": [], "media_ref": [], "zxy": []}
+    lons, lats = [], []
     for doc_id, refs, lon, lat, zoom in zip(
         batch["doc_id"].to_pylist(), batch["media_refs"].to_pylist(),
         batch["center_lon"].to_pylist(), batch["center_lat"].to_pylist(),
@@ -485,18 +488,18 @@ def media_cells_batch(batch: pa.Table) -> pa.Table:
             out["doc_id"].append(doc_id)
             out["media_ref"].append(ref)
             out["zxy"].append(f"{z}/{x}/{y}")
-            out["h3_r7"].append(hex_cell(lon, lat, 7))
-            out["h3_r8"].append(hex_cell(lon, lat, 8))
-            out["h3_r9"].append(hex_cell(lon, lat, 9))
-            out["s2_cell"].append(s2_cell(lon, lat, 12))
+            lons.append(lon)
+            lats.append(lat)
+    lon_a = np.asarray(lons, dtype=np.float64)
+    lat_a = np.asarray(lats, dtype=np.float64)
     return pa.table({
         "doc_id": pa.array(out["doc_id"], type=pa.string()),
         "media_ref": pa.array(out["media_ref"], type=pa.string()),
         "zxy": pa.array(out["zxy"], type=pa.string()),
-        "h3_r7": pa.array(out["h3_r7"], type=pa.uint64()),
-        "h3_r8": pa.array(out["h3_r8"], type=pa.uint64()),
-        "h3_r9": pa.array(out["h3_r9"], type=pa.uint64()),
-        "s2_cell": pa.array(out["s2_cell"], type=pa.uint64()),
+        "h3_r7": pa.array(hex_cells(lon_a, lat_a, 7), type=pa.uint64()),
+        "h3_r8": pa.array(hex_cells(lon_a, lat_a, 8), type=pa.uint64()),
+        "h3_r9": pa.array(hex_cells(lon_a, lat_a, 9), type=pa.uint64()),
+        "s2_cell": pa.array(s2_cells(lon_a, lat_a, 12), type=pa.uint64()),
     })
 
 

@@ -3,9 +3,10 @@
 Coordinates derive deterministically from integer keys with arithmetic
 that is expressible identically in SQL (Knuth multiplicative hash mod
 2^32 → scaled to lon/lat), so the spatial operators — tile assignment,
-point-in-polygon join, kNN — have exact oracles. Engine-internal geo ops
-(S2/H3 cells, raster↔vector join over the interleaved corpus) are
-rows-only here and invariant-tested in pytest.
+point-in-polygon join, kNN, S2/H3 cell assignment — have exact oracles
+(the S2 Hilbert walk runs as a 12-step recursive CTE in DuckDB). The
+raster↔vector join over the interleaved corpus is rows-only here and
+invariant-tested in pytest.
 
 Float caution: both sides use IEEE doubles and the same operation order;
 mercator-y goes through round(·, 9) before floor so a last-ulp libm
@@ -188,9 +189,12 @@ FROM d GROUP BY c_custkey
 
 
 def q_geo_cells(sf_dir: str):
-    """S2 + hex cell assignment for derived customer coords (rows-only:
-    the cell codes are engine-internal; invariants pytest-checked)."""
-    from ..geom.cells import hex_cell, s2_cell
+    """S2 (level 12) + hex (r7-9) cell assignment for derived customer
+    coords — vectorized bulk kernels, with a full SQL oracle: the hex
+    binning is closed-form mercator arithmetic and the S2 Hilbert walk
+    is a 12-step recursive CTE (level-12 ids depend only on the top 12
+    bits of i/j, so 12 steps reproduce s2_cell exactly)."""
+    from ..geom.cells import hex_cells, s2_cells
 
     ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
 
@@ -199,13 +203,137 @@ def q_geo_cells(sf_dir: str):
         lon, lat = derive_lonlat(keys)
         return pa.table({
             "c_custkey": b["c_custkey"],
-            "s2_l12": pa.array([s2_cell(x, y, 12) for x, y in zip(lon, lat)], type=pa.uint64()),
-            "h3_r7": pa.array([hex_cell(x, y, 7) for x, y in zip(lon, lat)], type=pa.uint64()),
-            "h3_r8": pa.array([hex_cell(x, y, 8) for x, y in zip(lon, lat)], type=pa.uint64()),
-            "h3_r9": pa.array([hex_cell(x, y, 9) for x, y in zip(lon, lat)], type=pa.uint64()),
+            "s2_l12": pa.array(s2_cells(lon, lat, 12), type=pa.uint64()),
+            "h3_r7": pa.array(hex_cells(lon, lat, 7), type=pa.uint64()),
+            "h3_r8": pa.array(hex_cells(lon, lat, 8), type=pa.uint64()),
+            "h3_r9": pa.array(hex_cells(lon, lat, 9), type=pa.uint64()),
         })
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+_HEX_EDGE = {7: 1.220629759, 8: 0.461354684, 9: 0.174375668}
+_CIRC = 40075.016686
+
+
+def _hex_ctes(res: int) -> str:
+    """Closed-form mercator hex binning for one resolution, mirroring
+    cells.hex_cell exactly: axial coords, cube rounding (floor(x+.5) —
+    identical to numpy's half-even round off the measure-zero halves),
+    the dx/dy/dz fix-up, and the res|q|r uint64 packing."""
+    size = f"({_HEX_EDGE[res]!r} / {_CIRC!r})"
+    return f"""h{res} AS (
+  SELECT c_custkey, s2_l12,
+    (sqrt(3)/3 * mx - my/3) / {size} AS q, (2.0/3 * my) / {size} AS r
+  FROM merc
+),
+hround{res} AS (
+  SELECT c_custkey, s2_l12, q, r,
+    floor(q + 0.5) AS rx0, floor((-q - r) + 0.5) AS ry0, floor(r + 0.5) AS rz0
+  FROM h{res}
+),
+hfix{res} AS (
+  SELECT c_custkey,
+    CASE WHEN abs(rx0-q) > abs(ry0-(-q-r)) AND abs(rx0-q) > abs(rz0-r)
+         THEN -ry0-rz0 ELSE rx0 END AS rx1,
+    ry0, rz0,
+    NOT (abs(rx0-q) > abs(ry0-(-q-r)) AND abs(rx0-q) > abs(rz0-r))
+        AND abs(ry0-(-q-r)) <= abs(rz0-r) AS fixz
+  FROM hround{res}
+),
+hcell{res} AS (
+  SELECT c_custkey,
+    CAST(CAST({res} AS BIGINT) * 72057594037927936
+         + ((CAST(rx1 AS BIGINT) & 268435455) * 268435456)
+         + (CAST(CASE WHEN fixz THEN -rx1-ry0 ELSE rz0 END AS BIGINT) & 268435455)
+       AS UBIGINT) AS h3_r{res}
+  FROM hfix{res}
+)"""
+
+
+# The S2 oracle reproduces cells.s2_cell bit-for-bit: lonlat→xyz→face/uv
+# →st are closed-form; only the top 12 bits of i/j reach a level-12 id
+# (floor(st*4096) == floor(st*2^30) >> 18 exactly — multiplying a double
+# by a power of two is exact), so the 30-step Hilbert walk collapses to a
+# 12-step recursive CTE over a 16-row (orientation, ij)→(pos, xor) table.
+SQL_GEO_CELLS = f"""
+WITH RECURSIVE pts AS (
+  SELECT c_custkey, {_SQL_LON} AS lon, {_SQL_LAT} AS lat FROM customer
+),
+xyz AS (
+  SELECT c_custkey, lon, lat,
+    cos(radians(lon)) * cos(radians(lat)) AS x,
+    sin(radians(lon)) * cos(radians(lat)) AS y,
+    sin(radians(lat)) AS z
+  FROM pts
+),
+fuv AS (
+  SELECT *, CASE
+      WHEN abs(x) >= abs(y) AND abs(x) >= abs(z) THEN CASE WHEN x > 0 THEN 0 ELSE 3 END
+      WHEN abs(y) >= abs(z) THEN CASE WHEN y > 0 THEN 1 ELSE 4 END
+      ELSE CASE WHEN z > 0 THEN 2 ELSE 5 END END AS face
+  FROM xyz
+),
+uv AS (
+  SELECT *,
+    CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+              WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+    CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+              WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+  FROM fuv
+),
+stv AS (
+  SELECT *,
+    CASE WHEN u >= 0 THEN 0.5*sqrt(1+3*u) ELSE 1-0.5*sqrt(1-3*u) END AS su,
+    CASE WHEN v >= 0 THEN 0.5*sqrt(1+3*v) ELSE 1-0.5*sqrt(1-3*v) END AS sv
+  FROM uv
+),
+ij AS (
+  SELECT c_custkey, lon, lat, face,
+    GREATEST(0, LEAST(4095, CAST(floor(su * 4096) AS BIGINT))) AS i12,
+    GREATEST(0, LEAST(4095, CAST(floor(sv * 4096) AS BIGINT))) AS j12
+  FROM stv
+),
+hilbert(orient, ijb, p, oxor) AS (
+  VALUES (0,0,0,1),(0,1,1,0),(0,2,3,3),(0,3,2,0),
+         (1,0,0,1),(1,1,3,3),(1,2,1,0),(1,3,2,0),
+         (2,0,2,0),(2,1,3,3),(2,2,1,0),(2,3,0,1),
+         (3,0,2,0),(3,1,1,0),(3,2,3,3),(3,3,0,1)
+),
+walk AS (
+  SELECT c_custkey, lon, lat, face, i12, j12, 11 AS k,
+         face & 1 AS orient, CAST(0 AS BIGINT) AS pos
+  FROM ij
+  UNION ALL
+  SELECT w.c_custkey, w.lon, w.lat, w.face, w.i12, w.j12, w.k - 1,
+         xor(w.orient, h.oxor),
+         (w.pos * 4) + h.p
+  FROM walk w
+  JOIN hilbert h
+    ON h.orient = w.orient
+   AND h.ijb = (((w.i12 >> w.k) & 1) * 2) | ((w.j12 >> w.k) & 1)
+  WHERE w.k >= 0
+),
+s2 AS (
+  SELECT c_custkey, lon, lat,
+    CAST(CAST(face AS HUGEINT) * 2305843009213693952 + CAST(pos AS HUGEINT) * 137438953472
+         + 68719476736 AS UBIGINT) AS s2_l12
+  FROM walk WHERE k = -1
+),
+merc AS (
+  SELECT c_custkey, s2_l12,
+    (lon / 360 + 0.5) % 1.0 AS mx,
+    0.5 - 0.25 * ln((1 + sin(radians(GREATEST(-85.0511287798066, LEAST(85.0511287798066, lat)))))
+                  / (1 - sin(radians(GREATEST(-85.0511287798066, LEAST(85.0511287798066, lat)))))) / pi() AS my
+  FROM s2
+),
+{",".join(_hex_ctes(res) for res in (7, 8, 9))}
+SELECT s.c_custkey, s.s2_l12, a.h3_r7, b.h3_r8, c.h3_r9
+FROM s2 s
+JOIN hcell7 a USING (c_custkey)
+JOIN hcell8 b USING (c_custkey)
+JOIN hcell9 c USING (c_custkey)
+"""
 
 
 def q_raster_vector_join(sf_dir: str):
@@ -311,4 +439,5 @@ GEO_ORACLES = {
     "geo_tile_assign": SQL_GEO_TILE,
     "geo_pip_join": SQL_GEO_PIP,
     "geo_knn": SQL_GEO_KNN,
+    "geo_cells": SQL_GEO_CELLS,
 }

@@ -238,6 +238,33 @@ def test_s2_invariants():
     assert len(faces) == 6
 
 
+def test_bulk_cells_bit_identical_to_scalar():
+    """The vectorized batch kernels (s2_cells / hex_cells) must be
+    bit-identical to the per-point scalars they replace — including face
+    boundaries, poles, the antimeridian seam, and clip extremes."""
+    from carmen_ray.geom.cells import hex_cells, s2_cells
+
+    rng = np.random.default_rng(42)
+    lon = np.concatenate([
+        rng.uniform(-180, 180, 500),
+        np.array([0.0, 90.0, 180.0, -180.0, -90.0, 45.0, -45.0, 179.999999]),
+    ])
+    lat = np.concatenate([
+        rng.uniform(-85, 85, 500),
+        np.array([0.0, 90.0, -90.0, 85.1, -85.1, 45.0, -45.0, 0.0]),
+    ])
+    for level in (0, 4, 12, 20, 30):
+        bulk = s2_cells(lon, lat, level)
+        scal = np.array([s2_cell(float(a), float(b), level) for a, b in zip(lon, lat)],
+                        dtype=np.uint64)
+        assert (bulk == scal).all(), level
+    for res in (0, 7, 8, 9, 15):
+        bulk = hex_cells(lon, lat, res)
+        scal = np.array([hex_cell(float(a), float(b), res) for a, b in zip(lon, lat)],
+                        dtype=np.uint64)
+        assert (bulk == scal).all(), res
+
+
 def test_hex_cells():
     a = hex_cell(-77.0, 38.9, 9)
     b = hex_cell(-77.0000001, 38.9000001, 9)
