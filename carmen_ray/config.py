@@ -70,6 +70,11 @@ class LayerConfig:
     # geocoder_ignore_order (verifymatch.js:805-811): matches from this
     # layer neither set the query direction nor take the backy penalty
     geocoder_ignore_order: bool = False
+    # geocoder_coalesce_radius (indexer/index.js:233, docs/data-sources.md):
+    # per-source proximity area-of-effect in miles, used as the scoredist
+    # radius inside coalesce (and as the nearby-only cutoff for
+    # partial-number matches). None → carmen's zoom-scaled default.
+    geocoder_coalesce_radius: float | None = None
 
 
 @dataclass

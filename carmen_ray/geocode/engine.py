@@ -72,7 +72,8 @@ class IndexData:
     def __init__(self, features: pa.Table | None, phrase_grid: pa.Table,
                  freq: dict, max_score: float, layer_zooms: dict, config=None,
                  presorted: bool = False, idx_rank: dict | None = None,
-                 build_cell_index: bool = True, idx_layer: dict | None = None):
+                 build_cell_index: bool = True, idx_layer: dict | None = None,
+                 layer_bounds: dict | None = None):
         from .. import constants as _c
 
         self.config = config
@@ -102,6 +103,9 @@ class IndexData:
         self.layer_scoreranges: dict[str, dict] = {}
         self.layer_worldview: dict[str, str] = {}
         self.ignore_order_layers: set[str] = set()
+        # geocoder_coalesce_radius (indexer/index.js:233): per-source
+        # scoredist radius; unset layers use the zoom-scaled default
+        self.layer_coalesce_radius: dict[str, float] = {}
         if config is not None:
             for lname, lc in getattr(config, "layers", {}).items():
                 cats = getattr(lc, "geocoder_categories", None)
@@ -115,6 +119,9 @@ class IndexData:
                     self.layer_worldview[lname] = wv
                 if getattr(lc, "geocoder_ignore_order", False):
                     self.ignore_order_layers.add(lname)
+                cr = getattr(lc, "geocoder_coalesce_radius", None)
+                if cr:
+                    self.layer_coalesce_radius[lname] = float(cr)
 
         # the index build emits the canonical sort order and filters
         # preserve it — actors on the hot path skip the per-actor
@@ -140,6 +147,24 @@ class IndexData:
         self.layer_zooms = layer_zooms
         self.max_zoom = max(layer_zooms.values()) if layer_zooms else 14
 
+        # address-style sources (the reference's geocoder_address flag):
+        # config wins when present; otherwise inferred as the layers
+        # that index waffled ('#') house-number phrases. Drives the
+        # number-only single-token subquery filter (phrasematch.js:225)
+        self.address_layers: set[str] = set()
+        if config is not None:
+            self.address_layers |= {
+                n for n, lc in getattr(config, "layers", {}).items()
+                if getattr(lc, "geocoder_address", False)}
+        if len(self.phrases) and "layer" in self.pg_cols:
+            has_waffle = np.fromiter(
+                ("#" in p for p in self.phrases), dtype=bool,
+                count=len(self.phrases))
+            if has_waffle.any():
+                self.address_layers |= {
+                    str(l) for l in np.unique(
+                        np.asarray(self.pg_cols["layer"])[has_waffle])}
+
         if features is None:
             # features-free mode (the sharded PhrasematchStage): only the
             # phrase/grid side is resident — no feature store, no tmpid
@@ -161,6 +186,11 @@ class IndexData:
                 self.idx_rank = {int(ix): r for r, ix in enumerate(uniq)}
             self.layer_rows = {}
             self.layer_bbox = {}
+            # features-free mode: whole-layer bounds arrive from index
+            # metadata (the proxMatch gate needs them at phrasematch time)
+            self.layer_bounds = {
+                str(l): tuple(float(v) for v in b)
+                for l, b in (layer_bounds or {}).items()}
             self._geom_cache = {}
             self._context_cache = {}
             self.cell_zoom = 10
@@ -209,6 +239,19 @@ class IndexData:
             )
             for l, rows in self.layer_rows.items()
         }
+        # whole-layer bounds (the reference's per-source `bounds`,
+        # api-mem.js source option): the proxMatch gate for bare-number
+        # queries checks proximity against these (phrasematch.js:47)
+        if layer_bounds is not None:
+            self.layer_bounds = {
+                str(l): tuple(float(v) for v in b)
+                for l, b in layer_bounds.items()}
+        else:
+            self.layer_bounds = {
+                l: (float(np.min(w)), float(np.min(s)),
+                    float(np.max(e)), float(np.max(n)))
+                for l, (w, s, e, n) in self.layer_bbox.items() if len(w)
+            }
         self._geom_cache: dict[int, dict] = {}
         self._context_cache: dict[int, list] = {}
         self._compute_non_overlap({int(ix): str(l) for l, ix in order})
@@ -807,6 +850,67 @@ def match_address_cluster(feature, number: str, prefix: bool = False) -> int | N
     return best_i
 
 
+def number_only_subquery(subquery: str) -> bool:
+    """Single-token digits/# subquery (phrasematch.js:225's
+    `subquery.length === 1 && subquery[0].match(/^[\\d#]+$/)`)."""
+    return bool(subquery) and " " not in subquery and all(
+        c.isdigit() or c == "#" for c in subquery)
+
+
+def resolve_address_prefix(feature, number: str, proximity=None) -> dict | None:
+    """Partial-number resolution (addresscluster.js forwardPrefix +
+    forwardPrefixFiltered): prefix-match the cluster under the feature's
+    address style keeping the best rank tier, numeric-sort the hits,
+    take first/last/middle, and return the one closest to the proximity
+    point. No ITP fallback — prefix queries never interpolate
+    (verifymatch.js:404-416)."""
+    anj = feature.addr_numbers_json
+    if not anj:
+        return None
+    nums = json.loads(anj)
+    style = getattr(feature, "addr_style", "") or "standard"
+    if style not in ADDRESS_STYLE_VTABLE:
+        style = "standard"
+    gen, matcher = ADDRESS_STYLE_VTABLE[style]
+    q = gen(number)
+    best_rank = None
+    hits: list[int] = []
+    for i, n in enumerate(nums):
+        rank = matcher(q, gen(str(n)), True)
+        if rank < 0:
+            continue
+        if best_rank is None or rank < best_rank:
+            best_rank, hits = rank, [i]
+        elif rank == best_rank:
+            hits.append(i)
+    if not hits:
+        return None
+    geom = json.loads(feature.geometry_json)
+    coords = geom["coordinates"] if geom["type"] == "MultiPoint" else []
+    hits = [i for i in hits if i < len(coords)]
+    if not hits:
+        return None
+
+    def _as_int(i):
+        s = str(nums[i])
+        return int(s) if s.isdigit() else 0
+
+    hits.sort(key=_as_int)
+    fml = [hits[0]]
+    if len(hits) > 1:
+        fml.append(hits[-1])
+    if len(hits) > 2:
+        fml.append(hits[len(hits) >> 1])
+    if proximity is not None:
+        fml.sort(key=lambda i: float(prox.haversine_miles(
+            float(proximity[0]), float(proximity[1]),
+            float(coords[i][0]), float(coords[i][1]))))
+    pick = fml[0]
+    pt = coords[pick]
+    return {"address": str(nums[pick]), "lon": float(pt[0]), "lat": float(pt[1]),
+            "omitted": False, "line": None}
+
+
 def resolve_address(feature, number: str) -> dict | None:
     """Address cluster match via the style vtable (R5,
     addresscluster.js:61-218, 338-420) then TIGER-range interpolation
@@ -1103,9 +1207,12 @@ def attach_proximity(index: IndexData, pms, proximity) -> None:
                 d = prox.haversine_miles(px, py, lon, lat)
                 max_corner = np.maximum(max_corner, d)
         dist = np.where(found, np.minimum(center_d, max_corner), 0.0)
+        # per-source geocoder_coalesce_radius (indexer/index.js:233)
+        # overrides the zoom-scaled radius inside scoredist
         sd = prox.scoredist(
             np.fromiter((g.score for g in pm.grids), dtype=np.float64, count=n),
-            index.min_score, index.max_score, dist, pm.zoom)
+            index.min_score, index.max_score, dist, pm.zoom,
+            radius=index.layer_coalesce_radius.get(pm.layer))
         for i, g in enumerate(pm.grids):
             g.distance = float(dist[i])
             g.scoredist = float(sd[i])
@@ -1189,16 +1296,37 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
                                          weight_multiplier=0.99, seen=tried,
                                          address=addr["number"],
                                          fuzzy_max_distance=fz))
-    # single-number prefix waffling (numTokenizePrefix, termops.js:917-943)
-    if autocomplete and len(tokens) == 1:
+    # bare all-digit queries (phrasematch.js:185-232): with proxMatch
+    # (proximity inside an address source's bounds) the hypothesis
+    # becomes a partial-number search — the raw token AND its
+    # numTokenizePrefix waffle variants (termops.js:917-943) match as
+    # prefixes with every resulting pm partial_number/nearby-only.
+    # Without proxMatch there is no address interpretation at all.
+    if len(tokens) == 1 and tokens[0].isdigit() and proximity is not None:
         from ..text.termops import num_tokenize_prefix
+        from ..util.bbox import am_inside
 
-        for var in num_tokenize_prefix(tokens):
-            partial_pms = phrasematch_query(index, var, autocomplete=True,
-                                            seen=tried, address=tokens[0])
-            for pm in partial_pms:
-                pm.partial_number = True
-            pms.extend(partial_pms)
+        ppt = (float(proximity[0]), float(proximity[1]))
+        prox_layers = {l for l in index.address_layers
+                       if l in index.layer_bounds
+                       and am_inside(ppt, list(index.layer_bounds[l]))}
+        if prox_layers:
+            for pm in pms:
+                if pm.layer in prox_layers and number_only_subquery(pm.subquery):
+                    pm.partial_number = True
+                    pm.address = tokens[0]
+            for var in num_tokenize_prefix(tokens):
+                partial_pms = phrasematch_query(index, var, autocomplete=True,
+                                                seen=tried, address=tokens[0])
+                for pm in partial_pms:
+                    pm.partial_number = True
+                pms.extend(p for p in partial_pms if p.layer in prox_layers)
+    # number-only single-token subqueries never match address sources
+    # outside the partial-number state (phrasematch.js:225)
+    pms = [p for p in pms
+           if not (p.layer in index.address_layers
+                   and number_only_subquery(p.subquery)
+                   and not p.partial_number)]
 
     # R2: single-char subqueries are noise against high-zoom indexes
     # (phrasematch.js:385-402)
@@ -1251,6 +1379,17 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
     # scalar calls; matters for hot names with hundreds of grids)
     if proximity is not None:
         attach_proximity(index, pms, proximity)
+        # nearby-only (carmen-core coalesce `nearby_only`, set from
+        # subquery.partial_number at phrasematch.js:374): grids of a
+        # partial-number phrasematch count only within the coalesce
+        # radius of the proximity point
+        if any(p.partial_number for p in pms):
+            for pm in pms:
+                if pm.partial_number:
+                    r = index.layer_coalesce_radius.get(
+                        pm.layer, float(constants.COALESCE_PROXIMITY_RADIUS))
+                    pm.grids = [g for g in pm.grids if g.distance <= r]
+            pms = [pm for pm in pms if pm.grids]
     else:
         for pm in pms:
             for g in pm.grids:
@@ -1276,9 +1415,17 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
 
         # address resolution (R5/R6) + routable point (R8)
         addr_number = next((e.pm.address for e in covers if e.pm.address), None)
+        partial = any(e.pm.partial_number for e in covers)
         resolved = None
         if addr_number is not None:
-            resolved = resolve_address(feature, addr_number)
+            if partial:
+                # prefix-only resolution; clusterless / prefix-miss
+                # features are dropped outright (verifymatch.js:404-416)
+                resolved = resolve_address_prefix(feature, addr_number, proximity)
+                if resolved is None:
+                    continue
+            else:
+                resolved = resolve_address(feature, addr_number)
         matched_address = resolved["address"] if resolved else None
         routable = None
         if resolved and resolved.get("line"):

@@ -51,6 +51,7 @@ from .engine import (
     RESULT_SCHEMA,
     IndexData,
     _context_for,
+    number_only_subquery,
     phrasematch_query,
     query_hypotheses,
     resolve_address,
@@ -85,6 +86,12 @@ PM_SCHEMA = pa.schema([
                                            # coalesce stage rebuilds the
                                            # non_overlapping_indexes mask
                                            # (index.js:325-342) from it
+    ("partial_number", pa.bool_()),        # bare-number prefix hypothesis
+                                           # (phrasematch.js:207): grids
+                                           # count only near the prox point
+    ("coalesce_radius", pa.float64()),     # per-source scoredist radius
+                                           # (indexer/index.js:233); 0 =
+                                           # unset → zoom-scaled default
 ])
 
 # one row PER CANDIDATE STACK leaving coalesce. Candidates are routed to
@@ -114,6 +121,9 @@ CAND_SCHEMA = pa.schema([
     ("cover_sublens", pa.list_(pa.int32())),
     ("cover_masks", pa.list_(pa.int64())),
     ("cover_relevs", pa.list_(pa.float64())),
+    ("partial_number", pa.bool_()),  # any cover from a partial-number pm
+                                     # (spatialmatch.js:198-204 x300 boost,
+                                     # prefix-only address resolution)
     ("vshard", pa.int32()),         # fid % FSHARD_MOD of the top cover
 ])
 
@@ -158,6 +168,7 @@ class _PackedRow:
     edit_distance: int
     ndx: int
     stack_bits: int
+    partial_number: bool = False
 
 
 class PackedCollector:
@@ -215,7 +226,7 @@ class PhrasematchStage:
     def __init__(self, features=None, phrase_grid=None, freq=None,
                  max_score=None, layer_zooms=None, config=None,
                  shard: int = 0, of_n: int = 1, index_dir: str | None = None,
-                 idx_rank: dict | None = None):
+                 idx_rank: dict | None = None, layer_bounds: dict | None = None):
         if index_dir is not None:
             from ..index.build import load_index_meta, read_phrase_shard
 
@@ -225,7 +236,20 @@ class PhrasematchStage:
             max_score = meta["max_score"]
             layer_zooms = meta["layer_zooms"]
             idx_rank = meta["idx_rank"]
+            layer_bounds = meta.get("layer_bounds", {})
         else:
+            layer_bounds = dict(layer_bounds or {})
+            if not layer_bounds and features is not None and features.num_rows \
+                    and "bbox_w" in features.column_names:
+                lbdf = features.select(
+                    ["layer", "bbox_w", "bbox_s", "bbox_e", "bbox_n"]
+                ).to_pandas().groupby("layer").agg(
+                    {"bbox_w": "min", "bbox_s": "min",
+                     "bbox_e": "max", "bbox_n": "max"})
+                layer_bounds = {
+                    l: [float(r.bbox_w), float(r.bbox_s),
+                        float(r.bbox_e), float(r.bbox_n)]
+                    for l, r in lbdf.iterrows()}
             if of_n > 1:
                 phrase_grid = _pg_shard_filter(phrase_grid, shard, of_n)
             if idx_rank is None and features is not None:
@@ -235,7 +259,7 @@ class PhrasematchStage:
                 idx_rank = {int(ix): r for r, (_, ix) in enumerate(pairs)}
         self.index = IndexData(None, phrase_grid, freq, max_score,
                                layer_zooms, config=config, presorted=True,
-                               idx_rank=idx_rank)
+                               idx_rank=idx_rank, layer_bounds=layer_bounds)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cols = batch.column_names
@@ -278,6 +302,40 @@ class PhrasematchStage:
                                       seen=tried, address=addr["number"], collector=col,
                                       fuzzy_max_distance=fz)
 
+            # bare-number prefix hypothesis, proxMatch-gated exactly like
+            # the fused path (phrasematch.js:185-232): with proximity
+            # inside an address source's bounds, the raw token and its
+            # waffle variants all become partial_number/nearby-only pms
+            if len(tokens) == 1 and tokens[0].isdigit() and lo is not None:
+                from ..text.termops import num_tokenize_prefix
+                from ..util.bbox import am_inside
+
+                prox_layers = {
+                    l for l in self.index.address_layers
+                    if l in self.index.layer_bounds
+                    and am_inside((float(lo), float(la)),
+                                  list(self.index.layer_bounds[l]))}
+                if prox_layers:
+                    for e in col.entries:
+                        if e.layer in prox_layers and number_only_subquery(e.subquery):
+                            e.partial_number = True
+                            e.address = tokens[0]
+                    n0 = len(col.entries)
+                    for var in num_tokenize_prefix(tokens):
+                        phrasematch_query(self.index, var, seen=tried,
+                                          address=tokens[0], collector=col)
+                    kept = [e for e in col.entries[n0:] if e.layer in prox_layers]
+                    for e in kept:
+                        e.partial_number = True
+                    col.entries[n0:] = kept
+            # number-only single-token subqueries never match address
+            # sources outside the partial-number state (phrasematch.js:225)
+            col.entries = [
+                e for e in col.entries
+                if not (e.layer in self.index.address_layers
+                        and number_only_subquery(e.subquery)
+                        and not e.partial_number)]
+
             pms = filter_misspelled_short(col.entries)
             for pm in pms:
                 rows["query_id"].append(qid)
@@ -298,6 +356,9 @@ class PhrasematchStage:
                 rows["max_score"].append(self.index.max_score)
                 rows["subquery"].append(pm.subquery)
                 rows["ignore_order"].append(pm.layer in self.index.ignore_order_layers)
+                rows["partial_number"].append(bool(getattr(pm, "partial_number", False)))
+                rows["coalesce_radius"].append(
+                    float(self.index.layer_coalesce_radius.get(pm.layer, 0.0)))
                 rows["ndx"].append(pm.ndx)
                 rows["stack_bits"].append(pm.stack_bits)
         return pa.table({n: pa.array(rows[n], type=PM_SCHEMA.field(n).type) for n in PM_SCHEMA.names})
@@ -381,6 +442,11 @@ def coalesce_group(col: dict, rows) -> None:
 
         radii = np.array([scale_radius(int(z)) for z in (6, 12, 14)])
         r_sel = np.where(all_zoom <= 6, radii[0], np.where(all_zoom <= 12, radii[1], radii[2]))
+        # per-source geocoder_coalesce_radius overrides the zoom-scaled
+        # radius (indexer/index.js:233); 0 = unset
+        all_crad = np.concatenate([
+            np.full(len(d["x"]), float(col["coalesce_radius"][i])) for i, d, _ in decoded])
+        r_sel = np.where(all_crad > 0, all_crad, r_sel)
         dist_w = 9.0 * gauss(all_dist / r_sel * 3.0, _VARIANCE_CONSTANT) + 1.0
         all_sd = dist_w * score_weight(all_scores, 0.0, max_score)
     else:
@@ -399,6 +465,7 @@ def coalesce_group(col: dict, rows) -> None:
         off += m
         idx_base = int(col["idx"][i]) * (1 << 25)
         addr_v = col["address"][i]
+        partial = bool(col["partial_number"][i]) if "partial_number" in col else False
         grids = [
             Grid(x=x, y=y, relev=rv, score=sc, fid=fd, tmpid=idx_base + fd,
                  distance=dv, scoredist=sv, phash=ph)
@@ -407,12 +474,21 @@ def coalesce_group(col: dict, rows) -> None:
                 scores.tolist(), dec["id"].tolist(), dists.tolist(),
                 np.asarray(sds).tolist(), list(col["phashes"][i]))
         ]
+        if partial and has_prox:
+            # nearby-only (carmen-core coalesce): partial-number grids
+            # count only within the coalesce radius of the prox point
+            r = float(col["coalesce_radius"][i]) or float(
+                constants.COALESCE_PROXIMITY_RADIUS)
+            grids = [g for g in grids if g.distance <= r]
+            if not grids:
+                continue
         pms.append(Phrasematch(
             idx=int(col["idx"][i]), layer=str(col["layer"][i]),
             zoom=int(zooms_col[i]), mask=int(col["mask"][i]),
             weight=float(col["weight"][i]), subquery=str(col["subquery"][i]),
             phrase_id=0, prefix=bool(col["prefix"][i]), grids=grids,
             address=addr_v if isinstance(addr_v, str) else None,
+            partial_number=partial,
         ))
 
     io_mask = col["ignore_order"].astype(bool)
@@ -452,6 +528,8 @@ def coalesce_group(col: dict, rows) -> None:
         rows["cover_sublens"].append([len(e.pm.subquery) for e in covers])
         rows["cover_masks"].append([e.pm.mask for e in covers])
         rows["cover_relevs"].append([e.relev for e in covers])
+        rows["partial_number"].append(
+            any(getattr(e.pm, "partial_number", False) for e in covers))
         rows["vshard"].append(int(tmpid % constants.FSHARD_MOD))
 
 
@@ -567,7 +645,19 @@ class VerifyHydrate:
             feature = self.index.feature_at(frow)
             ctx = self._ctx(frow, feature)
             addr_number = d["address"][ri]
-            resolved = resolve_address(feature, addr_number) if addr_number else None
+            partial = bool(d["partial_number"][ri]) if "partial_number" in d else False
+            if addr_number and partial:
+                # prefix-only resolution; prefix-miss features are
+                # dropped like the fused path (verifymatch.js:404-416)
+                from .engine import resolve_address_prefix
+
+                resolved = resolve_address_prefix(
+                    feature, addr_number,
+                    (plon, plat) if has_prox else None)
+                if resolved is None:
+                    continue
+            else:
+                resolved = resolve_address(feature, addr_number) if addr_number else None
             matched_address = resolved["address"] if resolved else None
             routable = None
             if resolved and resolved.get("line"):
@@ -597,6 +687,11 @@ class VerifyHydrate:
             else:
                 dist = 0.0
                 scoredist = gscore
+            if partial:
+                # partial-number boost (spatialmatch.js:198-204), same
+                # ordering as the fused path: boost first, then the
+                # feat_radius / squishy overrides below may replace it
+                scoredist *= 300
 
             display, matched_lang = _display_text(feature, None)
             overrides = {}
@@ -798,10 +893,22 @@ def forward_geocode_staged(queries_ds, index=None, concurrency: int = 4,
         pairs = sorted(set(zip(feats["layer"].to_pylist(),
                                feats["idx"].to_pylist())), key=lambda t: t[1])
         idx_rank = {int(ix): r for r, (_, ix) in enumerate(pairs)}
+        layer_bounds = {}
+        if feats.num_rows and "bbox_w" in feats.column_names:
+            lbdf = feats.select(
+                ["layer", "bbox_w", "bbox_s", "bbox_e", "bbox_n"]
+            ).to_pandas().groupby("layer").agg(
+                {"bbox_w": "min", "bbox_s": "min",
+                 "bbox_e": "max", "bbox_n": "max"})
+            layer_bounds = {
+                l: [float(r.bbox_w), float(r.bbox_s),
+                    float(r.bbox_e), float(r.bbox_n)]
+                for l, r in lbdf.iterrows()}
         pm_base = {
             "phrase_grid": index.phrase_grid, "freq": index.freq,
             "max_score": index.max_score, "layer_zooms": index.layer_zooms,
             "config": config, "idx_rank": idx_rank,
+            "layer_bounds": layer_bounds,
         }
         vf_base = {
             "features": feats, "max_score": index.max_score,

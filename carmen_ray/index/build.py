@@ -705,6 +705,26 @@ def build_index_streaming(docs_ds, out_dir: str, freq_min_count: int = 1,
     idx_rank = {int(ix): rank for rank, (_, ix) in enumerate(lix)}
     layers = [l for l, _ in lix]
 
+    # whole-layer bounds (the reference's per-source `bounds`): a
+    # distributed partial min/max per block, combined on the driver —
+    # tiny metadata the sharded phrasematch actors need for the
+    # bare-number proxMatch gate (phrasematch.js:47)
+    lb = (
+        parsed.select_columns(["layer", "bbox_w", "bbox_s", "bbox_e", "bbox_n"])
+        .map_batches(
+            lambda df: df.groupby("layer", as_index=False).agg(
+                bbox_w=("bbox_w", "min"), bbox_s=("bbox_s", "min"),
+                bbox_e=("bbox_e", "max"), bbox_n=("bbox_n", "max")),
+            batch_format="pandas")
+        .to_pandas()
+        .groupby("layer", as_index=False)
+        .agg(bbox_w=("bbox_w", "min"), bbox_s=("bbox_s", "min"),
+             bbox_e=("bbox_e", "max"), bbox_n=("bbox_n", "max"))
+    )
+    layer_bounds = {
+        r.layer: [float(r.bbox_w), float(r.bbox_s), float(r.bbox_e), float(r.bbox_n)]
+        for r in lb.itertuples()}
+
     feature_cols = [
         "doc_id", "layer", "idx", "zoom", "fid", "text", "synonyms",
         "langs_json", "score", "center_lon", "center_lat", "geometry_json",
@@ -760,7 +780,8 @@ def build_index_streaming(docs_ds, out_dir: str, freq_min_count: int = 1,
         _json.dump({"freq": freq, "max_score": max_score,
                     "layer_zooms": layer_zooms,
                     "idx_rank": {str(k): v for k, v in idx_rank.items()},
-                    "layers": layers}, f)
+                    "layers": layers,
+                    "layer_bounds": layer_bounds}, f)
 
 
 def load_index_meta(out_dir: str) -> dict:
