@@ -277,3 +277,112 @@ def rebalance(stack: Stack, query_len: int) -> Stack:
     penalty = expected_weight - stack.relev
     clone.relev = min(round_to(total_weight - penalty, 8), 1.0)
     return clone
+
+
+class ChunkedVerifyPlanner:
+    """The verifymatch chunk/backfill/early-stop protocol
+    (verifymatch.js:85-227), as a deterministic state machine over a
+    fixed candidate ledger (stacks sorted by relev/scoredist).
+
+    Chunks of up to `batch` candidates are verified; candidates that
+    fail (feature missing, filtered, address prefix miss) free slots
+    that later chunks backfill, until `stack_limit` verified, the
+    VERIFYMATCH_MAX_FEATURES_LIMIT load cap, or the early stop — once
+    anything has verified, a backfill chunk never starts below the first
+    verified candidate's spatialmatch relev. Partial-number candidates
+    are capped at 80% of the stack limit per chunk and deferred, not
+    dropped (verifymatch.js:186-212).
+
+    Used interactively by the fused path (verify lazily, feed outcomes
+    via `record`) and as a replay by the staged assemble stage (verify
+    outcomes already known) — both walk identical candidate sequences,
+    which is what keeps the two paths bit-identical.
+    """
+
+    def __init__(self, relevs, partials, stack_limit: int | None = None,
+                 max_feats: int | None = None):
+        self.relevs = list(relevs)
+        self.partials = list(partials)
+        self.stack_limit = stack_limit or constants.VERIFYMATCH_STACK_LIMIT
+        self.max_feats = max_feats or constants.VERIFYMATCH_MAX_FEATURES_LIMIT
+        self.partial_cap = 0.8 * self.stack_limit
+        self.queue = list(range(len(self.relevs)))
+        self.batch = self.stack_limit
+        self.seen = 0               # candidates whose verify was attempted
+        self.n_verified = 0
+        self.first_verified_relev: float | None = None
+        self.done = False
+        self._build_chunk()
+
+    def _build_chunk(self) -> None:
+        queue = self.queue
+        chunk: list[int] = []
+        backfill: list[int] = []
+        stop_early = False
+        if len(queue) > self.batch:
+            pcount = 0
+            for j, i in enumerate(queue):
+                if (self.first_verified_relev is not None
+                        and self.relevs[i] < self.first_verified_relev):
+                    stop_early = True
+                    break
+                if self.partials[i]:
+                    # bug-compat: the reference checks `>` BEFORE
+                    # incrementing, so the cap admits cap+2 entries
+                    if pcount > self.partial_cap:
+                        backfill.append(i)
+                        continue
+                    pcount += 1
+                chunk.append(i)
+                if len(chunk) == self.batch:
+                    backfill.extend(queue[j + 1:])
+                    break
+        else:
+            # small queues skip the partial cap AND the early stop,
+            # exactly like getSpatialmatchesChunk's else branch
+            chunk = list(queue)
+        self.chunk = chunk
+        self.chunk_pos = 0
+        self.backfill = backfill
+        self.stop_early = stop_early
+        if not chunk:
+            self.done = True
+
+    def next_candidate(self) -> int | None:
+        """Ledger index of the next candidate to verify, or None."""
+        if self.done or self.chunk_pos >= len(self.chunk):
+            return None
+        return self.chunk[self.chunk_pos]
+
+    def record(self, ok: bool) -> None:
+        """Feed the verify outcome of the candidate last returned."""
+        i = self.chunk[self.chunk_pos]
+        self.chunk_pos += 1
+        self.seen += 1
+        if ok:
+            if self.first_verified_relev is None:
+                self.first_verified_relev = self.relevs[i]
+            self.n_verified += 1
+        if self.chunk_pos == len(self.chunk):
+            if (self.stop_early or not self.backfill
+                    or self.n_verified >= self.stack_limit
+                    or self.seen >= self.max_feats):
+                self.done = True
+                return
+            self.queue = self.backfill
+            self.batch = min(self.stack_limit - self.n_verified,
+                             self.max_feats - self.seen)
+            self._build_chunk()
+
+    def replay(self, ok_flags) -> list[int]:
+        """Run the whole protocol against known outcomes; returns the
+        ledger indices that verified ok, in verification order."""
+        kept: list[int] = []
+        while True:
+            i = self.next_candidate()
+            if i is None:
+                break
+            self.record(bool(ok_flags[i]))
+            if ok_flags[i]:
+                kept.append(i)
+        return kept

@@ -42,7 +42,13 @@ from ..text.tokenize import as_reverse, normalize_query, parse_id_query, tokeniz
 from ..util import proximity as prox
 from ..util.jsmath import round_to
 from ..util.permute import continuous_masks
-from .coalesce import Grid, Phrasematch, Stack, stack_and_coalesce
+from .coalesce import (
+    ChunkedVerifyPlanner,
+    Grid,
+    Phrasematch,
+    Stack,
+    stack_and_coalesce,
+)
 
 TMPID_SHIFT = 1 << 25  # tmpid = idx * 2^25 + fid (context.js:2,423,501)
 
@@ -1225,6 +1231,7 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
                 stacks: list[str] | None = None,
                 bbox: list[float] | None = None,
                 allow_dupes: bool = False,
+                _stats: dict | None = None,
                 worldview: str | None = None) -> list[dict]:
     from ..text.token_replacer import replace_global_tokens
 
@@ -1403,12 +1410,16 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
     # york") and carmen scores them all, keeping the max
     # (verifymatch.js loads all contexts, then sorts).
     best_by_tmpid: dict[int, dict] = {}
-    for st in cand_stacks[: constants.VERIFYMATCH_STACK_LIMIT]:
+
+    def _verify_stack(st) -> bool:
+        """One candidate stack through hydrate → filters → scoring;
+        False when the reference's verifyFeatures would have dropped it
+        (the chunk protocol counts only successes as verified)."""
         covers = st.covers()
         top = covers[0]
         frow = index.row_by_tmpid(top.grid.tmpid)
         if frow is None:
-            continue
+            return False
         feature = index.feature_at(frow)
 
         ctx = _context_for(index, frow, int(feature.idx))
@@ -1423,7 +1434,7 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
                 # features are dropped outright (verifymatch.js:404-416)
                 resolved = resolve_address_prefix(feature, addr_number, proximity)
                 if resolved is None:
-                    continue
+                    return False
             else:
                 resolved = resolve_address(feature, addr_number)
         matched_address = resolved["address"] if resolved else None
@@ -1438,7 +1449,7 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
             from ..util.bbox import am_inside
 
             if not am_inside((float(feature.center_lon), float(feature.center_lat)), bbox):
-                continue
+                return False
 
         # stacks filter (R11, filter-sources.js geocoder_stack): keep
         # only features whose containing country matches a requested
@@ -1450,7 +1461,7 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
             if country is None or (
                 country.doc_id not in stacks and str(country.text) not in stacks
             ):
-                continue
+                return False
 
         # subtype score-range check (featureMatchesTypes,
         # filter-sources.js:82-110): a feature reached only via a
@@ -1465,13 +1476,13 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
                         in_range = True
                         break
             if not in_range:
-                continue
+                return False
 
         display, matched_lang = _display_text(feature, language)
         if language_mode == "strict" and language and matched_lang is None:
             # strict language mode drops features without the language
             # (filter-sources.js languageMode semantics)
-            continue
+            return False
         # override:{type} context replacement (R10, verifymatch.js:597-631):
         # the result feature's authored override text supersedes the
         # recalled context element of that layer
@@ -1580,6 +1591,26 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
         if prev is None or (candidate["relevance"], candidate["composite"]) > (
                 prev["relevance"], prev["composite"]):
             best_by_tmpid[top.grid.tmpid] = candidate
+        return True
+
+    # chunked verify with backfill + early stop (verifymatch.js:85-227):
+    # candidates beyond the first chunk are verified only while slots
+    # remain, never below the first verified relev tier, never past
+    # VERIFYMATCH_MAX_FEATURES_LIMIT loads
+    ledger = cand_stacks[: constants.VERIFYMATCH_MAX_FEATURES_LIMIT]
+    planner = ChunkedVerifyPlanner(
+        [s_.relev for s_ in ledger],
+        # entries, not covers(): the partial flag is order-independent
+        # and covers() sorts per call
+        [any(e.pm.partial_number for e in s_.entries) for s_ in ledger])
+    while True:
+        ci = planner.next_candidate()
+        if ci is None:
+            break
+        planner.record(_verify_stack(ledger[ci]))
+    if _stats is not None:
+        _stats["candidates_total"] = len(ledger)
+        _stats["candidates_verified"] = planner.seen
 
     # place-name dedup (D2): best candidate per display name
     results = []

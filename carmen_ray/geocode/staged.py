@@ -107,6 +107,8 @@ CAND_SCHEMA = pa.schema([
     ("proximity_lat", pa.float64()),
     ("si", pa.int32()),
     ("relev", pa.float64()),        # post direction-effects, unrounded
+    ("st_relev", pa.float64()),     # raw stack relev — the chunk
+                                    # protocol's early-stop tier key
     ("tmpid", pa.int64()),          # top cover's grid tmpid
     ("zoom", pa.int32()),           # top cover's pm zoom
     ("gx", pa.int32()),             # top cover's grid x
@@ -142,6 +144,12 @@ _HYD_FIELDS = [
     ("routable_lon", pa.float64()), ("routable_lat", pa.float64()),
     ("matching_text", pa.string()), ("matching_language", pa.string()),
     ("language", pa.string()),
+    # chunk-protocol replay ledger (verifymatch.js:85-227): raw stack
+    # relev, partial flag, and whether this candidate verified — failed
+    # candidates arrive as tombstone rows so assemble can replay the
+    # fused path's backfill/early-stop decisions exactly
+    ("st_relev", pa.float64()), ("partial_number", pa.bool_()),
+    ("verified_ok", pa.bool_()),
 ]
 HYD_SCHEMA = pa.schema(_HYD_FIELDS)
 
@@ -502,7 +510,7 @@ def coalesce_group(col: dict, rows) -> None:
             {int(i): int(b) for i, b in zip(col["idx"], col["stack_bits"])})
     stacks = stack_and_coalesce(
         pms, qlen, idx_rank=idx_rank,
-        non_overlap=non_overlap)[: constants.VERIFYMATCH_STACK_LIMIT]
+        non_overlap=non_overlap)[: constants.VERIFYMATCH_MAX_FEATURES_LIMIT]
     if not stacks:
         return
     for si, st in enumerate(stacks):
@@ -514,6 +522,7 @@ def coalesce_group(col: dict, rows) -> None:
         rows["proximity_lat"].append(plat if has_prox else None)
         rows["si"].append(si)
         rows["relev"].append(_direction_effects(covers, st.relev, ignore_layers))
+        rows["st_relev"].append(st.relev)
         rows["tmpid"].append(tmpid)
         rows["zoom"].append(covers[0].pm.zoom)
         rows["gx"].append(covers[0].grid.x)
@@ -546,6 +555,28 @@ class _CtxRow:
         self.fid = d["fid"]
         self.text = d["text"]
         self.score = d["score"]
+
+
+def _hyd_tombstone(rows, d, ri) -> None:
+    """Failed-candidate marker row: carries only the replay-ledger
+    fields so assemble can reconstruct the chunk protocol's view."""
+    for name, _ in _HYD_FIELDS:
+        if name == "query_id":
+            rows[name].append(d["query_id"][ri])
+        elif name == "limit":
+            rows[name].append(int(d["limit"][ri]))
+        elif name == "si":
+            rows[name].append(int(d["si"][ri]))
+        elif name == "tmpid":
+            rows[name].append(int(d["tmpid"][ri]))
+        elif name == "st_relev":
+            rows[name].append(float(d["st_relev"][ri]))
+        elif name == "partial_number":
+            rows[name].append(bool(d["partial_number"][ri]) if "partial_number" in d else False)
+        elif name == "verified_ok":
+            rows[name].append(False)
+        else:
+            rows[name].append(None)
 
 
 class VerifyHydrate:
@@ -641,6 +672,7 @@ class VerifyHydrate:
             tmpid = int(d["tmpid"][ri])
             frow = self.index.row_by_tmpid(tmpid)
             if frow is None:
+                _hyd_tombstone(rows, d, ri)
                 continue
             feature = self.index.feature_at(frow)
             ctx = self._ctx(frow, feature)
@@ -655,6 +687,7 @@ class VerifyHydrate:
                     feature, addr_number,
                     (plon, plat) if has_prox else None)
                 if resolved is None:
+                    _hyd_tombstone(rows, d, ri)
                     continue
             else:
                 resolved = resolve_address(feature, addr_number) if addr_number else None
@@ -781,6 +814,9 @@ class VerifyHydrate:
             rows["matching_text"].append(matching_text)
             rows["matching_language"].append(matching_language)
             rows["language"].append(matched_lang)
+            rows["st_relev"].append(float(d["st_relev"][ri]))
+            rows["partial_number"].append(partial)
+            rows["verified_ok"].append(True)
         return pa.table({name: pa.array(rows[name], type=t)
                          for name, t in _HYD_FIELDS})
 
@@ -813,6 +849,18 @@ def assemble_shard(shard_group) -> pa.Table:
         cands.sort(key=lambda c: c["si"])
         qid = cands[0]["query_id"]
         lim = int(cands[0]["limit"])
+        # replay the fused path's chunked verify (backfill + early stop)
+        # against the known outcomes: only candidates the protocol would
+        # actually have verified survive; tombstones never do
+        from .coalesce import ChunkedVerifyPlanner
+
+        kept = set(ChunkedVerifyPlanner(
+            [float(c["st_relev"]) for c in cands],
+            [bool(c["partial_number"]) for c in cands],
+        ).replay([bool(c["verified_ok"]) for c in cands]))
+        cands = [c for i, c in enumerate(cands) if i in kept]
+        if not cands:
+            continue
         best: dict[int, dict] = {}
         for cand in cands:
             prev = best.get(cand["tmpid"])
