@@ -100,7 +100,8 @@ class LangId:
     Profiles compile once per actor in __init__; __call__ scores a batch.
     Tiny trigram profiles for the language codes the synthetic corpus
     uses; unknown → 'und'. Heuristic by design (no external models in
-    this environment) — the oracle for this op is rows-only.
+    this environment); exactly mirrored in SQL (queries.SQL_LANG_ID is
+    generated from PROFILES) so the driver hash-checks it.
     """
 
     PROFILES = {

@@ -498,6 +498,81 @@ QUERIES = {
     "embedding_pairs_brute": q_embedding_pairs_brute,
 }
 
+
+
+def _lang_id_sql() -> str:
+    """Exact SQL mirror of ops.textstats.LangId: per-language trigram
+    score = Σ weight · count(gram), counts via non-overlapping replace
+    (identical to str.count); first strictly-greater language wins, 0 →
+    'und'. Generated from LangId.PROFILES so the two can never drift."""
+    from ..ops.textstats import LangId
+
+    def esc(g):
+        return g.replace("'", "''")
+
+    score_exprs = []
+    for lang, grams in LangId.PROFILES.items():
+        terms = " + ".join(
+            f"{10 - i} * (length(lt) - length(replace(lt, '{esc(g)}', ''))) // {len(g)}"
+            for i, g in enumerate(grams))
+        score_exprs.append(f"({terms}) AS s_{lang}")
+    langs = list(LangId.PROFILES)
+    case_lines = []
+    for i, lang in enumerate(langs):
+        conds = [f"s_{lang} >= s_{o}" for o in langs[i + 1:]] + [f"s_{lang} > 0"]
+        case_lines.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, lower(text) AS lt FROM documents
+), s AS (
+  SELECT doc_id, lang, {", ".join(score_exprs)} FROM t
+)
+SELECT doc_id, lang,
+  CASE {' '.join(case_lines)} ELSE 'und' END AS lang_pred
+FROM s
+"""
+
+
+SQL_LANG_ID = _lang_id_sql()
+
+# Exact SQL mirror of ops.textstats.fingerprint_batch: FNV-1a 64 folded
+# byte-by-byte through a recursive CTE (one set-based step per char
+# position — total work rows x max_len), plus the Rabin-Karp window-64
+# rolling hash (base 257 mod 2^61-1) with its running min. HUGEINT
+# arithmetic with explicit mod-2^64 keeps the FNV multiply exact; the
+# corpus is ASCII so ord(substr()) is the byte value.
+_M61 = (1 << 61) - 1
+_PW63 = pow(257, 63, _M61)
+_ROLL = ("CASE WHEN j >= 64 "
+         f"THEN ((((((rh - ord(substr(norm, j - 63, 1)) * CAST({_PW63} AS HUGEINT)) % {_M61}) + {_M61}) % {_M61}) "
+         f"* 257 + ord(substr(norm, j + 1, 1))) % {_M61}) "
+         f"ELSE ((rh * 257 + ord(substr(norm, j + 1, 1))) % {_M61}) END")
+SQL_FINGERPRINT = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents
+), b AS (
+  SELECT doc_id, norm, length(norm) AS n FROM d
+), fold(doc_id, j, n, norm, h, rh, mn) AS (
+  SELECT doc_id, 0, n, norm,
+         CAST(14695981039346656037 AS HUGEINT),
+         CAST(0 AS HUGEINT), CAST({_M61} AS HUGEINT)
+  FROM b
+  UNION ALL
+  SELECT doc_id, j + 1, n, norm,
+    (CAST(xor(CAST(h AS UBIGINT), CAST(ord(substr(norm, j + 1, 1)) AS UBIGINT)) AS HUGEINT)
+      * 1099511628211) % {1 << 64},
+    {_ROLL},
+    CASE WHEN j >= 63 THEN LEAST(mn, {_ROLL}) ELSE mn END
+  FROM fold WHERE j < n
+)
+SELECT doc_id,
+       CAST(h AS UBIGINT) AS fp64,
+       CAST(CASE WHEN n < 64 THEN h ELSE mn END AS UBIGINT) AS winnow_min
+FROM fold WHERE j = n
+"""
+
+
 ORACLES = {
     "pricing_summary": SQL_PRICING,
     "top_orders": SQL_TOP_ORDERS,
@@ -511,10 +586,12 @@ ORACLES = {
     "exact_dedup": SQL_EXACT_DEDUP_COUNTS,
     "knn_cosine": SQL_KNN_COSINE,
     "embedding_pairs_brute": SQL_EMBEDDING_PAIRS,
-    # lang_id / fingerprint / minhash / simhash / knn_lsh / knn_ivf /
-    # embedding_dedup / media_features / geocode_join / geo_cells /
-    # raster_vector_join: non-SQL-expressible (heuristic models, hash
-    # internals, LSH/IVF probing, ranked geocode output) → rows-only.
+    "lang_id": SQL_LANG_ID,
+    "fingerprint": SQL_FINGERPRINT,
+    # minhash / simhash / knn_lsh / knn_ivf / embedding_dedup /
+    # media_features / geocode_join / raster_vector_join:
+    # non-SQL-expressible (hash-bucket sampling order, LSH/IVF probing,
+    # stubbed decode, ranked geocode output) → rows-only.
 }
 
 SQL_TEXT_QUALITY = r"""
