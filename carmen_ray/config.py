@@ -94,6 +94,10 @@ class GeocoderConfig:
     # templates keyed by language code, e.g. {"ja": "{context} {name}"};
     # falls back to place_format then the default
     place_formats: dict = field(default_factory=dict)
+    # user-supplied format helper functions (index.js:68-74
+    # options.formatHelpers), merged over util/helpers.DEFAULT_HELPERS;
+    # invoked from templates as "{helperName value}"
+    format_helpers: dict = field(default_factory=dict)
     # geocoder_frequent_word_list (index.js:217-222, indexdocs.js:399):
     # words whose omission from a permutation still counts as a full
     # match at indexing time (relevance not degraded for dropping them)
@@ -114,9 +118,13 @@ class GeocoderConfig:
                 fmt = self.place_formats.get(language.split("_")[0])
         if fmt is None:
             fmt = self.place_format or "{address} {name}, {context}"
-        out = fmt.replace("{address}", address or "")
-        out = out.replace("{name}", name)
-        out = out.replace("{context}", ", ".join(context_names))
+        from .util.helpers import render_template
+
+        out = render_template(
+            fmt,
+            {"address": address or "", "name": name,
+             "context": ", ".join(context_names)},
+            self.format_helpers)
         # collapse artifacts from empty placeholders
         out = " ".join(out.split())
         return out.strip(" ,")

@@ -223,3 +223,31 @@ def test_multi_synonym_feature(ray_session):
             assert res[0]["matching_text"] == want
         res = forward_one(index, "new york")
         assert res and res[0]["matching_text"] is None
+
+
+def test_format_helpers_registry():
+    """util/helpers.js port: moveNumberToEnd pins (test/unit/util/
+    helpers.js) + user-supplied helpers (index.js:68-74 formatHelpers)
+    merged over the defaults and invoked from templates."""
+    from carmen_ray.config import GeocoderConfig
+    from carmen_ray.util.helpers import move_number_to_end
+
+    assert move_number_to_end("1 main st") == "main st 1"
+    assert move_number_to_end("main st") == "main st"
+    assert move_number_to_end("main st 1") == "main st 1"
+    assert move_number_to_end(None) is None
+
+    cfg = GeocoderConfig(place_format="{moveNumberToEnd name}, {context}")
+    assert cfg.render_place_name("1 main st", ["springfield"]) == \
+        "main st 1, springfield"
+
+    # user helper overrides / extends the default registry
+    cfg2 = GeocoderConfig(
+        place_format="{shout name}, {context}",
+        format_helpers={"shout": lambda s: str(s).upper()})
+    assert cfg2.render_place_name("main st", ["springfield"]) == \
+        "MAIN ST, springfield"
+
+    # unresolved placeholders are stripped (format-features.js:108)
+    cfg3 = GeocoderConfig(place_format="{nope} {name}")
+    assert cfg3.render_place_name("main st", []) == "main st"
