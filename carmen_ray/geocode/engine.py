@@ -102,6 +102,14 @@ class IndexData:
         self._phrase_vocab: set[str] = set()
         self._prefix_deletes: dict[str, list[str]] | None = None
         self._prefix_vocab: set[str] = set()
+        # bounded per-actor caches for the fuzzy window lookups (the
+        # FST equivalent answers these from its own structure; here the
+        # delete-1 probing is redone per distinct window, so hot windows
+        # are worth remembering)
+        self._fuzzy_cache: dict[str, list] = {}
+        self._fuzzy_prefix_cache: dict[str, list] = {}
+        # per-feature matching-text hash tables (get_matching_text)
+        self._mt_cache: dict[tuple, dict] = {}
         # geocoder_categories per layer (phrasematch.js:348-353),
         # scoreranges for subtype filters (filter-sources.js:82-110),
         # worldview binding (context.js:37-67)
@@ -395,11 +403,16 @@ class IndexData:
         self._prefix_vocab = pvocab
 
     def fuzzy_phrase_lookup(self, joined: str, max_candidates: int = 6) -> list[tuple[str, int]]:
-        """Indexed phrases within DL≤1 of `joined` (exact excluded)."""
+        """Indexed phrases within DL≤1 of `joined` (exact excluded).
+        Results are cached per actor — fuzzy candidates depend only on
+        the window string, and real workloads repeat hot windows."""
         from .. import constants as _c
 
         if len(joined) < _c.MIN_CORRECTION_LENGTH:
             return []
+        cached = self._fuzzy_cache.get(joined)
+        if cached is not None:
+            return cached
         self._ensure_phrase_deletes()
         cands: set[str] = set()
         cands.update(self._phrase_deletes.get(joined, ()))
@@ -412,7 +425,11 @@ class IndexData:
         out = [(p, dl_distance(joined, p, 1)) for p in cands]
         out = [(p, d) for p, d in out if d <= 1]
         out.sort(key=lambda t: (t[1], -self.freq.get(t[0], 0), t[0]))
-        return out[:max_candidates]
+        out = out[:max_candidates]
+        if len(self._fuzzy_cache) >= _FUZZY_CACHE_CAP:
+            self._fuzzy_cache.clear()
+        self._fuzzy_cache[joined] = out
+        return out
 
     def fuzzy_prefix_lookup(self, joined: str, max_candidates: int = 6) -> list[tuple[str, int]]:
         """Fuzzy + autocomplete combined endings (phrasematch.js:106-131
@@ -433,6 +450,9 @@ class IndexData:
 
         if len(joined) < _c.MIN_CORRECTION_LENGTH:
             return []
+        cached = self._fuzzy_prefix_cache.get(joined)
+        if cached is not None:
+            return cached
         self._ensure_phrase_deletes()
         cands: set[str] = set()
         cands.update(self._prefix_deletes.get(joined, ()))
@@ -450,17 +470,24 @@ class IndexData:
             d = dl_distance(joined, p, 1)
             if d <= 1:
                 out.append((p, d))
-        # insertion-typo variants: the corrected prefix IS the variant
+        # insertion-typo variants: the corrected prefix IS the variant.
+        # One left-probe + startswith beats the full [lo, hi) range scan
+        # — existence is all that matters here
         seen_p = {p for p, _ in out}
+        n_ph = len(self.phrases)
         for v in variants:
             if (len(v) >= _c.MIN_CORRECTION_LENGTH and v not in seen_p
                     and v != joined):
-                lo, hi = self.lookup(v, True)
-                if hi > lo:
+                lo = int(np.searchsorted(self.phrases, v, side="left"))
+                if lo < n_ph and str(self.phrases[lo]).startswith(v):
                     out.append((v, 1))
                     seen_p.add(v)
         out.sort(key=lambda t: (t[1], -self.freq.get(t[0], 0), t[0]))
-        return out[:max_candidates]
+        out = out[:max_candidates]
+        if len(self._fuzzy_prefix_cache) >= _FUZZY_CACHE_CAP:
+            self._fuzzy_prefix_cache.clear()
+        self._fuzzy_prefix_cache[joined] = out
+        return out
 
     def row_by_tmpid(self, tmpid: int) -> int | None:
         idx, fid = divmod(tmpid, TMPID_SHIFT)
@@ -469,6 +496,9 @@ class IndexData:
     def feature_by_tmpid(self, tmpid: int):
         row = self.row_by_tmpid(tmpid)
         return self.feature_at(row) if row is not None else None
+
+
+_FUZZY_CACHE_CAP = 1 << 17  # ~131k windows per actor, cleared wholesale
 
 
 def dl_distance(a: str, b: str, cap: int = 2) -> int:
@@ -1001,30 +1031,42 @@ def get_matching_text(index: IndexData, feature, source_phash: int,
     from ..text.closest_lang import closest_lang_label
     from ..util.hashing import phrase_hash
 
-    try:
-        langs = json.loads(feature.langs_json) if feature.langs_json else {}
-    except (TypeError, ValueError):
-        langs = {}
     closest_text = display.split(",")[0].strip()
 
-    # candidate source texts keyed by language ("default" = main+synonyms).
-    # synonyms is an element of a numpy object column (an ndarray after
-    # the Arrow list<string> → pandas conversion) — `arr or []` raises on
-    # 2+-element arrays, so test None/len explicitly.
-    _syns = getattr(feature, "synonyms", None)
-    text_sources: dict[str, list[str]] = {
-        "default": [feature.text]
-        + (list(_syns) if _syns is not None and len(_syns) else [])}
-    for k, v in langs.items():
-        if v:
-            text_sources[k] = v.split(",") if isinstance(v, str) else list(v)
+    # The per-feature phash → {text: [lang keys]} table is static — a
+    # hot feature is verified for many queries, and phrase_hash is a
+    # pure-Python murmur. Cache it per actor keyed by (idx, fid).
+    ckey = (int(feature.idx), int(feature.fid))
+    by_phash = index._mt_cache.get(ckey)
+    if by_phash is None:
+        try:
+            langs = json.loads(feature.langs_json) if feature.langs_json else {}
+        except (TypeError, ValueError):
+            langs = {}
+        # candidate source texts keyed by language ("default" =
+        # main+synonyms). synonyms is an element of a numpy object
+        # column (an ndarray after the Arrow list<string> → pandas
+        # conversion) — `arr or []` raises on 2+-element arrays, so
+        # test None/len explicitly.
+        _syns = getattr(feature, "synonyms", None)
+        text_sources: dict[str, list[str]] = {
+            "default": [feature.text]
+            + (list(_syns) if _syns is not None and len(_syns) else [])}
+        for k, v in langs.items():
+            if v:
+                text_sources[k] = v.split(",") if isinstance(v, str) else list(v)
+        by_phash = {}
+        for key, texts_ in text_sources.items():
+            for t in texts_:
+                t = t.strip()
+                if t:
+                    by_phash.setdefault(phrase_hash(t), {}).setdefault(
+                        t, []).append(key)
+        if len(index._mt_cache) >= 1 << 17:
+            index._mt_cache.clear()
+        index._mt_cache[ckey] = by_phash
 
-    hash_matches: dict[str, list[str]] = {}
-    for key, texts_ in text_sources.items():
-        for t in texts_:
-            t = t.strip()
-            if t and phrase_hash(t) == source_phash:
-                hash_matches.setdefault(t, []).append(key)
+    hash_matches = by_phash.get(source_phash)
     if not hash_matches:
         return None, None
     if len(hash_matches) == 1:

@@ -699,21 +699,11 @@ class VerifyHydrate:
             zoom_pm = int(d["zoom"][ri])
             gscore = float(d["gscore"][ri])
             if has_prox:
-                # fused attach_proximity: distance = min(center
-                # haversine, furthest corner of the cover tile)
-                center_d = float(prox.haversine_miles(
-                    plon, plat, float(feature.center_lon), float(feature.center_lat)))
-                gx, gy = float(d["gx"][ri]), float(d["gy"][ri])
-                nz = 2.0 ** zoom_pm
-                max_corner = 0.0
-                for dx in (0.0, 1.0):
-                    for dy in (0.0, 1.0):
-                        lon_c = (gx + dx) / nz * 360.0 - 180.0
-                        lat_c = float(np.degrees(np.arctan(
-                            np.sinh(np.pi * (1 - 2 * (gy + dy) / nz)))))
-                        max_corner = max(max_corner, float(
-                            prox.haversine_miles(plon, plat, lon_c, lat_c)))
-                dist = min(center_d, max_corner)
+                # fused attach_proximity bound via the scalar fast path
+                dist = prox.cover_dist_miles(
+                    plon, plat, float(feature.center_lon),
+                    float(feature.center_lat),
+                    float(d["gx"][ri]), float(d["gy"][ri]), zoom_pm)
                 scoredist = float(prox.scoredist(
                     gscore, self.index.min_score, self.index.max_score,
                     dist, zoom_pm))

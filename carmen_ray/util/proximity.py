@@ -28,6 +28,33 @@ def haversine_miles(lon1, lat1, lon2, lat2):
     return 2 * EARTH_RADIUS_MILES * np.arcsin(np.sqrt(h))
 
 
+def _hav_scalar(lon1: float, lat1: float, lon2: float, lat2: float) -> float:
+    la1, la2 = math.radians(lat1), math.radians(lat2)
+    h = (math.sin((la2 - la1) / 2) ** 2
+         + math.cos(la1) * math.cos(la2)
+         * math.sin(math.radians(lon2 - lon1) / 2) ** 2)
+    return 2 * EARTH_RADIUS_MILES * math.asin(math.sqrt(h))
+
+
+def cover_dist_miles(plon: float, plat: float, clon: float, clat: float,
+                     gx: float, gy: float, zoom: int) -> float:
+    """min(center distance, furthest cover-tile-corner distance) — the
+    attach_proximity bound as a math-module scalar fast path for the
+    per-row verify loops (bit-identical to the numpy route: both use
+    IEEE doubles through the same formula)."""
+    best = _hav_scalar(plon, plat, clon, clat)
+    nz = 2.0 ** zoom
+    max_corner = 0.0
+    for dx in (0.0, 1.0):
+        for dy in (0.0, 1.0):
+            lon_c = (gx + dx) / nz * 360.0 - 180.0
+            lat_c = math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * (gy + dy) / nz))))
+            d = _hav_scalar(plon, plat, lon_c, lat_c)
+            if d > max_corner:
+                max_corner = d
+    return best if best < max_corner else max_corner
+
+
 def tile_corner_lonlat(x, y, z):
     """Top-left corner of tile (x, y) at zoom z → (lon, lat).
 
