@@ -573,6 +573,68 @@ FROM fold WHERE j = n
 """
 
 
+
+
+def _mulmod_sql(expr: str, c: int) -> str:
+    """(expr * c) mod 2^64 via 32-bit split — HUGEINT is signed INT128,
+    so a direct product of two ~2^64 values overflows."""
+    ch, cl = c >> 32, c & 0xFFFFFFFF
+    return (f"CAST((CAST(({expr}) & 4294967295 AS HUGEINT) * {cl} "
+            f"+ (((CAST(({expr}) & 4294967295 AS HUGEINT) * {ch} "
+            f"+ CAST(({expr}) >> 32 AS HUGEINT) * {cl}) % 4294967296) * 4294967296)) "
+            f"% 18446744073709551616 AS UBIGINT)")
+
+
+def _simhash_pairs_sql() -> str:
+    """Exact SQL mirror of ops.dedup.simhash_near_dups. The 4x16-bit
+    pigeonhole blocking has 100% recall at hamming <= 3 (any such pair
+    shares at least one block), so the Ray pipeline's result equals the
+    exhaustive all-pairs set this SQL computes — per-doc simhash: char
+    5-shingle polynomial hashes (base 257), distinct, splitmix64 mix,
+    64-lane bit-majority vote. Caveat (documented): the pipeline's
+    degenerate-block cap (_MAX_LSH_BUCKET) can drop pairs on a corpus
+    with 256+ docs sharing one block value; no such block exists in the
+    test corpora."""
+    poly = " + ".join(
+        f"ord(substr(norm, i + {j}, 1)) * {257 ** (4 - j)}" for j in range(5))
+    bit_terms = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN CAST({1 << b} AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)"
+        for b in range(64))
+    m1 = _mulmod_sql("xor(h0, h0 >> 30)", 0xBF58476D1CE4E5B9)
+    m2 = _mulmod_sql("xor(m1, m1 >> 27)", 0x94D049BB133111EB)
+    return f"""
+WITH d AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+), pos AS (
+  SELECT doc_id, norm, CAST(x.i AS BIGINT) AS i
+  FROM d, LATERAL (SELECT unnest(range(1, length(norm) - 3)) AS i) x
+  WHERE length(norm) >= 5
+), sh AS (
+  SELECT DISTINCT doc_id, CAST({poly} AS UBIGINT) AS h0
+  FROM pos
+), mixed AS (
+  SELECT doc_id, xor(m2, m2 >> 31) AS h
+  FROM (SELECT doc_id, {m2} AS m2
+        FROM (SELECT doc_id, {m1} AS m1 FROM sh))
+), sims AS (
+  SELECT d.doc_id, COALESCE(CAST(b.sim AS UBIGINT), CAST(0 AS UBIGINT)) AS sim
+  FROM d LEFT JOIN (
+    SELECT doc_id, CAST({bit_terms} AS UBIGINT) AS sim
+    FROM mixed GROUP BY doc_id
+  ) b USING (doc_id)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(CAST(xor(a.sim, b.sim) AS BIT)) AS BIGINT) AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(CAST(xor(a.sim, b.sim) AS BIT)) <= 3
+"""
+
+
+SQL_SIMHASH_PAIRS = _simhash_pairs_sql()
+
+
 ORACLES = {
     "pricing_summary": SQL_PRICING,
     "top_orders": SQL_TOP_ORDERS,
@@ -588,10 +650,11 @@ ORACLES = {
     "embedding_pairs_brute": SQL_EMBEDDING_PAIRS,
     "lang_id": SQL_LANG_ID,
     "fingerprint": SQL_FINGERPRINT,
-    # minhash / simhash / knn_lsh / knn_ivf / embedding_dedup /
-    # media_features / geocode_join / raster_vector_join:
-    # non-SQL-expressible (hash-bucket sampling order, LSH/IVF probing,
-    # stubbed decode, ranked geocode output) → rows-only.
+    "simhash_pairs": SQL_SIMHASH_PAIRS,
+    # minhash / knn_lsh / knn_ivf / embedding_dedup / media_features /
+    # geocode_join / raster_vector_join: non-SQL-expressible (LSH band
+    # sampling recall, IVF probing, stubbed decode, ranked geocode
+    # output) → rows-only.
 }
 
 SQL_TEXT_QUALITY = r"""
