@@ -126,9 +126,16 @@ def pairwise_cosine_dedup(ds, threshold: float = 0.95, dim: int = 32,
         concurrency=(1, 2),
     )
 
+    def _empty_pairs() -> pd.DataFrame:
+        # typed empties: the oracle compare checks dtypes even on
+        # zero-row results
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "cosine_sim": pd.Series([], dtype="float64")})
+
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         if len(group) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []})
+            return _empty_pairs()
         g = group.sort_values(id_col)
         ids = g[id_col].to_numpy()
         m = np.stack(g[col].to_numpy()).astype(np.float32)
@@ -152,7 +159,7 @@ def pairwise_cosine_dedup(ds, threshold: float = 0.95, dim: int = 32,
         outs = [bucket_pairs(g) for _, g in group.groupby("lsh_bucket", sort=False)]
         outs = [o for o in outs if len(o)]
         if not outs:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []})
+            return _empty_pairs()
         return pd.concat(outs, ignore_index=True).drop_duplicates(["id_a", "id_b"])
 
     return (
