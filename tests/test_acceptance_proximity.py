@@ -107,3 +107,56 @@ def test_bbox_filter(kansas_index):
     # AM-crossing box that contains neither
     res2 = forward_one(_index(kansas_index), "kansas", bbox=[170, -10, -170, 10])
     assert res2 == []
+
+
+def test_prox_match_pre_cutoff_sort(ray_session):
+    """geocode-unit.prox_match.test.js port: with a tiny spatialmatch
+    stack limit, candidates from the source whose bounds contain the
+    proximity point must survive the pre-cutoff sort (the reference
+    carries a lazy proxMatch bit; this engine computes scoredist
+    eagerly before stacking, which subsumes it — pinned here)."""
+    import json as _json
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from carmen_ray.geocode.coalesce import stack_and_coalesce
+    from carmen_ray.geocode.engine import IndexData, attach_proximity, forward_one, phrasematch_query
+    from carmen_ray.index.build import build_index
+    from carmen_ray.sources.synth import SPAN_TYPE, _mk_spans
+
+    def poi(doc_id, text, lon, lat):
+        return doc_id, _mk_spans([
+            ("text", text, ""),
+            ("geom", _json.dumps({"type": "Point", "coordinates": [lon, lat]}), ""),
+            ("center", f"{lon},{lat}", ""),
+            ("score", "1", ""),
+        ])
+
+    # six identical 'poi' features far away + one near Cleveland
+    rows = [poi(f"poi.{i}", "poi", 0.05 * i, -0.03 * i) for i in range(6)]
+    rows.append(poi("poi.9", "poi i am good", -81.74573, 41.49342))
+    tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.string()),
+        "spans": pa.array([r[1] for r in rows], type=pa.list_(SPAN_TYPE)),
+    })
+    idx = build_index(rd.from_arrow(tbl).repartition(1))
+    index = IndexData(idx.features, idx.phrase_grid, idx.freq, idx.max_score,
+                      idx.layer_zooms)
+    prox = (-81.74573, 41.49342)
+
+    # end-to-end: proximity pulls the in-bounds feature to rank 0;
+    # without proximity it does not win
+    res = forward_one(index, "poi", proximity=prox)
+    assert res[0]["feature_id"] == "poi.9"
+    res_noprox = forward_one(index, "poi")
+    assert res_noprox[0]["feature_id"] != "poi.9"
+
+    # the reference's spatialmatch_stack_limit=2 case: the clamp
+    # happens AFTER the scoredist sort, so poi.9's stack survives
+    pms = phrasematch_query(index, ["poi"], autocomplete=True)
+    attach_proximity(index, pms, prox)
+    stacks = stack_and_coalesce(pms, 1, max_stacks=2)
+    assert stacks, "no stacks"
+    top_ids = {s.covers()[0].grid.fid for s in stacks[:2]}
+    assert 9 in top_ids
