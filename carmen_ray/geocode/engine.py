@@ -347,10 +347,19 @@ class IndexData:
             self._geom_cache[row] = g
         return g
 
-    def lookup(self, joined: str, prefix: bool) -> tuple[int, int]:
-        """Sorted-range lookup: [lo, hi) of rows matching phrase (or prefix)."""
+    def lookup(self, joined: str, prefix: bool,
+               word_boundary: bool = False) -> tuple[int, int]:
+        """Sorted-range lookup: [lo, hi) of rows matching phrase (or
+        prefix). word_boundary narrows a prefix probe to exact-phrase ∪
+        whole-word continuations (the wordBoundaryPrefix ENDING_TYPE,
+        phrasematch.js:84-93): 'dt' matches 'dt' and 'dt taco' but not
+        'dtown'. The union is one contiguous range — ' ' sorts below
+        every other token character, so [joined, joined + " ￿"] covers
+        exactly the exact match plus boundary continuations."""
         lo = int(np.searchsorted(self.phrases, joined, side="left"))
-        if prefix:
+        if prefix and word_boundary:
+            hi = int(np.searchsorted(self.phrases, joined + " ￿", side="right"))
+        elif prefix:
             hi = int(np.searchsorted(self.phrases, joined + "￿", side="right"))
         else:
             hi = int(np.searchsorted(self.phrases, joined, side="right"))
@@ -628,6 +637,7 @@ def phrasematch_query(index: IndexData, tokens: list[str], autocomplete: bool = 
                       seen: set | None = None,
                       address: str | None = None,
                       fuzzy_max_distance: int = 0,
+                      word_boundary: bool = False,
                       collector=None) -> list[Phrasematch]:
     """All subquery-window matches against the phrase table (J1).
 
@@ -657,7 +667,7 @@ def phrasematch_query(index: IndexData, tokens: list[str], autocomplete: bool = 
             if (joined, use_prefix) in seen:
                 continue
             seen.add((joined, use_prefix))
-            lo, hi = index.lookup(joined, use_prefix)
+            lo, hi = index.lookup(joined, use_prefix, word_boundary)
             if hi > lo:
                 weight = (len(sub) / n) * weight_multiplier
                 _emit_phrase_rows(index, lo, hi, mask, weight, joined,
@@ -697,7 +707,7 @@ def phrasematch_query(index: IndexData, tokens: list[str], autocomplete: bool = 
                             and abs(len(cand_words[0]) - len(sub[0])) <= 1)
                     ):
                         continue
-                    lo, hi = index.lookup(cand, True)
+                    lo, hi = index.lookup(cand, True, word_boundary)
                     if hi <= lo:
                         continue
                     penalty = max((len(joined) - d / 2) / len(joined), 0.75)
@@ -1279,11 +1289,20 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
 
     if index.global_rules:
         query = replace_global_tokens(index.global_rules, query)
-    tokens = normalize_query(tokenize(query)).tokens[: constants.MAX_QUERY_TOKENS]
+    tq = normalize_query(tokenize(query))
+    tokens = tq.tokens[: constants.MAX_QUERY_TOKENS]
+    # ending type (phrasematch.js:84-93): a trailing separator or a
+    # token-replaced final word restricts autocomplete to whole-word
+    # prefixes (wordBoundaryPrefix) — 'dt ' or 'district'→'dt' must not
+    # complete into 'dtown'
+    last_word = tq.last_word
+    ends_in_boundary = bool(tokens) and tq.separators[len(tokens) - 1] != ""
     if index.simple:
-        tokens = index.simple.replace(tokens)
+        tokens, changed_last = index.simple.replace_query(tokens)
+        last_word = last_word or changed_last
     if not tokens:
         return []
+    word_boundary = bool(autocomplete) and (last_word or ends_in_boundary)
 
     # windowed fuzzy matching (phrasematch.js:55,106): edit budget 1,
     # gated on query token count ≤ MAX_CORRECTION_LENGTH like the
@@ -1298,6 +1317,7 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
         if len(hyp_tokens) != len(tokens):
             continue
         pms.extend(phrasematch_query(index, hyp_tokens, autocomplete=autocomplete,
+                                     word_boundary=word_boundary,
                                      weight_multiplier=penalty, seen=tried,
                                      fuzzy_max_distance=fz))
 
@@ -1336,12 +1356,14 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
     # hypotheses (phrasematch.js:236 fuzzyMatchMulti takes maxDistance)
     for var_tokens, addr in num_tokenize(tokens):
         pms.extend(phrasematch_query(index, var_tokens, autocomplete=autocomplete,
+                                     word_boundary=word_boundary,
                                      seen=tried, address=addr["number"],
                                      fuzzy_max_distance=fz))
         if addr["position"] > 0:
             swapped = [var_tokens[addr["position"]]] + [
                 t for i, t in enumerate(var_tokens) if i != addr["position"]]
             pms.extend(phrasematch_query(index, swapped, autocomplete=autocomplete,
+                                          word_boundary=word_boundary,
                                          weight_multiplier=0.99, seen=tried,
                                          address=addr["number"],
                                          fuzzy_max_distance=fz))
@@ -1366,6 +1388,7 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
                     pm.address = tokens[0]
             for var in num_tokenize_prefix(tokens):
                 partial_pms = phrasematch_query(index, var, autocomplete=True,
+                                                word_boundary=word_boundary,
                                                 seen=tried, address=tokens[0])
                 for pm in partial_pms:
                     pm.partial_number = True
@@ -1386,6 +1409,7 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
             if len(hyp_tokens) == len(tokens):
                 continue
             pms = phrasematch_query(index, hyp_tokens, autocomplete=autocomplete,
+                                     word_boundary=word_boundary,
                                     weight_multiplier=penalty)
             if pms:
                 query_len = len(hyp_tokens)

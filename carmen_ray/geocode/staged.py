@@ -286,11 +286,18 @@ class PhrasematchStage:
         for qid, q, lo, la, lim in zip(qids, queries, plon, plat, lims):
             if self.index.global_rules:
                 q = replace_global_tokens(self.index.global_rules, q)
-            tokens = normalize_query(tokenize(q)).tokens[: constants.MAX_QUERY_TOKENS]
+            tq = normalize_query(tokenize(q))
+            tokens = tq.tokens[: constants.MAX_QUERY_TOKENS]
+            # ending type, identical to the fused path: trailing
+            # separator / replaced final word → wordBoundaryPrefix
+            last_word = tq.last_word
+            ends_in_boundary = bool(tokens) and tq.separators[len(tokens) - 1] != ""
             if self.index.simple:
-                tokens = self.index.simple.replace(tokens)
+                tokens, changed_last = self.index.simple.replace_query(tokens)
+                last_word = last_word or changed_last
             if not tokens:
                 continue
+            word_boundary = last_word or ends_in_boundary
             col = PackedCollector()
             tried: set = set()
             fz = 1 if len(tokens) <= constants.MAX_CORRECTION_LENGTH else 0
@@ -298,15 +305,18 @@ class PhrasematchStage:
                 if len(hyp) != len(tokens):
                     continue
                 phrasematch_query(self.index, hyp, weight_multiplier=penalty,
+                                  word_boundary=word_boundary,
                                   seen=tried, fuzzy_max_distance=fz, collector=col)
             for var_tokens, addr in num_tokenize(tokens):
                 phrasematch_query(self.index, var_tokens, seen=tried,
+                                  word_boundary=word_boundary,
                                   address=addr["number"], collector=col,
                                   fuzzy_max_distance=fz)
                 if addr["position"] > 0:
                     swapped = [var_tokens[addr["position"]]] + [
                         t for i, t in enumerate(var_tokens) if i != addr["position"]]
                     phrasematch_query(self.index, swapped, weight_multiplier=0.99,
+                                      word_boundary=word_boundary,
                                       seen=tried, address=addr["number"], collector=col,
                                       fuzzy_max_distance=fz)
 
@@ -331,6 +341,7 @@ class PhrasematchStage:
                     n0 = len(col.entries)
                     for var in num_tokenize_prefix(tokens):
                         phrasematch_query(self.index, var, seen=tried,
+                                          word_boundary=word_boundary,
                                           address=tokens[0], collector=col)
                     kept = [e for e in col.entries[n0:] if e.layer in prox_layers]
                     for e in kept:
@@ -905,7 +916,9 @@ def assemble_shard(shard_group) -> pa.Table:
 def _pool_size(concurrency: int, pools: int) -> tuple[int, int]:
     """Autoscaling (floor, cap) for one of `pools` coexisting actor
     pools under a shared CPU budget — full-size pools per shard
-    oversubscribe and thrash (measured 7× parallelism on 32 CPUs)."""
+    oversubscribe and thrash (measured 7× parallelism on 32 CPUs);
+    floors above per//2 were re-tested in r3 and regressed (pool
+    spin-up outweighs the ramp saving)."""
     per = max(1, (concurrency + pools - 1) // pools)
     return (max(1, per // 2), per)
 

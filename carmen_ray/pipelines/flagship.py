@@ -193,9 +193,15 @@ def flagship_staged(sf_dir: str = "/root/testdata/sf0.001", concurrency: int = 4
             qds, index, concurrency=concurrency, phrase_shards=phrase_shards,
             verify_shards=verify_shards, index_dir=index_dir))
     if other_tbl.num_rows:
-        qds = rd.from_arrow(other_tbl).repartition(max(2, concurrency // 2))
+        # reverse/id queries are ~4× cheaper than forward and this leg
+        # saturates a handful of actors — but each fused actor self-loads
+        # the whole compact index, so an oversized pool turns into pure
+        # spin-up cost (an Amdahl constant that caps scaling efficiency).
+        # Size it to the work, not the machine.
+        rev_pool = max(2, min(6, concurrency // 4))
+        qds = rd.from_arrow(other_tbl).repartition(max(2, rev_pool))
         parts.append(forward_geocode_ds(
-            qds, index, concurrency=max(1, concurrency // 2),
+            qds, index, concurrency=rev_pool,
             index_dir=index_dir))
     if not parts:
         return rd.from_arrow(fwd_tbl)

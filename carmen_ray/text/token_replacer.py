@@ -63,6 +63,14 @@ class SimpleReplacer:
     def replace(self, words: list[str]) -> list[str]:
         return [self.tokens.get(w, w) for w in words]
 
+    def replace_query(self, words: list[str]) -> tuple[list[str], bool]:
+        """Query-side variant: also reports whether the FINAL word was
+        replaced — a token-replaced last term only autocompletes at
+        word boundaries (phrasematch.js:84-93 lastWord)."""
+        out = [self.tokens.get(w, w) for w in words]
+        changed_last = bool(words) and out[-1] != words[-1]
+        return out, changed_last
+
 
 def create_simple_replacer(tokens) -> SimpleReplacer:
     mapping: dict[str, str] = {}
