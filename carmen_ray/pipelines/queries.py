@@ -298,7 +298,9 @@ def q_part_stats(sf_dir: str):
         )
         .map_batches(
             lambda b: b.set_column(b.schema.get_field_index("avg_price"),
-                                   "avg_price", pc.round(b["avg_price"], 6)),
+                                   "avg_price", pc.round(b["avg_price"], 6))
+            .set_column(b.schema.get_field_index("sum_size"), "sum_size",
+                        pc.cast(b["sum_size"], pa.int64())),
             batch_format="pyarrow",
         )
     )
