@@ -1284,6 +1284,8 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
                 bbox: list[float] | None = None,
                 allow_dupes: bool = False,
                 _stats: dict | None = None,
+                max_correction_length: int | None = None,
+                verifymatch_stack_limit: int | None = None,
                 worldview: str | None = None) -> list[dict]:
     from ..text.token_replacer import replace_global_tokens
 
@@ -1309,7 +1311,11 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
     # reference (the constant is a token-count gate, not a hypothesis
     # budget); the whitespace-split hypothesis changes the mask space
     # so it runs as a fallback query of its own length.
-    fz = 1 if (fuzzy and len(tokens) <= constants.MAX_CORRECTION_LENGTH) else 0
+    # max_correction_length is a per-query option in the reference
+    # (geocode.js options; cutoffs acceptance) defaulting to the constant
+    mcl = (constants.MAX_CORRECTION_LENGTH
+           if max_correction_length is None else max_correction_length)
+    fz = 1 if (fuzzy and len(tokens) <= mcl) else 0
     pms: list[Phrasematch] = []
     tried: set = set()
     query_len = len(tokens)
@@ -1668,7 +1674,8 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
         [s_.relev for s_ in ledger],
         # entries, not covers(): the partial flag is order-independent
         # and covers() sorts per call
-        [any(e.pm.partial_number for e in s_.entries) for s_ in ledger])
+        [any(e.pm.partial_number for e in s_.entries) for s_ in ledger],
+        stack_limit=verifymatch_stack_limit)
     while True:
         ci = planner.next_candidate()
         if ci is None:
