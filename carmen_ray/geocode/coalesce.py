@@ -79,6 +79,13 @@ class Stack:
     entries: list[StackEntry] = field(default_factory=list)
     relev: float = 0.0
     mask: int = 0
+    # spatialmatch relev WITH the hierarchy-gap penalty (carmen-core's
+    # gappy): drives candidate ORDERING and the chunk protocol's
+    # early-stop tier, but never the final relevance — the verify walk
+    # rebuilds that from the covers (verifymatch.js:899-933; the
+    # strictloose acceptance pins final relevance 1.0 for a
+    # country+place stack that skips the region)
+    penalized: float = 0.0
 
     def covers(self) -> list[StackEntry]:
         """Finest index first (the result feature is covers[0])."""
@@ -197,12 +204,13 @@ def stack_and_coalesce(
     out: list[Stack] = []
     for st in partials:
         rebalanced = rebalance(st, query_len)
+        rebalanced.penalized = rebalanced.relev
         if idx_rank:
             idxs = sorted(idx_rank.get(e.idx, e.idx) for e in rebalanced.entries)
         else:
             idxs = sorted(e.idx for e in rebalanced.entries)
         if len(idxs) > 1 and any(b - a > 1 for a, b in zip(idxs, idxs[1:])):
-            rebalanced.relev = round_to(rebalanced.relev - 0.01, 8)
+            rebalanced.penalized = round_to(rebalanced.relev - 0.01, 8)
         out.append(rebalanced)
 
     out.sort(key=_stack_sort_key)
@@ -240,7 +248,7 @@ def _stack_sort_key(st: Stack):
     has_address = any(e.pm.address for e in st.entries)
     idx_avg = sum(e.idx for e in st.entries) / len(st.entries)
     return (
-        -st.relev,
+        -st.penalized,
         -scoredist,
         covers[0].idx,
         0 if has_address else 1,

@@ -1671,7 +1671,7 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
     # VERIFYMATCH_MAX_FEATURES_LIMIT loads
     ledger = cand_stacks[: constants.VERIFYMATCH_MAX_FEATURES_LIMIT]
     planner = ChunkedVerifyPlanner(
-        [s_.relev for s_ in ledger],
+        [s_.penalized for s_ in ledger],  # spatialmatch (gap-included) relev
         # entries, not covers(): the partial flag is order-independent
         # and covers() sorts per call
         [any(e.pm.partial_number for e in s_.entries) for s_ in ledger],

@@ -533,7 +533,7 @@ def coalesce_group(col: dict, rows) -> None:
         rows["proximity_lat"].append(plat if has_prox else None)
         rows["si"].append(si)
         rows["relev"].append(_direction_effects(covers, st.relev, ignore_layers))
-        rows["st_relev"].append(st.relev)
+        rows["st_relev"].append(st.penalized)
         rows["tmpid"].append(tmpid)
         rows["zoom"].append(covers[0].pm.zoom)
         rows["gx"].append(covers[0].grid.x)

@@ -160,3 +160,49 @@ def test_prox_match_pre_cutoff_sort(ray_session):
     assert stacks, "no stacks"
     top_ids = {s.covers()[0].grid.fid for s in stacks[:2]}
     assert 9 in top_ids
+
+
+def test_strictloose_full_coverage_wins(ray_session):
+    """geocode-unit.strictloose.test.js port: 'albany australia' must
+    resolve via the full-coverage stack (albany + country australia,
+    relevance 1.0), not albany + 'western australia' (partial token
+    coverage), while the province still appears in the context chain."""
+    import json as _json
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from carmen_ray.geocode.engine import IndexData, forward_one
+    from carmen_ray.index.build import build_index
+    from carmen_ray.sources.synth import SPAN_TYPE, _mk_spans
+
+    def poly(w, s, e, n):
+        return {"type": "Polygon",
+                "coordinates": [[[w, s], [e, s], [e, n], [w, n], [w, s]]]}
+
+    def doc(doc_id, text, geom, center, score):
+        return doc_id, _mk_spans([
+            ("text", text, ""),
+            ("geom", _json.dumps(geom), ""),
+            ("center", f"{center[0]},{center[1]}", ""),
+            ("score", str(score), ""),
+        ])
+
+    rows = [
+        doc("country.1", "australia", poly(-3, -3, 3, 3), (0, 0), 100),
+        doc("region.1", "western australia", poly(-2, -2, 2, 2), (0, 0), 50),
+        doc("place.1", "albany", {"type": "Point", "coordinates": [0, 0]}, (0, 0), 10),
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.string()),
+        "spans": pa.array([r[1] for r in rows], type=pa.list_(SPAN_TYPE)),
+    })
+    idx = build_index(rd.from_arrow(tbl).repartition(1))
+    index = IndexData(idx.features, idx.phrase_grid, idx.freq, idx.max_score,
+                      idx.layer_zooms)
+    res = forward_one(index, "albany australia")
+    assert res
+    top = res[0]
+    assert top["feature_id"] == "place.1"
+    assert top["relevance"] == pytest.approx(1.0)
+    assert top["place_name"] == "albany, western australia, australia"

@@ -88,8 +88,12 @@ def test_forward_partial_lower_relevance(built, index_data):
 
 
 def test_forward_context_stack_relevance(built, index_data):
-    """street + its containing place stacks to relevance 1.0; a
-    non-adjacent hierarchy pairing costs the 0.01 gap penalty."""
+    """street + its containing place stacks to relevance 1.0. A
+    non-adjacent hierarchy pairing (street + region, skipping place)
+    pays carmen-core's 0.01 gappy penalty in candidate ORDERING ONLY —
+    the verify walk rebuilds final relevance from the covers, so both
+    read 1.0 (verifymatch.js:899-933; strictloose acceptance pins the
+    full-coverage case at exactly 1.0)."""
     from carmen_ray.geocode.engine import forward_one
 
     _, idx = built
@@ -115,7 +119,21 @@ def test_forward_context_stack_relevance(built, index_data):
 
     r_region = forward_one(index_data, f"{street.text} {region_text}")
     mine_r = [x for x in r_region if x["feature_id"] == street.doc_id]
-    assert mine_r and mine_r[0]["relevance"] == pytest.approx(0.99)
+    assert mine_r and mine_r[0]["relevance"] == pytest.approx(1.0)
+
+    # the gap penalty is real — it lives in the stack sort key
+    from carmen_ray.geocode.coalesce import stack_and_coalesce
+    from carmen_ray.geocode.engine import phrasematch_query
+
+    pms = phrasematch_query(index_data, (street.text + " " + region_text).split())
+    for pm in pms:
+        for g in pm.grids:
+            g.distance, g.scoredist = 0.0, g.score
+    stacks = stack_and_coalesce(pms, len((street.text + " " + region_text).split()),
+                                idx_rank=index_data.idx_rank)
+    gapped = [st for st in stacks if len(st.entries) > 1]
+    assert gapped and any(st.penalized == pytest.approx(st.relev - 0.01)
+                          for st in gapped)
 
 
 def test_proximity_bias(built, index_data):
