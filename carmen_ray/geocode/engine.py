@@ -1696,17 +1696,20 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
             seen_names.add(cand["place_name"])
         results.append(cand)
 
-    # ghost-vs-scored text dedup (D3, verifymatch.js:659-672): drop
-    # score<0 features when a non-ghost with identical text survived
-    scored_texts = {
-        r["place_name"].split(",")[0].strip().lower()
-        for r in results if r["score"] >= 0
-    }
-    results = [
-        r for r in results
-        if r["score"] >= 0
-        or r["place_name"].split(",")[0].strip().lower() not in scored_texts
-    ]
+    # ghost-vs-scored text dedup (D3, verifymatch.js:659-672) — order
+    # dependent: walking the relevance-sorted list, a ghost survives
+    # unless a BETTER-ranked scored feature with identical text already
+    # passed (the score-dedupe acceptance: a spatially-aligned ghost at
+    # rank 0 must not be evicted by its lower-ranked scored twin)
+    scored_texts: set[str] = set()
+    deduped = []
+    for r in results:
+        text = r["place_name"].split(",")[0].strip().lower()
+        if r["score"] >= 0 or text not in scored_texts:
+            deduped.append(r)
+            if r["score"] >= 0:
+                scored_texts.add(text)
+    results = deduped
 
     # final deterministic sort (verifymatch.js:1003-1053 shape)
     results.sort(key=lambda r: (

@@ -878,15 +878,16 @@ def assemble_shard(shard_group) -> pa.Table:
                 continue
             seen_names.add(cand["place_name"])
             results.append(cand)
-        scored_texts = {
-            r["place_name"].split(",")[0].strip().lower()
-            for r in results if r["score"] >= 0
-        }
-        results = [
-            r for r in results
-            if r["score"] >= 0
-            or r["place_name"].split(",")[0].strip().lower() not in scored_texts
-        ]
+        # D3 order-dependent ghost filter, identical to the fused path
+        scored_texts = set()
+        deduped = []
+        for r in results:
+            text = r["place_name"].split(",")[0].strip().lower()
+            if r["score"] >= 0 or text not in scored_texts:
+                deduped.append(r)
+                if r["score"] >= 0:
+                    scored_texts.add(text)
+        results = deduped
         results.sort(key=lambda x: (
             -x["relevance"], -x["composite"], -x["scoredist"], x["idx"], x["fid"]))
         for rank, res in enumerate(results[:lim]):

@@ -30,7 +30,11 @@ def test_tokenize_never_crashes_and_invariants(s):
     )
     if len(n.tokens) < 20 and not has_compat_cjk:
         n2 = normalize_query(n)
-        assert n2.tokens == n.tokens
+        # idempotent up to empty-token removal: normalizeText can map a
+        # token to '' (pure emoji/diacritics) and the reference KEEPS it
+        # on the first pass but drops pre-empty tokens on the next
+        # (termops.js:78) — parity wins over strict idempotency
+        assert n2.tokens == [t for t in n.tokens if t]
 
 
 @settings(max_examples=200, deadline=None)
