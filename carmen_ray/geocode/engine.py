@@ -110,6 +110,8 @@ class IndexData:
         self._fuzzy_prefix_cache: dict[str, list] = {}
         # per-feature matching-text hash tables (get_matching_text)
         self._mt_cache: dict[tuple, dict] = {}
+        # per-feature output bbox (AM-aware; None for points)
+        self._bbox_cache: dict[int, list | None] = {}
         # geocoder_categories per layer (phrasematch.js:348-353),
         # scoreranges for subtype filters (filter-sources.js:82-110),
         # worldview binding (context.js:37-67)
@@ -496,6 +498,27 @@ class IndexData:
         if len(self._fuzzy_prefix_cache) >= _FUZZY_CACHE_CAP:
             self._fuzzy_prefix_cache.clear()
         self._fuzzy_prefix_cache[joined] = out
+        return out
+
+    def feature_bbox_am(self, frow: int, feature) -> list | None:
+        """Result-output bbox (geom/ops.geom_bbox_am): AM-aware extent,
+        None for point features — cached per actor by feature row."""
+        if frow in self._bbox_cache:
+            return self._bbox_cache[frow]
+        out = None
+        gj = getattr(feature, "geometry_json", "") or ""
+        if gj:
+            try:
+                geom = json.loads(gj)
+            except (TypeError, ValueError):
+                geom = None
+            if geom and geom.get("type") != "Point":
+                from ..geom.ops import geom_bbox_am
+
+                out = [float(v) for v in geom_bbox_am(geom)]
+        if len(self._bbox_cache) >= 1 << 17:
+            self._bbox_cache.clear()
+        self._bbox_cache[frow] = out
         return out
 
     def row_by_tmpid(self, tmpid: int) -> int | None:
@@ -1659,6 +1682,9 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
             "language": matched_lang,
             "place_name": place_name,
         }
+        fbbox = index.feature_bbox_am(frow, feature)
+        candidate["bbox_w"], candidate["bbox_s"], candidate["bbox_e"], \
+            candidate["bbox_n"] = fbbox if fbbox else (None, None, None, None)
         prev = best_by_tmpid.get(top.grid.tmpid)
         if prev is None or (candidate["relevance"], candidate["composite"]) > (
                 prev["relevance"], prev["composite"]):
@@ -2068,6 +2094,10 @@ RESULT_FIELDS = [
     ("routable_lon", pa.float64()), ("routable_lat", pa.float64()),
     ("matching_text", pa.string()), ("matching_language", pa.string()),
     ("language", pa.string()),
+    # W,S,E,N scalars; W > E when the feature straddles the
+    # antimeridian (bbox.js crossAntimeridian); null for point features
+    ("bbox_w", pa.float64()), ("bbox_s", pa.float64()),
+    ("bbox_e", pa.float64()), ("bbox_n", pa.float64()),
 ]
 RESULT_SCHEMA = pa.schema(RESULT_FIELDS)
 

@@ -144,6 +144,9 @@ _HYD_FIELDS = [
     ("routable_lon", pa.float64()), ("routable_lat", pa.float64()),
     ("matching_text", pa.string()), ("matching_language", pa.string()),
     ("language", pa.string()),
+    # AM-aware output bbox scalars (all None for point features)
+    ("bbox_w", pa.float64()), ("bbox_s", pa.float64()),
+    ("bbox_e", pa.float64()), ("bbox_n", pa.float64()),
     # chunk-protocol replay ledger (verifymatch.js:85-227): raw stack
     # relev, partial flag, and whether this candidate verified — failed
     # candidates arrive as tombstone rows so assemble can replay the
@@ -815,6 +818,11 @@ class VerifyHydrate:
             rows["matching_text"].append(matching_text)
             rows["matching_language"].append(matching_language)
             rows["language"].append(matched_lang)
+            fbbox = self.index.feature_bbox_am(frow, feature) or (None,) * 4
+            rows["bbox_w"].append(fbbox[0])
+            rows["bbox_s"].append(fbbox[1])
+            rows["bbox_e"].append(fbbox[2])
+            rows["bbox_n"].append(fbbox[3])
             rows["st_relev"].append(float(d["st_relev"][ri]))
             rows["partial_number"].append(partial)
             rows["verified_ok"].append(True)
@@ -905,6 +913,9 @@ def assemble_shard(shard_group) -> pa.Table:
                 "matching_text": res["matching_text"],
                 "matching_language": res["matching_language"],
                 "language": res["language"],
+                # NaN (pandas null) → None so both paths emit arrow nulls
+                **{k: (None if res[k] is None or res[k] != res[k] else float(res[k]))
+                   for k in ("bbox_w", "bbox_s", "bbox_e", "bbox_n")},
                 "rank": rank,
             }
             attach_cells(out)  # cells only for surviving rows

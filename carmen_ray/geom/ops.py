@@ -215,3 +215,41 @@ def center_of(geom: dict) -> tuple[float, float]:
         first = _all_coords(geom)[0]
         return float(first[0]), float(first[1])
     return cx, cy
+
+
+def geom_bbox_am(geom: dict) -> list[float]:
+    """Feature bbox with antimeridian handling (bbox.js
+    crossAntimeridian): when the plain extent spans more than a
+    hemisphere, split the geometry's coordinates at lon 0 (including
+    prime-meridian segment crossings), build per-hemisphere extents,
+    and return whichever of the AM-form ([E-hemi west, S, W-hemi east,
+    N], W > E) or PM-form bbox is narrower. Non-crossing features get
+    the plain extent."""
+    bbox = geom_bbox(geom)
+    if bbox[2] - bbox[0] <= 180.0:
+        return bbox
+
+    east: list[float] | None = None   # lon >= 0 extent [w, e]
+    west: list[float] | None = None   # lon <= 0 extent [w, e]
+
+    def feed(lon: float):
+        nonlocal east, west
+        if lon >= 0:
+            east = [min(east[0], lon), max(east[1], lon)] if east else [lon, lon]
+        if lon <= 0:
+            west = [min(west[0], lon), max(west[1], lon)] if west else [lon, lon]
+
+    for c in _all_coords(geom):
+        feed(float(c[0]))
+    # prime-meridian segment crossings contribute lon 0 to both sides
+    for (x1, y1), (x2, y2) in _segments(geom):
+        if (x1 < 0 < x2 or x2 < 0 < x1) and abs(x1 - x2) < 180:
+            feed(0.0)
+    if east is None or west is None:
+        return bbox
+
+    pm_width = east[1] + abs(west[0])
+    am_width = (180 - east[0]) + (180 - abs(west[1]))
+    if pm_width > am_width:
+        return [east[0], bbox[1], west[1], bbox[3]]  # AM form, W > E
+    return [west[0], bbox[1], east[1], bbox[3]]

@@ -206,3 +206,53 @@ def test_strictloose_full_coverage_wins(ray_session):
     assert top["feature_id"] == "place.1"
     assert top["relevance"] == pytest.approx(1.0)
     assert top["place_name"] == "albany, western australia, australia"
+
+
+def test_bbox_antimeridian_output(ray_session):
+    """geocode-unit.bbox-antimeridian.test.js port: an AM-straddling
+    MultiPolygon gets the narrower W>E bbox ([160,25,-65,50] for the
+    USA fixture; [60,25,-130,50] for the Russia one); clip_bbox=True
+    splits at ±179.9 keeping the larger side."""
+    import json as _json
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from carmen_ray.geocode.engine import IndexData, forward_one
+    from carmen_ray.index.build import build_index
+    from carmen_ray.sources.synth import SPAN_TYPE, _mk_spans
+    from carmen_ray.util.bbox import clip_bbox
+
+    usa = {"type": "MultiPolygon", "coordinates": [
+        [[[-140, 25], [-65, 25], [-65, 50], [-140, 50], [-140, 25]]],
+        [[[160, 40], [170, 40], [170, 50], [160, 50], [160, 40]]]]}
+    rus = {"type": "MultiPolygon", "coordinates": [
+        [[[-140, 25], [-130, 25], [-130, 50], [-140, 50], [-140, 25]]],
+        [[[60, 40], [170, 40], [170, 50], [60, 50], [60, 40]]]]}
+    rows = [
+        ("country.1", _mk_spans([("text", "usa", ""),
+                                 ("geom", _json.dumps(usa), ""),
+                                 ("center", "-100,40", ""), ("score", "1", "")])),
+        ("country.2", _mk_spans([("text", "russia", ""),
+                                 ("geom", _json.dumps(rus), ""),
+                                 ("center", "100,45", ""), ("score", "1", "")])),
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.string()),
+        "spans": pa.array([r[1] for r in rows], type=pa.list_(SPAN_TYPE)),
+    })
+    idx = build_index(rd.from_arrow(tbl).repartition(1))
+    index = IndexData(idx.features, idx.phrase_grid, idx.freq, idx.max_score,
+                      idx.layer_zooms)
+
+    res = forward_one(index, "usa")
+    assert res
+    got = [res[0]["bbox_w"], res[0]["bbox_s"], res[0]["bbox_e"], res[0]["bbox_n"]]
+    assert got == [160, 25, -65, 50]
+    # clipBBox splits at ±179.9 — |W| > |E| keeps the western side
+    # (bbox.js:118-124, pinned by the reference's clipBBox cases)
+    assert clip_bbox(list(got)) == [-179.9, 25, -65, 50]
+
+    res = forward_one(index, "russia")
+    got = [res[0]["bbox_w"], res[0]["bbox_s"], res[0]["bbox_e"], res[0]["bbox_n"]]
+    assert got == [60, 25, -130, 50]
