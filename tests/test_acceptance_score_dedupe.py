@@ -76,3 +76,38 @@ def test_aligned_ghost_survives(ghost_index):
     assert res
     assert res[0]["feature_id"] == "place.1"
     assert res[0]["relevance"] == pytest.approx(1.0)
+
+
+def test_promote_score_across_layers(ray_session):
+    """geocode-unit.promote-score port (headline case): identically
+    named features across layers — the higher-scored region outranks
+    both the lower-scored country and place at equal relevance."""
+    import json as _json
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from carmen_ray.geocode.engine import IndexData, forward_one
+    from carmen_ray.index.build import build_index
+
+    def poly(w, s, e, n):
+        return {"type": "Polygon",
+                "coordinates": [[[w, s], [e, s], [e, n], [w, n], [w, s]]]}
+
+    rows = [
+        _doc("country.1", "usa", poly(-20, -20, 20, 20), (0, 0), 1000000),
+        _doc("country.2", "georgia", poly(40, 40, 50, 50), (45, 45), 10),
+        _doc("region.1", "georgia", poly(-20, -20, 20, 20), (0, 0), 50),
+        _doc("place.1", "georgia", poly(42, 42, 48, 48), (45, 45), 1),
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.string()),
+        "spans": pa.array([r[1] for r in rows], type=pa.list_(SPAN_TYPE)),
+    })
+    idx = build_index(rd.from_arrow(tbl).repartition(1))
+    index = IndexData(idx.features, idx.phrase_grid, idx.freq, idx.max_score,
+                      idx.layer_zooms)
+    res = forward_one(index, "georgia")
+    assert res
+    assert res[0]["feature_id"] == "region.1"
+    assert res[0]["relevance"] == pytest.approx(1.0)
