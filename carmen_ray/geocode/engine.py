@@ -2116,16 +2116,37 @@ class ForwardGeocoder:
 
     def __init__(self, features=None, phrase_grid=None, freq=None,
                  max_score=None, layer_zooms=None, config=None,
-                 index_dir: str | None = None):
+                 index_dir: str | None = None, reverse_only: bool = False):
+        self.reverse_only = reverse_only
         if index_dir is not None:
-            from ..index.build import load_index_streaming
+            from ..index.build import (
+                load_index_meta,
+                read_feature_shard,
+                read_phrase_shard,
+            )
 
-            idx = load_index_streaming(index_dir)
-            features, phrase_grid = idx.features, idx.phrase_grid
+            # load only what this pool serves: the reverse/id pool never
+            # touches the phrase/grid table, the frequency map or the
+            # fuzzy delete maps — skipping them cuts per-actor spin-up,
+            # which is pure Amdahl constant on short scaling legs. (The
+            # media-cells table is never loaded here in either mode.)
+            meta = load_index_meta(index_dir)
+            features = read_feature_shard(index_dir)
             if "spans" in features.column_names:
                 features = features.drop_columns(["spans"])
-            freq, max_score = idx.freq, idx.max_score
-            layer_zooms = idx.layer_zooms
+            if reverse_only:
+                from .staged import empty_phrase_grid
+
+                phrase_grid, freq = empty_phrase_grid(), {}
+            else:
+                phrase_grid = read_phrase_shard(index_dir)
+                freq = meta["freq"]
+            max_score = meta["max_score"]
+            layer_zooms = meta["layer_zooms"]
+        elif reverse_only:
+            from .staged import empty_phrase_grid
+
+            phrase_grid, freq = empty_phrase_grid(), {}
         self.index = IndexData(features, phrase_grid, freq, max_score, layer_zooms,
                                config=config, presorted=True)
 
@@ -2155,6 +2176,10 @@ class ForwardGeocoder:
                                       types=list(qtypes) if qtypes is not None and len(qtypes) else None,
                                       worldview=qwv)
             else:
+                if self.reverse_only:
+                    raise ValueError(
+                        f"forward query {q!r} routed to a reverse/id-only "
+                        "pool (constructed with reverse_only=True)")
                 p = (plon, plat) if plon is not None and plat is not None else None
                 results = forward_one(self.index, q, proximity=p, limit=lim,
                                       types=list(qtypes) if qtypes is not None and len(qtypes) else None,
@@ -2167,11 +2192,15 @@ class ForwardGeocoder:
 
 
 def forward_geocode_ds(queries_ds, index=None, concurrency: int = 4, batch_size: int = 256,
-                       config=None, index_dir: str | None = None):
+                       config=None, index_dir: str | None = None,
+                       reverse_only: bool = False):
     """queries Dataset → results Dataset via the fused actor pool.
-    With index_dir, actors self-load from parquet (driver ships paths)."""
+    With index_dir, actors self-load from parquet (driver ships paths).
+    reverse_only: the pool serves only reverse/id queries and skips
+    loading the phrase/grid table and frequency map entirely."""
     if index_dir is not None:
-        kwargs = {"index_dir": index_dir, "config": config}
+        kwargs = {"index_dir": index_dir, "config": config,
+                  "reverse_only": reverse_only}
     else:
         # the query actors never touch the spans payload — don't ship it
         feats = index.features
@@ -2179,12 +2208,14 @@ def forward_geocode_ds(queries_ds, index=None, concurrency: int = 4, batch_size:
             feats = feats.drop_columns(["spans"])
         kwargs = {
             "features": feats,
-            "phrase_grid": index.phrase_grid,
-            "freq": index.freq,
             "max_score": index.max_score,
             "layer_zooms": index.layer_zooms,
             "config": config,
+            "reverse_only": reverse_only,
         }
+        if not reverse_only:
+            kwargs["phrase_grid"] = index.phrase_grid
+            kwargs["freq"] = index.freq
     return queries_ds.map_batches(
         ForwardGeocoder,
         fn_constructor_kwargs=kwargs,

@@ -8,10 +8,10 @@ shuffles:
     queries → mB-actor(PhrasematchStage: phrase windows → grid rows)
             → groupby(query_id)                  # shuffle 1
             → map_groups(coalesce: stack+rebalance+topk, pure python)
-            → fan-out by vshard = fid % FSHARD_MOD
-            → mB-actor(VerifyHydrate: per-candidate feature hydrate,
-                       each actor holds ONE hash(fid) shard of features)
-            → groupby(query_id)                  # shuffle 2
+            → groupby(vskey)                     # shuffle 2: ONE vshard
+            → map_groups(VerifyHydrate)          #   exchange; actors load
+                                                 #   fshard slices lazily
+            → groupby(query_id)                  # shuffle 3
             → map_groups(assemble: dedupe + final sort + limit)
 
 Forward queries only — reverse/id queries route through the fused
@@ -20,12 +20,13 @@ index fits an actor.
 
 No stage holds the whole index: PhrasematchStage actors hold only a
 pshard slice of the phrase/grid table (features-free IndexData — the
-feature store is never built there); VerifyHydrate actors hold only an
-fshard slice of the feature table, with context attributes denormalized
-onto each row at build time (index/context.py `context_json`) so
-hydration never needs a cross-shard lookup. With `index_dir` set, each
-actor reads its own shard straight from the partitioned parquet layout
-— nothing index-sized ever lives on the driver.
+feature store is never built there); VerifyHydrate actors hold only the
+fshard slices the vskey exchange routes to them (bounded LRU), with
+context attributes denormalized onto each row at build time
+(index/context.py `context_json`) so hydration never needs a
+cross-shard lookup. With `index_dir` set, each actor reads its shards
+straight from the partitioned parquet layout — nothing index-sized
+ever lives on the driver.
 
 Stage boundaries carry narrow Arrow rows: grids packed with the 53-bit
 grid encoding (util/grid.py) — exactly what a phrase-sharded cluster
@@ -127,7 +128,19 @@ CAND_SCHEMA = pa.schema([
                                      # (spatialmatch.js:198-204 x300 boost,
                                      # prefix-only address resolution)
     ("vshard", pa.int32()),         # fid % FSHARD_MOD of the top cover
+    ("vskey", pa.int32()),          # vshard * SALT + si % SALT — the verify
+                                    # exchange key: one groupby(vskey) routes
+                                    # every candidate to exactly one group
+                                    # whose rows all share a vshard, so the
+                                    # hydrate pool reads each feature shard
+                                    # at most SALT times total (no per-pool
+                                    # full-candidate re-scan)
 ])
+
+# verify-exchange salt: groups per feature shard. More salt = more
+# parallel groups (better balance) but up to SALT actors may each load
+# the same fshard slice. 4 × FSHARD_MOD(16) = 64 groups.
+VSHARD_SALT = 4
 
 # hydrated candidate rows (VerifyHydrate output): everything assemble
 # needs to dedupe/sort/rank without touching the index again
@@ -553,7 +566,9 @@ def coalesce_group(col: dict, rows) -> None:
         rows["cover_relevs"].append([e.relev for e in covers])
         rows["partial_number"].append(
             any(getattr(e.pm, "partial_number", False) for e in covers))
-        rows["vshard"].append(int(tmpid % constants.FSHARD_MOD))
+        vshard = int(tmpid % constants.FSHARD_MOD)
+        rows["vshard"].append(vshard)
+        rows["vskey"].append(vshard * VSHARD_SALT + si % VSHARD_SALT)
 
 
 class _CtxRow:
@@ -593,53 +608,95 @@ def _hyd_tombstone(rows, d, ri) -> None:
             rows[name].append(None)
 
 
+def empty_phrase_grid() -> pa.Table:
+    """Schema-complete zero-row phrase/grid table for feature-only
+    IndexData construction (verify shards, lean reverse/id actors)."""
+    return pa.table({
+        "phrase": pa.array([], type=pa.string()),
+        "idx": pa.array([], type=pa.int32()),
+        "layer": pa.array([], type=pa.string()),
+        "zoom": pa.array([], type=pa.int32()),
+        "relev": pa.array([], type=pa.float64()),
+        "score": pa.array([], type=pa.float64()),
+        "x": pa.array([], type=pa.int32()),
+        "y": pa.array([], type=pa.int32()),
+        "fid": pa.array([], type=pa.int64()),
+        "phrase_id": pa.array([], type=pa.int64()),
+        "lang_set": pa.array([], type=pa.uint64()),
+    })
+
+
 class VerifyHydrate:
     """Actor: candidate rows (CAND_SCHEMA) → hydrated rows (HYD_SCHEMA).
 
-    Holds ONE hash(fid) shard of the feature table. Context attributes
-    are read from the denormalized `context_json` column, so no
-    candidate ever needs a feature row outside this actor's shard.
+    The verify exchange (groupby on `vskey`) routes every candidate
+    group to exactly one actor call, and all rows of a group share a
+    vshard — so actors load feature shards LAZILY, one hive fshard
+    slice per vshard they actually see, and the pool collectively reads
+    each shard at most VSHARD_SALT times. No actor ever holds the whole
+    feature table; the driver ships only the path. Context attributes
+    are read from the denormalized `context_json` column, so hydration
+    never needs a cross-shard lookup.
 
     Construction modes mirror PhrasematchStage: index_dir (actors read
-    their fshard slice from the hive-partitioned parquet) or an
-    in-memory features table (filtered to the shard when of_n > 1)."""
+    fshard slices from the hive-partitioned parquet on demand) or an
+    in-memory features table (sliced per vshard on demand; test mode).
+    A small LRU bound (_MAX_RESIDENT_SHARDS) caps resident slices —
+    at 100 TB each slice is features/FSHARD_MOD and a cache miss is one
+    partition-pruned parquet read."""
+
+    _MAX_RESIDENT_SHARDS = 8
 
     def __init__(self, features=None, freq=None, max_score=None,
-                 layer_zooms=None, config=None, shard: int = 0,
-                 of_n: int = 1, index_dir: str | None = None,
+                 layer_zooms=None, config=None, index_dir: str | None = None,
                  idx_rank: dict | None = None):
+        self._index_dir = index_dir
+        self._features = features
+        self._config = config
+        self._freq = freq or {}
         if index_dir is not None:
-            from ..index.build import load_index_meta, read_feature_shard
+            from ..index.build import load_index_meta
 
             meta = load_index_meta(index_dir)
-            features = read_feature_shard(index_dir, shard, of_n)
             max_score = meta["max_score"]
             layer_zooms = meta["layer_zooms"]
             idx_rank = meta["idx_rank"]
-        elif of_n > 1:
-            fids = np.asarray(features["fid"], dtype=np.int64)
-            keep = (fids % constants.FSHARD_MOD) % of_n == shard
-            features = features.filter(pa.array(keep))
-        empty_pg = pa.table({
-            "phrase": pa.array([], type=pa.string()),
-            "idx": pa.array([], type=pa.int32()),
-            "layer": pa.array([], type=pa.string()),
-            "zoom": pa.array([], type=pa.int32()),
-            "relev": pa.array([], type=pa.float64()),
-            "score": pa.array([], type=pa.float64()),
-            "x": pa.array([], type=pa.int32()),
-            "y": pa.array([], type=pa.int32()),
-            "fid": pa.array([], type=pa.int64()),
-            "phrase_id": pa.array([], type=pa.int64()),
-            "lang_set": pa.array([], type=pa.uint64()),
-        })
-        # verify never probes phrases or cell rings — skip those indexes
-        self.index = IndexData(features, empty_pg, freq or {}, max_score,
-                               layer_zooms, config=config, presorted=True,
-                               idx_rank=idx_rank, build_cell_index=False)
-        self._has_ctx_json = (self.index._f is not None
-                              and "context_json" in self.index._f)
+        self._max_score = max_score
+        self._layer_zooms = layer_zooms
+        self._idx_rank = idx_rank
+        # vshard → (IndexData, per-feature context cache); insertion
+        # order doubles as LRU order
+        self._shards: dict[int, tuple] = {}
+        # bound to the current group's shard by __call__
+        self.index: IndexData | None = None
         self._ctx_cache: dict[int, list] = {}
+
+    def _bind_shard(self, vshard: int) -> None:
+        ent = self._shards.get(vshard)
+        if ent is None:
+            if self._index_dir is not None:
+                from ..index.build import read_feature_shard
+
+                feats = read_feature_shard(
+                    self._index_dir, vshard, constants.FSHARD_MOD)
+            else:
+                fids = np.asarray(self._features["fid"], dtype=np.int64)
+                feats = self._features.filter(
+                    pa.array(fids % constants.FSHARD_MOD == vshard))
+            # verify never probes phrases or cell rings — skip those
+            idx = IndexData(feats, empty_phrase_grid(), self._freq,
+                            self._max_score, self._layer_zooms,
+                            config=self._config, presorted=True,
+                            idx_rank=self._idx_rank, build_cell_index=False)
+            if len(self._shards) >= self._MAX_RESIDENT_SHARDS:
+                self._shards.pop(next(iter(self._shards)))
+            ent = (idx, {})
+            self._shards[vshard] = ent
+        else:
+            # refresh LRU position
+            self._shards.pop(vshard)
+            self._shards[vshard] = ent
+        self.index, self._ctx_cache = ent
 
     def _ctx(self, frow: int, feature):
         """Context chain for a feature row: denormalized column when the
@@ -648,7 +705,7 @@ class VerifyHydrate:
         cached = self._ctx_cache.get(frow)
         if cached is not None:
             return cached
-        if self._has_ctx_json:
+        if self.index._f is not None and "context_json" in self.index._f:
             import json as _json
 
             raw = self.index._f["context_json"][frow]
@@ -680,7 +737,16 @@ class VerifyHydrate:
 
         d = batch.to_pydict()
         rows = {name: [] for name, _ in _HYD_FIELDS}
-        for ri in range(batch.num_rows):
+        # one exchange group shares a vshard; handle mixed batches (test
+        # callers) by visiting rows in vshard-grouped order
+        vs = np.asarray(d["vshard"], dtype=np.int64)
+        row_order = np.argsort(vs, kind="mergesort") if len(vs) else []
+        bound = None
+        for ri in row_order:
+            ri = int(ri)
+            if bound != vs[ri]:
+                bound = int(vs[ri])
+                self._bind_shard(bound)
             plon, plat = d["proximity_lon"][ri], d["proximity_lat"][ri]
             has_prox = plon is not None
             tmpid = int(d["tmpid"][ri])
@@ -1027,39 +1093,20 @@ def forward_geocode_staged(queries_ds, index=None, concurrency: int = 4,
         .map_groups(coalesce_shard, batch_format="pandas")
     )
 
-    # ---- stage 3: fid-sharded hydrate fan-out ------------------------
-    vconc = _pool_size(concurrency, max(1, verify_shards))
-    if verify_shards > 1:
-        # same lineage-duplication rule as the phrase fan-out: without
-        # this barrier each verify branch re-runs phrasematch + the
-        # qshard sort + coalesce from scratch (the plan instantiates
-        # phrase_shards × verify_shards phrasematch pools, which also
-        # deadlocks small CPU budgets). The candidate set is the
-        # post-coalesce top-k — tiny next to the grid rows — so pinning
-        # it is cheap; the groupby above is an all-to-all barrier anyway
-        cands = cands.materialize()
-    if verify_shards <= 1:
-        hydrated = cands.map_batches(
-            VerifyHydrate, fn_constructor_kwargs=vf_base,
-            batch_format="pyarrow", batch_size=512, concurrency=vconc,
-            num_cpus=0.5,
-        )
-    else:
-        parts = []
-        for s in range(verify_shards):
-            def keep_shard(t: pa.Table, _s=s) -> pa.Table:
-                vs = np.asarray(t["vshard"], dtype=np.int64)
-                return t.filter(pa.array(vs % verify_shards == _s))
-
-            kw = dict(vf_base, shard=s, of_n=verify_shards)
-            parts.append(
-                cands.map_batches(keep_shard, batch_format="pyarrow")
-                .map_batches(
-                    VerifyHydrate, fn_constructor_kwargs=kw,
-                    batch_format="pyarrow", batch_size=512, concurrency=vconc,
-                    num_cpus=0.5,
-                ))
-        hydrated = parts[0].union(*parts[1:])
+    # ---- stage 3: ONE vshard exchange + one hydrate pool -------------
+    # a single groupby(vskey) routes every candidate to exactly one
+    # group whose rows share a feature shard; the pool's actors read
+    # fshard slices lazily (≤ VSHARD_SALT reads per shard across the
+    # whole pool). This replaced the r3 per-shard filter-branch fan-out,
+    # which re-scanned the full candidate set per branch (×V read
+    # amplification) behind a materialize barrier, with V separate
+    # actor pools. `verify_shards` only sizes the pool now — shard
+    # ownership is per-group, not per-pool.
+    vconc = _pool_size(concurrency, 1)
+    hydrated = cands.groupby("vskey").map_groups(
+        VerifyHydrate, fn_constructor_kwargs=vf_base,
+        batch_format="pyarrow", concurrency=vconc, num_cpus=0.5,
+    )
 
     # ---- stage 4: shuffle 2 + per-query assembly (pure) --------------
     return (

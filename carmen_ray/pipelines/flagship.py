@@ -202,7 +202,7 @@ def flagship_staged(sf_dir: str = "/root/testdata/sf0.001", concurrency: int = 4
         qds = rd.from_arrow(other_tbl).repartition(max(2, rev_pool))
         parts.append(forward_geocode_ds(
             qds, index, concurrency=rev_pool,
-            index_dir=index_dir))
+            index_dir=index_dir, reverse_only=True))
     if not parts:
         return rd.from_arrow(fwd_tbl)
     out = parts[0]

@@ -168,22 +168,26 @@ def test_staged_index_dir_matches_fused(built_dir, ray_session):
     assert len(fused) == len(staged)
 
 
-def test_verify_hydrate_shards_cover_all(built_dir, ray_session):
-    """VerifyHydrate shards partition the feature table: the union of
-    per-shard feature stores equals the full store, disjointly."""
+def test_verify_hydrate_lazy_shards_cover_all(built_dir, ray_session):
+    """VerifyHydrate's lazily-bound fshard slices partition the feature
+    table disjointly and cover it, and the resident-shard LRU bound
+    holds while every vshard is visited."""
+    from carmen_ray import constants
     from carmen_ray.geocode.staged import VerifyHydrate
+    from carmen_ray.index.build import read_feature_shard
 
-    full = VerifyHydrate(index_dir=built_dir)
-    parts = [VerifyHydrate(index_dir=built_dir, shard=s, of_n=3) for s in range(3)]
-    n_full = full.index.n_features
-    assert n_full > 0
-    assert sum(p.index.n_features for p in parts) == n_full
-    seen = set()
-    for p in parts:
-        ids = set(p.index.doc_index)
+    vh = VerifyHydrate(index_dir=built_dir)
+    seen: set = set()
+    total = 0
+    for v in range(constants.FSHARD_MOD):
+        vh._bind_shard(v)
+        ids = set(vh.index.doc_index)
         assert not (seen & ids)
         seen |= ids
-    assert len(seen) == n_full
+        total += vh.index.n_features
+        assert len(vh._shards) <= VerifyHydrate._MAX_RESIDENT_SHARDS
+    n_full = read_feature_shard(built_dir).num_rows
+    assert total == n_full > 0
 
 
 def test_phrasematch_stage_features_free(built_dir, ray_session):
