@@ -540,8 +540,28 @@ def coalesce_group(col: dict, rows) -> None:
         non_overlap=non_overlap)[: constants.VERIFYMATCH_MAX_FEATURES_LIMIT]
     if not stacks:
         return
-    for si, st in enumerate(stacks):
-        covers = st.covers()
+    covers_list = [st.covers() for st in stacks]
+    partial_flags = [
+        any(getattr(e.pm, "partial_number", False) for e in cv)
+        for cv in covers_list]
+    if not any(partial_flags):
+        # pre-exchange chunk-protocol prune: verification can only fail
+        # for partial-number candidates (prefix-miss tombstones), so
+        # with none in the ledger the fused path's chunk/backfill/early-
+        # stop outcome is already decided — replay it with all-True
+        # outcomes HERE and ship only the candidates the fused path
+        # would actually verify (first stack_limit), instead of
+        # hydrating the full max_feats ledger and discarding most of it
+        # in assemble. Replay on the shipped subset is a fixpoint, so
+        # assemble's ledger replay still matches the fused path exactly.
+        from .coalesce import ChunkedVerifyPlanner
+
+        keep = set(ChunkedVerifyPlanner(
+            [st.penalized for st in stacks], partial_flags,
+        ).replay([True] * len(stacks)))
+        stacks = [st for i, st in enumerate(stacks) if i in keep]
+        covers_list = [cv for i, cv in enumerate(covers_list) if i in keep]
+    for si, (st, covers) in enumerate(zip(stacks, covers_list)):
         tmpid = covers[0].grid.tmpid
         rows["query_id"].append(qid)
         rows["limit"].append(lim)
@@ -641,11 +661,16 @@ class VerifyHydrate:
     Construction modes mirror PhrasematchStage: index_dir (actors read
     fshard slices from the hive-partitioned parquet on demand) or an
     in-memory features table (sliced per vshard on demand; test mode).
-    A small LRU bound (_MAX_RESIDENT_SHARDS) caps resident slices —
-    at 100 TB each slice is features/FSHARD_MOD and a cache miss is one
-    partition-pruned parquet read."""
+    An LRU bound (_MAX_RESIDENT_SHARDS) caps resident slices — at
+    100 TB each slice is features/FSHARD_MOD and a cache miss is one
+    partition-pruned parquet read. The bound must be ≥ the distinct
+    vshards an actor actually sees: under the vskey exchange that's
+    groups/actors (small); for mixed-shard batches (test mode, no
+    exchange) it's up to FSHARD_MOD, so the local default covers the
+    full modulus — a sub-FSHARD_MOD cap with mixed batches re-reads
+    shards EVERY batch (measured 13× slower)."""
 
-    _MAX_RESIDENT_SHARDS = 8
+    _MAX_RESIDENT_SHARDS = max(8, constants.FSHARD_MOD)
 
     def __init__(self, features=None, freq=None, max_score=None,
                  layer_zooms=None, config=None, index_dir: str | None = None,

@@ -339,8 +339,10 @@ JOIN hcell9 c USING (c_custkey)
 def q_raster_vector_join(sf_dir: str):
     """Raster↔vector join over the interleaved corpus: media cells table
     ⋈ feature covers by tile containment (scaled zoom equality). Returns
-    (media_ref, doc_id, vector_doc) hit rows. Rows-only (engine
-    internal).
+    (media_ref, doc_id, vector_doc) hit rows. Oracle: a DuckDB
+    containment theta-join over the committed golden INPUT tables
+    (goldens/raster_{media,covers}_sf0.01.parquet — deterministic
+    seed-42 build outputs; see tools/make_goldens.py).
 
     Distributed plan (replaces the r1 all-pairs driver loop): tile
     containment across zooms means equality after projecting the finer
@@ -348,19 +350,37 @@ def q_raster_vector_join(sf_dir: str):
     zoom) pair the finer side emits its ancestor cell at the coarser
     zoom, and the whole join is ONE bucketed `hash_join` on a packed
     (zoom, x, y) key. Probe fan-out per row = number of distinct zoom
-    levels (a handful), never the cover count."""
-    import pyarrow.compute as pc
+    levels (a handful), never the cover count.
 
+    Nothing index-sized touches the driver: the index is streaming-built
+    to parquet, both join sides are `rd.read_parquet` column-pruned
+    scans, and the only driver-resident values are the two distinct
+    zoom-level sets (scalar metadata + a tiny distinct aggregate)."""
+    from ..index.build import load_index_meta
     from ..ops.joins import hash_join
-    from ..pipelines.flagship import build_corpus_and_index, corpus_scale_for
+    from ..pipelines.flagship import (
+        build_corpus_and_index_streaming,
+        corpus_scale_for,
+    )
 
-    _, index = build_corpus_and_index(scale=corpus_scale_for(sf_dir))
+    _, index_dir = build_corpus_and_index_streaming(
+        scale=corpus_scale_for(sf_dir), load=False)
 
-    cover_zooms = sorted(set(pc.unique(index.phrase_grid["zoom"]).to_pylist()))
-    media_pd = index.media_cells.to_pandas()
-    zxy = media_pd["zxy"].str.split("/", expand=True).astype(int)
-    media_pd["mz"], media_pd["mx"], media_pd["my"] = zxy[0], zxy[1], zxy[2]
-    media_zooms = sorted(set(media_pd["mz"]))
+    # distinct zoom sets: scalars from index metadata (covers index at
+    # the per-layer zoom) + one tiny distinct aggregate for media zooms
+    meta = load_index_meta(index_dir)
+    cover_zooms = sorted(set(int(z) for z in meta["layer_zooms"].values()))
+    media_raw = rd.read_parquet(f"{index_dir}/mediacells",
+                                columns=["doc_id", "media_ref", "zxy"])
+    mz_df = (
+        media_raw.select_columns(["zxy"])
+        .map_batches(
+            lambda df: pd.DataFrame(
+                {"mz": df["zxy"].str.split("/").str[0].astype(int).unique()}),
+            batch_format="pandas")
+        .to_pandas()
+    )
+    media_zooms = sorted(set(mz_df["mz"].tolist()))
 
     def key(role, z, x, y):
         # role bit separates the two containment directions so a media
@@ -373,6 +393,8 @@ def q_raster_vector_join(sf_dir: str):
                (np.asarray(x, dtype=np.int64) << 29) | np.asarray(y, dtype=np.int64)
 
     def media_probes(df: pd.DataFrame) -> pd.DataFrame:
+        zxy = df["zxy"].str.split("/", expand=True).astype(int)
+        df = df.assign(mz=zxy[0], mx=zxy[1], my=zxy[2])
         outs = []
         for cz in cover_zooms:
             m = df[df["mz"] >= cz]
@@ -414,9 +436,9 @@ def q_raster_vector_join(sf_dir: str):
             }))
         return pd.concat(outs, ignore_index=True).drop_duplicates()
 
-    media_ds = rd.from_pandas(media_pd).map_batches(media_probes, batch_format="pandas")
-    covers_ds = rd.from_arrow(
-        index.phrase_grid.select(["layer", "zoom", "x", "y", "fid"])
+    media_ds = media_raw.map_batches(media_probes, batch_format="pandas")
+    covers_ds = rd.read_parquet(
+        f"{index_dir}/phrasegrid", columns=["layer", "zoom", "x", "y", "fid"]
     ).map_batches(cover_probes, batch_format="pandas")
 
     joined = hash_join(media_ds, covers_ds, on="k", how="inner")

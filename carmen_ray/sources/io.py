@@ -245,6 +245,178 @@ def read_docs(path: str, columns: list[str] | None = None):
         return rd.read_parquet(path, columns=columns)
 
 
+def validate_geojson_doc(doc: dict) -> None:
+    """Index-time document validation, re-deriving the reference's
+    runChecks (/root/reference/lib/indexer/indexdocs.js:164-212) plus
+    the geojsonhint basics it relies on: id/geometry/properties/
+    carmen:text presence, the synonym cap for address-style docs, the
+    geocoder_stack type check, and the 50k polygon-vertex cap.
+    Raises ValueError with reference-equivalent messages."""
+    from .. import constants
+
+    if not doc.get("id"):
+        raise ValueError("doc has no id")
+    doc_id = doc["id"]
+    if doc.get("type") != "Feature":
+        raise ValueError(f"GeoJSON object must be a Feature on id:{doc_id}")
+    geom = doc.get("geometry")
+    if not geom:
+        raise ValueError(f"doc has no geometry on id: {doc_id}")
+    gtype = geom.get("type")
+    valid_types = {"Point", "MultiPoint", "LineString", "MultiLineString",
+                   "Polygon", "MultiPolygon", "GeometryCollection"}
+    if gtype not in valid_types:
+        raise ValueError(f"invalid geometry type {gtype} on id:{doc_id}")
+    if gtype == "GeometryCollection":
+        # single-geometry GeometryCollections are allowed — the
+        # reference uses them for pt/itp addresses (indexdocs.js:175)
+        if not geom.get("geometries"):
+            raise ValueError(f"GeometryCollection has no geometries on id:{doc_id}")
+    elif geom.get("coordinates") is None:
+        raise ValueError(f"geometry has no coordinates on id:{doc_id}")
+    props = doc.get("properties")
+    if not props:
+        raise ValueError(f"doc has no properties on id:{doc_id}")
+    text = props.get("carmen:text")
+    if not text:
+        raise ValueError(f"doc has no carmen:text on id:{doc_id}")
+    if len(str(text).split(",")) > constants.MAX_TEXT_SYNONYMS and (
+            props.get("carmen:addressnumber") or props.get("carmen:rangetype")
+            or props.get("carmen:intersections")):
+        raise ValueError(
+            f"doc's carmen:text on id:{doc_id} has more than the allowed "
+            f"{constants.MAX_TEXT_SYNONYMS} synonyms")
+    stack = props.get("carmen:geocoder_stack")
+    if stack is not None and not isinstance(stack, str):
+        raise ValueError("geocoder_stack must be a string value")
+    if gtype in ("Polygon", "MultiPolygon"):
+        rings = geom["coordinates"] if gtype == "Polygon" else [
+            r for poly in geom["coordinates"] for r in poly]
+        if sum(len(r) for r in rings) > 50000:
+            raise ValueError(
+                "Polygons may not have more than 50k vertices. Simplify "
+                "your polygons, or split the polygon into multiple parts "
+                f"on id:{doc_id}")
+
+
+def _flatten_nested(v) -> list:
+    """carmen:addressnumber / range arrays come GeometryCollection-
+    nested ([[...]]); accept flat lists too."""
+    if isinstance(v, list) and v and isinstance(v[0], list):
+        return [x for sub in v for x in sub]
+    return list(v or [])
+
+
+def geojson_doc_to_spans(doc: dict, layer: str) -> tuple[str, list[dict]]:
+    """One validated carmen GeoJSON feature → the input_hint span row
+    (sources/synth.py span encoding). Returns (doc_id, spans)."""
+    import json as _json
+
+    validate_geojson_doc(doc)
+    props = doc["properties"]
+    geom = doc["geometry"]
+    entries: list[tuple[str, str, str]] = []
+    names = [s.strip() for s in str(props["carmen:text"]).split(",") if s.strip()]
+    entries.append(("text", names[0], ""))
+    for syn in names[1:]:
+        entries.append(("synonym", syn, ""))
+    for k, v in props.items():
+        if k.startswith("carmen:text_") and v:
+            entries.append((f"lang:{k[len('carmen:text_'):]}", str(v).split(",")[0], ""))
+
+    addr_numbers = props.get("carmen:addressnumber")
+    rangetype = props.get("carmen:rangetype")
+    if geom["type"] == "GeometryCollection":
+        # pt/itp address docs: the indexable geometry is the member the
+        # address arrays align with (MultiPoint for clusters, the
+        # MultiLineString for tiger ranges); single-member collections
+        # unwrap directly
+        members = geom["geometries"]
+        pick = members[0]
+        if addr_numbers and rangetype:
+            # interleaved pt+itp: prefer the MultiPoint for the cluster
+            for m in members:
+                if m.get("type") == "MultiPoint":
+                    pick = m
+                    break
+        geom = pick
+    entries.append(("geom", _json.dumps(geom), ""))
+
+    center = props.get("carmen:center")
+    if center is None:
+        center = _geom_center(geom)
+    entries.append(("center", f"{center[0]},{center[1]}", ""))
+    entries.append(("score", str(props.get("carmen:score", 0)), ""))
+
+    if addr_numbers:
+        nums = [str(n) for n in _flatten_nested(addr_numbers)]
+        entries.append(("addr_numbers", ",".join(nums), ""))
+    if rangetype:
+        rng = {
+            key: props.get(f"carmen:{key}") or [[]]
+            for key in ("lfromhn", "ltohn", "rfromhn", "rtohn",
+                        "parityl", "parityr")
+        }
+        entries.append(("addr_range", _json.dumps(rng), ""))
+    for isect in props.get("carmen:intersections") or []:
+        entries.append(("intersection", str(isect), ""))
+
+    spans = [
+        {"kind": k, "text": t, "media_ref": m, "offset": i}
+        for i, (k, t, m) in enumerate(entries)
+    ]
+    return f"{layer}.{doc['id']}", spans
+
+
+def _geom_center(geom: dict) -> list:
+    """Fallback carmen:center: first coordinate's bbox midpoint."""
+    coords = geom.get("coordinates")
+    pts: list = []
+
+    def walk(c):
+        if isinstance(c, (list, tuple)) and c and isinstance(c[0], (int, float)):
+            pts.append(c)
+        elif isinstance(c, (list, tuple)):
+            for x in c:
+                walk(x)
+
+    walk(coords)
+    lons = [p[0] for p in pts]
+    lats = [p[1] for p in pts]
+    return [(min(lons) + max(lons)) / 2, (min(lats) + max(lats)) / 2]
+
+
+def read_geojson_docs(path: str, layer: str):
+    """Stream an NDJSON GeoJSON file (the reference's native input —
+    bin/carmen-index.js:19-53 reads line-delimited features from stdin)
+    into an input_hint-shaped Dataset of (doc_id, spans).
+
+    The parse/validate step runs distributed (map_batches over text
+    lines); invalid docs raise, matching the reference's fail-fast
+    indexing (lib/indexer/index.js:42-68)."""
+    import json as _json
+
+    import ray.data as rd
+
+    from .synth import SPAN_TYPE
+
+    def parse_lines(batch: pa.Table) -> pa.Table:
+        doc_ids, spans = [], []
+        for line in batch["text"].to_pylist():
+            line = line.strip()
+            if not line:
+                continue
+            doc_id, sp = geojson_doc_to_spans(_json.loads(line), layer)
+            doc_ids.append(doc_id)
+            spans.append(sp)
+        return pa.table({
+            "doc_id": pa.array(doc_ids, type=pa.string()),
+            "spans": pa.array(spans, type=pa.list_(SPAN_TYPE)),
+        })
+
+    return rd.read_text(path).map_batches(parse_lines, batch_format="pyarrow")
+
+
 def write_docs(ds, path: str) -> None:
     """Write an interleaved-document Dataset (Lance when available)."""
     try:  # pragma: no cover

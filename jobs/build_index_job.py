@@ -48,11 +48,14 @@ def main() -> int:
     import ray.data as rd
 
     from carmen_ray.index.build import build_index_streaming
+    from carmen_ray.sources.io import read_docs
     from carmen_ray.sources.synth import generate_corpus_ds
 
     t0 = time.time()
     if args.input:
-        docs = rd.read_parquet(args.input)
+        # prune to the input_hint contract at the read — the build never
+        # touches any other column
+        docs = read_docs(args.input, columns=["doc_id", "spans"])
     else:
         docs = generate_corpus_ds(scale=args.scale)
     n = docs.count()

@@ -46,7 +46,15 @@ def main() -> int:
 
     index = load_index_streaming(args.index)
     if args.queries:
-        qds = rd.read_parquet(args.queries)
+        # prune to the query-row contract at the read (all optional
+        # columns the engine consumes; anything else never leaves disk)
+        import pyarrow.dataset as pds
+
+        known = ["query_id", "query", "proximity_lon", "proximity_lat",
+                 "limit", "types", "language", "worldview"]
+        present = set(pds.dataset(args.queries, format="parquet").schema.names)
+        qds = rd.read_parquet(
+            args.queries, columns=[c for c in known if c in present])
         n = qds.count()
     else:
         q = make_queries(index)

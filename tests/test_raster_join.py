@@ -7,7 +7,7 @@ import pandas as pd
 import pytest
 
 
-def test_raster_vector_join_matches_all_pairs(ray_session):
+def test_raster_vector_join_matches_all_pairs(ray_session, tmp_path):
     import ray.data as rd
 
     from carmen_ray.geocode.coalesce import _aligned
@@ -29,15 +29,22 @@ def test_raster_vector_join_matches_all_pairs(ray_session):
                 rows.append((row.media_ref, row.doc_id, int(c.fid), str(c.layer)))
     want = set(rows)
 
-    # run the distributed plan against the same in-memory index
+    # run the distributed plan against the SAME corpus, streaming-built
+    # to parquet (the query's real input mode — nothing driver-resident)
     import carmen_ray.pipelines.flagship as fl
+    from carmen_ray.index.build import build_index_streaming
 
-    orig = fl.build_corpus_and_index
-    fl_build = lambda scale, blocks=8: (tbl, index)
-    fl.build_corpus_and_index = fl_build
+    out = str(tmp_path / "idx")
+    build_index_streaming(rd.from_arrow(tbl).repartition(2), out)
+    orig = fl.build_corpus_and_index_streaming
+
+    def fl_build(scale, blocks=8, out_dir=None, corpus_mult=1, load=True):
+        return tbl, out
+
+    fl.build_corpus_and_index_streaming = fl_build
     try:
         got_df = geo_queries.q_raster_vector_join("/root/testdata/sf0.001").to_pandas()
     finally:
-        fl.build_corpus_and_index = orig
+        fl.build_corpus_and_index_streaming = orig
     got = set(map(tuple, got_df.itertuples(index=False)))
     assert got == want
