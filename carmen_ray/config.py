@@ -75,6 +75,19 @@ class LayerConfig:
     # radius inside coalesce (and as the nearby-only cutoff for
     # partial-number matches). None → carmen's zoom-scaled default.
     geocoder_coalesce_radius: float | None = None
+    # geocoder_reverse_mode (index.js:212, context.js:456): when true,
+    # reverse queries with reverseMode='score' rank this source's
+    # candidates by distscore (score/distance) instead of pure distance
+    geocoder_reverse_mode: bool = False
+    # geocoder_expected_number_order (index.js:213, phrasematch.js:
+    # 356-369): 'first' | 'last'; address subqueries whose house number
+    # sits at the other end take a 0.99 weight penalty
+    geocoder_expected_number_order: str | None = None
+    # geocoder_intersection_token (index.js five hits, phrasematch.js:
+    # 204-206): the joining word that triggers intersection
+    # permutations for this source ("X <token> Y" → "+intersection X ,
+    # Y"). None keeps the engine default ("and")
+    geocoder_intersection_token: str | None = None
 
 
 @dataclass

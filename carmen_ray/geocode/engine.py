@@ -122,8 +122,27 @@ class IndexData:
         # geocoder_coalesce_radius (indexer/index.js:233): per-source
         # scoredist radius; unset layers use the zoom-scaled default
         self.layer_coalesce_radius: dict[str, float] = {}
+        # geocoder_reverse_mode sources (context.js:456): eligible for
+        # distscore-ranked reverse candidate picks under
+        # reverseMode='score'
+        self.reverse_mode_layers: set[str] = set()
+        # geocoder_expected_number_order (phrasematch.js:356-369)
+        self.layer_expected_number_order: dict[str, str] = {}
+        # intersection joining tokens (geocoder_intersection_token);
+        # the engine keeps "and" as a default so unconfigured corpora
+        # still match "X and Y" (the reference generates intersection
+        # permutations only for sources that set the token)
+        self.intersection_tokens: set[str] = {"and"}
         if config is not None:
             for lname, lc in getattr(config, "layers", {}).items():
+                if getattr(lc, "geocoder_reverse_mode", False):
+                    self.reverse_mode_layers.add(lname)
+                eno = getattr(lc, "geocoder_expected_number_order", None)
+                if eno:
+                    self.layer_expected_number_order[lname] = str(eno)
+                it = getattr(lc, "geocoder_intersection_token", None)
+                if it:
+                    self.intersection_tokens.add(str(it))
                 cats = getattr(lc, "geocoder_categories", None)
                 if cats:
                     self.layer_categories[lname] = set(cats)
@@ -644,13 +663,22 @@ class PhrasematchCollector:
 def _emit_phrase_rows(index: IndexData, lo: int, hi: int, mask: int,
                       weight: float, joined: str, use_prefix: bool,
                       address: str | None, collector,
-                      edit_distance: int = 0) -> None:
+                      edit_distance: int = 0,
+                      number_order: str | None = None) -> None:
     """Group rows [lo, hi) by source index and hand each group to the
-    collector."""
+    collector. number_order ('first'/'last'/None) is the subquery's
+    house-number position — sources with a geocoder_expected_number_order
+    opinion penalize the other order by 0.99 (phrasematch.js:356-369)."""
     idxs = index.pg_cols["idx"][lo:hi]
+    eno = index.layer_expected_number_order if number_order else None
     for idx in np.unique(idxs):
         rel = np.flatnonzero(idxs == idx) + lo
-        collector.emit(index, int(idx), rel, mask, weight, joined,
+        w = weight
+        if eno:
+            expected = eno.get(str(index.pg_cols["layer"][rel[0]]))
+            if expected and expected != number_order:
+                w = weight * 0.99
+        collector.emit(index, int(idx), rel, mask, w, joined,
                        use_prefix, address, edit_distance)
 
 
@@ -661,7 +689,8 @@ def phrasematch_query(index: IndexData, tokens: list[str], autocomplete: bool = 
                       address: str | None = None,
                       fuzzy_max_distance: int = 0,
                       word_boundary: bool = False,
-                      collector=None) -> list[Phrasematch]:
+                      collector=None,
+                      number_order: str | None = None) -> list[Phrasematch]:
     """All subquery-window matches against the phrase table (J1).
 
     With fuzzy_max_distance=1, every window also fuzzy-matches whole
@@ -694,7 +723,8 @@ def phrasematch_query(index: IndexData, tokens: list[str], autocomplete: bool = 
             if hi > lo:
                 weight = (len(sub) / n) * weight_multiplier
                 _emit_phrase_rows(index, lo, hi, mask, weight, joined,
-                                  use_prefix, address, out)
+                                  use_prefix, address, out,
+                                  number_order=number_order)
         if fuzzy_max_distance > 0:
             for cand, d in index.fuzzy_phrase_lookup(joined):
                 if (cand, "fz") in seen:
@@ -715,7 +745,8 @@ def phrasematch_query(index: IndexData, tokens: list[str], autocomplete: bool = 
                 penalty = max((len(joined) - d / 2) / len(joined), 0.75)
                 weight = (len(sub) / n) * weight_multiplier * penalty
                 _emit_phrase_rows(index, lo, hi, mask, weight, cand,
-                                  False, address, out, edit_distance=d)
+                                  False, address, out, edit_distance=d,
+                                  number_order=number_order)
             if autocomplete and ender:
                 # fuzzy + prefix combined endings (phrasematch.js:106-131):
                 # a misspelled FINAL token still autocompletes
@@ -736,8 +767,49 @@ def phrasematch_query(index: IndexData, tokens: list[str], autocomplete: bool = 
                     penalty = max((len(joined) - d / 2) / len(joined), 0.75)
                     weight = (len(sub) / n) * weight_multiplier * penalty
                     _emit_phrase_rows(index, lo, hi, mask, weight, cand,
-                                      True, address, out, edit_distance=d)
+                                      True, address, out, edit_distance=d,
+                                      number_order=number_order)
     return getattr(collector, "out", [])
+
+
+def number_order_of(var_tokens: list, addr: dict) -> str | None:
+    """numberOrder of a numTokenize variant (termops.js numTokenize):
+    'first'/'last' when the house number sits at exactly one end —
+    single-token queries are both ends and get None (no expected-order
+    opinion can penalize them, phrasematch.js:362-365)."""
+    if len(var_tokens) < 2:
+        return None
+    pos = addr["position"]
+    if pos == 0:
+        return "first"
+    if pos == len(var_tokens) - 1:
+        return "last"
+    return None
+
+
+def intersection_phrasematches(index: IndexData, tokens: list[str],
+                               collector, seen: set | None = None) -> None:
+    """Intersection permutations (termops.js:872-902): "f st <tok> 9th
+    st" → "+intersection f st , 9th st" exact-phrase lookup, full-query
+    mask. The joining token is per-source configurable
+    (geocoder_intersection_token, phrasematch.js:204-206); the engine
+    also keeps the default "and". Shared by the fused path and the
+    staged PhrasematchStage so both emit identical rows."""
+    n = len(tokens)
+    if n < 3:
+        return
+    for i in range(1, n - 1):
+        if tokens[i] not in index.intersection_tokens:
+            continue
+        joined = " ".join(["+intersection"] + tokens[:i] + [","] + tokens[i + 1:])
+        if seen is not None:
+            if (joined, False) in seen:
+                continue
+            seen.add((joined, False))
+        lo_, hi_ = index.lookup(joined, False)
+        if hi_ > lo_:
+            _emit_phrase_rows(index, lo_, hi_, (1 << n) - 1, 1.0, joined,
+                              False, None, collector)
 
 
 def filter_misspelled_short(pms: list) -> list:
@@ -1350,31 +1422,10 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
                                      weight_multiplier=penalty, seen=tried,
                                      fuzzy_max_distance=fz))
 
-    # intersection queries (R7, termops.js:872-902): "f st and 9th st"
-    # → "+intersection f st , 9th st" exact-phrase lookup (full phrase
-    # only, mask covers the whole query)
-    INTERSECTION_TOKEN = "and"
-    for i in range(1, len(tokens) - 1):
-        if tokens[i] == INTERSECTION_TOKEN:
-            joined = " ".join(["+intersection"] + tokens[:i] + [","] + tokens[i + 1 :])
-            lo_, hi_ = index.lookup(joined, False)
-            if hi_ > lo_:
-                c = index.pg_cols
-                for idx_v in np.unique(c["idx"][lo_:hi_]):
-                    rel = np.flatnonzero(c["idx"][lo_:hi_] == idx_v) + lo_
-                    grids = [
-                        Grid(x=int(c["x"][j]), y=int(c["y"][j]),
-                             relev=float(c["relev"][j]), score=float(c["score"][j]),
-                             fid=int(c["fid"][j]),
-                             tmpid=int(idx_v) * TMPID_SHIFT + int(c["fid"][j]))
-                        for j in rel
-                    ]
-                    pms.append(Phrasematch(
-                        idx=int(idx_v), layer=str(c["layer"][rel[0]]),
-                        zoom=int(c["zoom"][rel[0]]), mask=(1 << len(tokens)) - 1,
-                        weight=1.0, subquery=joined,
-                        phrase_id=int(c["phrase_id"][rel[0]]), prefix=False,
-                        grids=grids))
+    # intersection queries (R7, termops.js:872-902)
+    col_i = PhrasematchCollector()
+    intersection_phrasematches(index, tokens, col_i)
+    pms.extend(col_i.out)
 
     # address variants (M13): waffle each numeric token; trailing numbers
     # also try the indexed leading form with the 0.99 number-order
@@ -1387,7 +1438,8 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
         pms.extend(phrasematch_query(index, var_tokens, autocomplete=autocomplete,
                                      word_boundary=word_boundary,
                                      seen=tried, address=addr["number"],
-                                     fuzzy_max_distance=fz))
+                                     fuzzy_max_distance=fz,
+                                     number_order=number_order_of(var_tokens, addr)))
         if addr["position"] > 0:
             swapped = [var_tokens[addr["position"]]] + [
                 t for i, t in enumerate(var_tokens) if i != addr["position"]]
@@ -1395,7 +1447,8 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
                                           word_boundary=word_boundary,
                                          weight_multiplier=0.99, seen=tried,
                                          address=addr["number"],
-                                         fuzzy_max_distance=fz))
+                                         fuzzy_max_distance=fz,
+                                         number_order="first"))
     # bare all-digit queries (phrasematch.js:185-232): with proxMatch
     # (proximity inside an address source's bounds) the hypothesis
     # becomes a partial-number search — the raw token AND its
@@ -1845,7 +1898,8 @@ def reverse_multi(index: IndexData, lon: float, lat: float, limit: int,
 
 def reverse_one(index: IndexData, lon: float, lat: float, limit: int = 1,
                 types: list[str] | None = None,
-                worldview: str | None = None) -> list[dict]:
+                worldview: str | None = None,
+                reverse_mode: str = "distance") -> list[dict]:
     """Reverse geocode: PIP + nearest per layer, stacked fine→coarse
     (context.js:31-136, nearest :269-304). Multi-result reverse requires
     an explicit single type (geocode.js:216-220); without one the limit
@@ -1877,26 +1931,50 @@ def reverse_one(index: IndexData, lon: float, lat: float, limit: int = 1,
         cand = near[near_layers == layer]
         if len(cand) == 0:
             continue
-        best = None
+        cands = []
         for r in cand:
             geom = index.geometry_at(int(r))
-            if geom["type"] in ("Polygon", "MultiPolygon", "GeometryCollection"):
-                if point_in_geom(lon, lat, geom):
-                    d = 0.0
-                else:
-                    d = dist_point_to_geom_miles(lon, lat, geom)
-                    if d > RADIUS_MILES:
-                        continue
+            is_poly = geom["type"] in ("Polygon", "MultiPolygon", "GeometryCollection")
+            if is_poly and point_in_geom(lon, lat, geom):
+                d = 0.0
             else:
                 d = dist_point_to_geom_miles(lon, lat, geom)
                 if d > RADIUS_MILES:
                     continue
-            score = float(f["score"][r])
-            ds = float(prox.distscore(d * 1609.344, max(score, 0.1)))
-            if best is None or (d == 0.0 and best[0] > 0.0) or (
-                (d == 0.0) == (best[0] == 0.0) and ds > best[1]
-            ):
-                best = (d, ds, int(r))
+            cands.append((d, float(f["score"][r]), int(r), is_poly))
+        if not cands:
+            continue
+        best = None
+        if reverse_mode == "score" and layer in index.reverse_mode_layers:
+            # score mode (context.js:456-472 + the memo scan :217-238):
+            # candidates ordered by distscore, then a closer feature
+            # bumps the pick only when it is also strictly higher-scored
+            # (ghosts never bump a scored pick); no basic score filter —
+            # vtquery runs unfiltered with limit 100 in this mode
+            cands.sort(key=lambda c: (
+                -float(prox.distscore(c[0] * 1609.344, max(c[1], 0.1))),
+                c[0], c[2]))
+            memo = cands[0]
+            for d, score, r, is_poly in cands[1:]:
+                if is_poly:  # a polygon never bumps a stacked pick
+                    continue
+                if not score > 0 and memo[1] > 0:
+                    continue
+                if score > 0 and memo[1] > 0 and memo[1] >= score:
+                    continue
+                if d >= memo[0]:
+                    continue
+                memo = (d, score, r, is_poly)
+            best = memo
+        else:
+            # distance mode (context.js:595-608): ghosts are excluded by
+            # the basic score>=0 filter; nearest wins, PIP hits at d=0,
+            # ties broken by row for stable behavior
+            scored = [c for c in cands if c[1] >= 0]
+            if not scored:
+                continue
+            scored.sort(key=lambda c: (c[0], c[2]))
+            best = scored[0]
         if best is not None:
             hits.append(index.feature_at(best[2]))
 
@@ -2160,10 +2238,12 @@ class ForwardGeocoder:
         types_col = batch["types"].to_pylist() if "types" in cols else [None] * len(queries)
         lang_col = batch["language"].to_pylist() if "language" in cols else [None] * len(queries)
         wv_col = batch["worldview"].to_pylist() if "worldview" in cols else [None] * len(queries)
+        rvm_col = batch["reverse_mode"].to_pylist() if "reverse_mode" in cols else [None] * len(queries)
 
         rows = {name: [] for name, _ in RESULT_FIELDS}
-        for qid, q, plon, plat, lim, qtypes, qlang, qwv in zip(
-                qids, queries, prox_lon, prox_lat, limits, types_col, lang_col, wv_col):
+        for qid, q, plon, plat, lim, qtypes, qlang, qwv, qrvm in zip(
+                qids, queries, prox_lon, prox_lat, limits, types_col, lang_col,
+                wv_col, rvm_col):
             lim = int(lim) if lim is not None else 5
             idq = parse_id_query(q)
             rev = as_reverse(q)
@@ -2172,9 +2252,14 @@ class ForwardGeocoder:
                 row = self.index.doc_index.get(doc_id)
                 results = hydrate_one(self.index, row) if row is not None else []
             elif rev is not None:
+                if qrvm is not None and qrvm not in ("score", "distance"):
+                    raise ValueError(
+                        f"{qrvm} is not a valid reverseMode. Must be one "
+                        "of: score, distance")
                 results = reverse_one(self.index, rev[0], rev[1], limit=lim,
                                       types=list(qtypes) if qtypes is not None and len(qtypes) else None,
-                                      worldview=qwv)
+                                      worldview=qwv,
+                                      reverse_mode=qrvm or "distance")
             else:
                 if self.reverse_only:
                     raise ValueError(

@@ -296,7 +296,11 @@ class PhrasematchStage:
         from ..text.termops import num_tokenize
         from ..text.token_replacer import replace_global_tokens
         from ..text.tokenize import normalize_query, tokenize
-        from .engine import filter_misspelled_short
+        from .engine import (
+            filter_misspelled_short,
+            intersection_phrasematches,
+            number_order_of,
+        )
 
         rows = {name: [] for name in PM_SCHEMA.names}
         for qid, q, lo, la, lim in zip(qids, queries, plon, plat, lims):
@@ -323,18 +327,21 @@ class PhrasematchStage:
                 phrasematch_query(self.index, hyp, weight_multiplier=penalty,
                                   word_boundary=word_boundary,
                                   seen=tried, fuzzy_max_distance=fz, collector=col)
+            intersection_phrasematches(self.index, tokens, col, seen=tried)
             for var_tokens, addr in num_tokenize(tokens):
                 phrasematch_query(self.index, var_tokens, seen=tried,
                                   word_boundary=word_boundary,
                                   address=addr["number"], collector=col,
-                                  fuzzy_max_distance=fz)
+                                  fuzzy_max_distance=fz,
+                                  number_order=number_order_of(var_tokens, addr))
                 if addr["position"] > 0:
                     swapped = [var_tokens[addr["position"]]] + [
                         t for i, t in enumerate(var_tokens) if i != addr["position"]]
                     phrasematch_query(self.index, swapped, weight_multiplier=0.99,
                                       word_boundary=word_boundary,
                                       seen=tried, address=addr["number"], collector=col,
-                                      fuzzy_max_distance=fz)
+                                      fuzzy_max_distance=fz,
+                                      number_order="first")
 
             # bare-number prefix hypothesis, proxMatch-gated exactly like
             # the fused path (phrasematch.js:185-232): with proximity

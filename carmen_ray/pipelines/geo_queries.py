@@ -457,9 +457,29 @@ GEO_QUERIES = {
     "raster_vector_join": q_raster_vector_join,
 }
 
+# The raster↔vector oracle re-derives the multi-zoom tile-containment
+# join as a declarative theta-join (DuckDB blockwise-NL on the bit-shift
+# predicate) over the committed golden INPUT tables — the deterministic
+# seed-42 index-build outputs the Ray plan consumes (tools/
+# make_goldens.py regenerates them). The Ray side builds the same inputs
+# live via the streaming index build, so a build drift OR a join-logic
+# drift both surface as a hash mismatch. Paths are absolute because the
+# driver runs the SQL from its own cwd at sf0.01.
+SQL_RASTER_VECTOR = """
+SELECT DISTINCT m.media_ref AS media_ref, m.doc_id AS media_doc,
+       c.fid AS vector_doc_fid, c.layer AS vector_layer
+FROM read_parquet('/root/repo/goldens/raster_media_sf0.01.parquet') m
+JOIN read_parquet('/root/repo/goldens/raster_covers_sf0.01.parquet') c
+  ON (m.mz >= c.zoom AND (m.mx >> (m.mz - c.zoom)) = c.x
+                     AND (m.my >> (m.mz - c.zoom)) = c.y)
+  OR (c.zoom > m.mz AND (c.x >> (c.zoom - m.mz)) = m.mx
+                    AND (c.y >> (c.zoom - m.mz)) = m.my)
+"""
+
 GEO_ORACLES = {
     "geo_tile_assign": SQL_GEO_TILE,
     "geo_pip_join": SQL_GEO_PIP,
     "geo_knn": SQL_GEO_KNN,
     "geo_cells": SQL_GEO_CELLS,
+    "raster_vector_join": SQL_RASTER_VECTOR,
 }

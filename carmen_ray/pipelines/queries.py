@@ -939,16 +939,40 @@ ORACLES["events_topk_per_type"] = SQL_EVENTS_TOPK_PER_TYPE
 
 
 def q_geocode_join(sf_dir: str):
-    """The flagship geocode-join as a registry entry (rows-only: ranked
-    geocode output is not SQL-expressible): deterministic corpus →
-    index build → mixed forward/proximity/reverse/id query batch →
-    ranked results."""
+    """The flagship geocode-join as a registry entry: deterministic
+    corpus → index build → mixed forward/proximity/reverse/id query
+    batch → ranked results. Oracle: a committed GOLDEN of the full
+    ranked output (rows + schema + value hash) — the output is
+    deterministic end to end (seed-42 corpus, derived query batch,
+    determinism across parallelism pinned in tests), so the golden
+    parquet under goldens/ IS the expected table; regenerate with
+    tools/make_goldens.py when semantics intentionally change."""
     from .flagship import flagship
 
-    return flagship(sf_dir, concurrency=2, n_queries=400)
+    ds = flagship(sf_dir, concurrency=2, n_queries=400)
+
+    # null-string canonicalization for the hash compare: arrow string
+    # nulls and DuckDB VARCHAR nulls round-trip differently through the
+    # driver's pandas conversion (None vs NaN), so the registry entry —
+    # and the golden generated from it — emit "" instead. Float nulls
+    # (routable_*, bbox_*) survive as NaN identically on both sides.
+    def canon_nulls(df):
+        for c in ("matching_text", "matching_language", "language",
+                  "address", "cell_zxy"):
+            df[c] = df[c].fillna("")
+        return df
+
+    return ds.map_batches(canon_nulls, batch_format="pandas")
 
 
 QUERIES["geocode_join"] = q_geocode_join
+
+# golden-output oracle (the driver compares at sf0.01): ranked geocode
+# output is not SQL-derivable, but it IS deterministic — the committed
+# golden makes the flagship driver-checkable instead of rows-only
+ORACLES["geocode_join"] = (
+    "SELECT * FROM read_parquet('/root/repo/goldens/geocode_join_sf0.01.parquet')"
+)
 
 
 def q_knn_ivf(sf_dir: str):
