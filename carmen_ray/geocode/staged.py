@@ -1124,6 +1124,14 @@ def forward_geocode_staged(queries_ds, index=None, concurrency: int = 4,
         .groupby("__qshard")
         .map_groups(coalesce_shard, batch_format="pandas")
     )
+    # plan-split barrier: one streaming plan holding every pool + three
+    # all-to-alls thrashes the executor's per-operator resource budgets
+    # at small CPU counts (measured 594 s vs 239 s for the same stages
+    # run in two halves at 8 CPUs — the r3 architecture had this barrier
+    # for lineage reasons and removing it regressed 2.5×). The pinned
+    # set is the post-coalesce candidate top-k: the smallest intermediate
+    # in the pipeline, narrow Arrow rows.
+    cands = cands.materialize()
 
     # ---- stage 3: ONE vshard exchange + one hydrate pool -------------
     # a single groupby(vskey) routes every candidate to exactly one
