@@ -138,9 +138,11 @@ CAND_SCHEMA = pa.schema([
 ])
 
 # verify-exchange salt: groups per feature shard. More salt = more
-# parallel groups (better balance) but up to SALT actors may each load
-# the same fshard slice. 4 × FSHARD_MOD(16) = 64 groups.
-VSHARD_SALT = 4
+# parallel groups (finer tasks, better balance across the hydrate pool)
+# at the cost of more per-group shard binds (bounded by the per-actor
+# LRU). 64 groups starved a 30-actor pool (verify scaled 1.27× for 4×
+# CPUs); 16 × FSHARD_MOD(16) = 256 groups keeps every pool size fed.
+VSHARD_SALT = 16
 
 # hydrated candidate rows (VerifyHydrate output): everything assemble
 # needs to dedupe/sort/rank without touching the index again
@@ -406,14 +408,30 @@ class PhrasematchStage:
         return pa.table({n: pa.array(rows[n], type=PM_SCHEMA.field(n).type) for n in PM_SCHEMA.names})
 
 
-def coalesce_shard(shard_group):
+def add_qshard(t: pa.Table) -> pa.Table:
+    """Append the coarse query shard (256 values: enough tasks to ramp
+    the pools and balance skewed queries) WITHOUT converting the block
+    to pandas — only the query_id column leaves Arrow for the hash; the
+    wide grid/cover list columns stay zero-copy."""
+    import pandas as pd
+
+    h = pd.util.hash_pandas_object(
+        t.column("query_id").to_pandas(), index=False).to_numpy()
+    return t.append_column(
+        "__qshard", pa.array((h % 256).astype(np.int32), type=pa.int32()))
+
+
+def coalesce_shard(shard_group: pa.Table):
     """One shuffle group per query-id shard; exact per-query coalesce is
-    grouped inside (the coarse-shard pattern from ops/agg). Returns an
+    grouped inside (the coarse-shard pattern from ops/agg). Arrow in /
+    Arrow out — per-column to_numpy is the only conversion (pandas
+    round-trips of the list columns dominated the stage). Returns an
     Arrow table in CAND_SCHEMA (one row per candidate stack)."""
     rows = {n: [] for n in CAND_SCHEMA.names}
     # one numpy extraction for the whole shard, then per-query slices —
     # pandas scalar .iloc/.itertuples dominated this stage before
-    cols = {c: shard_group[c].to_numpy() for c in shard_group.columns}
+    cols = {c: shard_group.column(c).to_numpy(zero_copy_only=False)
+            for c in shard_group.column_names}
     qids = cols["query_id"]
     order = np.argsort(qids, kind="mergesort")
     sorted_qids = qids[order]
@@ -928,15 +946,17 @@ class VerifyHydrate:
                          for name, t in _HYD_FIELDS})
 
 
-def assemble_shard(shard_group) -> pa.Table:
+def assemble_shard(shard_group: pa.Table) -> pa.Table:
     """Final per-query assembly (pure, no index access): best-per-tmpid,
     D2 place-name dedup, D3 ghost-vs-scored dedup, the fused path's
     total-order sort, limit, cell derivation. One shuffle group holds
-    many queries (coarse qshard); exact grouping is done inside."""
+    many queries (coarse qshard); exact grouping is done inside.
+    Arrow in / Arrow out like coalesce_shard."""
     from .engine import attach_cells
 
     rows = {name: [] for name, _ in RESULT_FIELDS}
-    cols = {c: shard_group[c].to_numpy() for c in shard_group.columns}
+    cols = {c: shard_group.column(c).to_numpy(zero_copy_only=False)
+            for c in shard_group.column_names}
     qids = cols["query_id"]
     order = np.argsort(qids, kind="mergesort")
     sorted_qids = qids[order]
@@ -1106,23 +1126,11 @@ def forward_geocode_staged(queries_ds, index=None, concurrency: int = 4,
             ))
         pm_rows = parts[0].union(*parts[1:])
 
-    def add_qshard(df):
-        import pandas as pd
-
-        df = df.copy()
-        # 256 shards: the coalesce stage is expensive (~ms/query); finer
-        # groups give the pool enough tasks to ramp to full width and
-        # balance skewed queries
-        df["__qshard"] = (
-            pd.util.hash_pandas_object(df["query_id"], index=False).to_numpy() % 256
-        ).astype("int32")
-        return df
-
     # ---- stage 2: shuffle 1 + per-query coalesce ---------------------
     cands = (
-        pm_rows.map_batches(add_qshard, batch_format="pandas")
+        pm_rows.map_batches(add_qshard, batch_format="pyarrow")
         .groupby("__qshard")
-        .map_groups(coalesce_shard, batch_format="pandas")
+        .map_groups(coalesce_shard, batch_format="pyarrow")
     )
     # plan-split barrier: one streaming plan holding every pool + three
     # all-to-alls thrashes the executor's per-operator resource budgets
@@ -1148,9 +1156,9 @@ def forward_geocode_staged(queries_ds, index=None, concurrency: int = 4,
         batch_format="pyarrow", concurrency=vconc, num_cpus=0.5,
     )
 
-    # ---- stage 4: shuffle 2 + per-query assembly (pure) --------------
+    # ---- stage 4: shuffle 3 + per-query assembly (pure) --------------
     return (
-        hydrated.map_batches(add_qshard, batch_format="pandas")
+        hydrated.map_batches(add_qshard, batch_format="pyarrow")
         .groupby("__qshard")
-        .map_groups(assemble_shard, batch_format="pandas")
+        .map_groups(assemble_shard, batch_format="pyarrow")
     )

@@ -33,27 +33,54 @@ class Spec:
 
 def grouped_aggregate(ds, keys: list[str], specs: list[Spec], num_shards: int = 16,
                       partial_blocks: int | None = None):
-    """See module docstring. `partial_blocks` kept for API compat."""
+    """See module docstring. `partial_blocks` kept for API compat.
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return pd.DataFrame()
-        aggs = {}
-        for s in specs:
-            if s.op == "count":
-                aggs[f"__{s.out}"] = (keys[0], "size")
-            elif s.op == "mean":
-                # denominator = non-null count (SQL AVG ignores NULLs;
-                # pandas sum skips NaN, so size would divide by too many)
-                aggs[f"__{s.out}__sum"] = (s.col, "sum")
-                aggs[f"__{s.out}__n"] = (s.col, "count")
-            else:
-                aggs[f"__{s.out}"] = (s.col, s.op)
-        out = df.groupby(keys, as_index=False, sort=False).agg(**aggs)
-        out["__shard"] = (
-            pd.util.hash_pandas_object(out[keys[0]], index=False).to_numpy() % num_shards
+    The partial (the stage the full data flows through) runs on
+    zero-copy Arrow via pa.Table.group_by — no Arrow→pandas conversion
+    of the input blocks; only the already-reduced per-batch partials
+    (one row per key per batch) touch pandas, for the shard hash. The
+    final stage stays pandas: it sees num_shards tiny groups and its
+    sorted accumulation order is what keeps float sums reproducible."""
+    import pyarrow as pa
+
+    # build the deduplicated arrow aggregation list once; map each
+    # arrow output column to the (possibly several) partial names
+    agg_list: list[tuple] = []
+    out_names: dict[tuple, list[str]] = {}
+
+    def want(col, op, name):
+        k = (col, op)
+        if k not in out_names:
+            out_names[k] = []
+            agg_list.append(([] if col is None else col, op))
+        out_names[k].append(name)
+
+    for s in specs:
+        if s.op == "count":
+            want(None, "count_all", f"__{s.out}")
+        elif s.op == "mean":
+            # denominator = non-null count (SQL AVG ignores NULLs)
+            want(s.col, "sum", f"__{s.out}__sum")
+            want(s.col, "count", f"__{s.out}__n")
+        else:
+            want(s.col, s.op, f"__{s.out}")
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({})
+        g = t.group_by(keys, use_threads=False).aggregate(agg_list)
+        cols = {k: g.column(k) for k in keys}
+        for (col, op), names in out_names.items():
+            src = g.column(op if col is None else f"{col}_{op}")
+            for name in names:
+                cols[name] = src
+        shard = (
+            pd.util.hash_pandas_object(
+                g.column(keys[0]).to_pandas(), index=False
+            ).to_numpy() % num_shards
         ).astype(np.int32)
-        return out
+        cols["__shard"] = pa.array(shard, type=pa.int32())
+        return pa.table(cols)
 
     def final(group: pd.DataFrame) -> pd.DataFrame:
         # Deterministic accumulation order: partial blocks arrive in
@@ -79,7 +106,7 @@ def grouped_aggregate(ds, keys: list[str], specs: list[Spec], num_shards: int = 
         return out
 
     return (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby("__shard")
         .map_groups(final, batch_format="pandas")
         .map_batches(lambda df: df.drop(columns=["__shard"], errors="ignore"), batch_format="pandas")
