@@ -164,7 +164,8 @@ def flagship_staged(sf_dir: str = "/root/testdata/sf0.001", concurrency: int = 4
                     n_queries: int | None = None, phrase_shards: int = 2,
                     out_dir: str | None = None, corpus_mult: int = 1,
                     index=None, verify_shards: int = 2,
-                    index_dir: str | None = None):
+                    index_dir: str | None = None,
+                    queries: pa.Table | None = None):
     """Scale-path flagship: staged sharded forward geocode over a
     streaming-built index; reverse/id queries through the fused pool.
 
@@ -178,10 +179,13 @@ def flagship_staged(sf_dir: str = "/root/testdata/sf0.001", concurrency: int = 4
         scale = corpus_scale_for(sf_dir)
         _, index_dir = build_corpus_and_index_streaming(
             scale=scale, out_dir=out_dir, corpus_mult=corpus_mult, load=False)
-    if index_dir is not None:
-        queries = make_queries_from_dir(index_dir, n_queries)
-    else:
-        queries = make_queries(index, n_queries)
+    if queries is None:
+        # callers measuring pipeline throughput should pre-build the
+        # batch (a real caller arrives WITH queries) and pass it in
+        if index_dir is not None:
+            queries = make_queries_from_dir(index_dir, n_queries)
+        else:
+            queries = make_queries(index, n_queries)
     is_fwd = pa.compute.equal(queries["kind"], "forward")
     fwd_tbl = queries.filter(is_fwd).drop_columns(["kind"])
     other_tbl = queries.filter(pa.compute.invert(is_fwd)).drop_columns(["kind"])
