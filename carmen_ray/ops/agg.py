@@ -35,52 +35,40 @@ def grouped_aggregate(ds, keys: list[str], specs: list[Spec], num_shards: int = 
                       partial_blocks: int | None = None):
     """See module docstring. `partial_blocks` kept for API compat.
 
-    The partial (the stage the full data flows through) runs on
-    zero-copy Arrow via pa.Table.group_by — no Arrow→pandas conversion
-    of the input blocks; only the already-reduced per-batch partials
-    (one row per key per batch) touch pandas, for the shard hash. The
-    final stage stays pandas: it sees num_shards tiny groups and its
-    sorted accumulation order is what keeps float sums reproducible."""
+    Numeric note: the partial's float sums MUST be pandas/numpy —
+    pyarrow's sum kernel accumulates in a different order and its
+    last-ulp drift turns DuckDB-oracle hash matches red (measured on
+    events_hourly/customer_nation). The partial therefore takes Arrow
+    blocks (zero-copy from the store), prunes to the key+agg columns,
+    and converts ONLY those to pandas — the wide payload columns never
+    round-trip."""
     import pyarrow as pa
 
-    # build the deduplicated arrow aggregation list once; map each
-    # arrow output column to the (possibly several) partial names
-    agg_list: list[tuple] = []
-    out_names: dict[tuple, list[str]] = {}
-
-    def want(col, op, name):
-        k = (col, op)
-        if k not in out_names:
-            out_names[k] = []
-            agg_list.append(([] if col is None else col, op))
-        out_names[k].append(name)
-
+    need: list[str] = list(keys)
     for s in specs:
-        if s.op == "count":
-            want(None, "count_all", f"__{s.out}")
-        elif s.op == "mean":
-            # denominator = non-null count (SQL AVG ignores NULLs)
-            want(s.col, "sum", f"__{s.out}__sum")
-            want(s.col, "count", f"__{s.out}__n")
-        else:
-            want(s.col, s.op, f"__{s.out}")
+        if s.col and s.col not in need:
+            need.append(s.col)
 
-    def partial(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pd.DataFrame:
         if t.num_rows == 0:
-            return pa.table({})
-        g = t.group_by(keys, use_threads=False).aggregate(agg_list)
-        cols = {k: g.column(k) for k in keys}
-        for (col, op), names in out_names.items():
-            src = g.column(op if col is None else f"{col}_{op}")
-            for name in names:
-                cols[name] = src
-        shard = (
-            pd.util.hash_pandas_object(
-                g.column(keys[0]).to_pandas(), index=False
-            ).to_numpy() % num_shards
+            return pd.DataFrame()
+        df = t.select([c for c in need if c in t.column_names]).to_pandas()
+        aggs = {}
+        for s in specs:
+            if s.op == "count":
+                aggs[f"__{s.out}"] = (keys[0], "size")
+            elif s.op == "mean":
+                # denominator = non-null count (SQL AVG ignores NULLs;
+                # pandas sum skips NaN, so size would divide by too many)
+                aggs[f"__{s.out}__sum"] = (s.col, "sum")
+                aggs[f"__{s.out}__n"] = (s.col, "count")
+            else:
+                aggs[f"__{s.out}"] = (s.col, s.op)
+        out = df.groupby(keys, as_index=False, sort=False).agg(**aggs)
+        out["__shard"] = (
+            pd.util.hash_pandas_object(out[keys[0]], index=False).to_numpy() % num_shards
         ).astype(np.int32)
-        cols["__shard"] = pa.array(shard, type=pa.int32())
-        return pa.table(cols)
+        return out
 
     def final(group: pd.DataFrame) -> pd.DataFrame:
         # Deterministic accumulation order: partial blocks arrive in
