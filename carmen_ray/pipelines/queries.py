@@ -975,6 +975,67 @@ ORACLES["geocode_join"] = (
 )
 
 
+def q_geojson_ingest(sf_dir: str):
+    """NDJSON GeoJSON ingestion (S1, the reference's native input): the
+    committed fixture streams through read_geojson_docs into the span
+    encoding; the projection back to scalar facts is oracle-checked
+    against DuckDB's own read_json over the SAME file — ingestion,
+    validation and span construction all sit inside the checked path."""
+    import ray.data as rd  # noqa: F401 (parity with other entries)
+
+    from ..sources.io import read_geojson_docs
+
+    ds = read_geojson_docs("/root/repo/goldens/docs_fixture.ndjson", layer="place")
+
+    def project(t: pa.Table) -> pa.Table:
+        out = {"doc_id": [], "text": [], "n_names": [], "score": [],
+               "lon": [], "lat": []}
+        for doc_id, spans in zip(t["doc_id"].to_pylist(), t["spans"].to_pylist()):
+            spans = sorted(spans, key=lambda s: s["offset"])
+            by_kind: dict[str, list] = {}
+            for s in spans:
+                by_kind.setdefault(s["kind"], []).append(s["text"])
+            lon, lat = by_kind["center"][0].split(",")
+            out["doc_id"].append(doc_id)
+            out["text"].append(by_kind["text"][0])
+            out["n_names"].append(
+                len(by_kind["text"]) + len(by_kind.get("synonym", [])))
+            out["score"].append(float(by_kind["score"][0]))
+            out["lon"].append(float(lon))
+            out["lat"].append(float(lat))
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], type=pa.string()),
+            "text": pa.array(out["text"], type=pa.string()),
+            "n_names": pa.array(out["n_names"], type=pa.int64()),
+            "score": pa.array(out["score"], type=pa.float64()),
+            "lon": pa.array(out["lon"], type=pa.float64()),
+            "lat": pa.array(out["lat"], type=pa.float64()),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+QUERIES["geojson_ingest"] = q_geojson_ingest
+
+# explicit columns keep DuckDB off the heterogeneous geometry field;
+# the fixture path is absolute because the driver runs from its own cwd
+ORACLES["geojson_ingest"] = """
+WITH raw AS (
+  SELECT * FROM read_json('/root/repo/goldens/docs_fixture.ndjson',
+    format='newline_delimited',
+    columns={id: 'BIGINT',
+             properties: 'STRUCT("carmen:text" VARCHAR, "carmen:score" BIGINT, "carmen:center" DOUBLE[])'})
+)
+SELECT 'place.' || CAST(id AS VARCHAR) AS doc_id,
+       str_split(properties."carmen:text", ',')[1] AS text,
+       CAST(len(str_split(properties."carmen:text", ',')) AS BIGINT) AS n_names,
+       CAST(properties."carmen:score" AS DOUBLE) AS score,
+       properties."carmen:center"[1] AS lon,
+       properties."carmen:center"[2] AS lat
+FROM raw
+"""
+
+
 def q_knn_ivf(sf_dir: str):
     """IVF (k-means coarse quantizer) kNN — the alternative scale path to
     LSH bucketing. Rows-only (probing is approximate by design;
