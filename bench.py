@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -168,9 +169,17 @@ def run_scaling() -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_OPS="1",
                    GRAFT_SKIP_FUSED="1",
                    GRAFT_BENCH_QUERIES=scaling_queries)
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        # pin each leg to ncpu PHYSICAL cores: ray.init(num_cpus=8) only
+        # caps logical task slots — fractional-CPU actors still land on
+        # all 32 host cores, making the small leg faster than a real
+        # 8-core node and understating the N→4N ratio (measured 642 vs
+        # 556 q/s unpinned/pinned at 8). An N-node cluster has N nodes'
+        # cores; the pinned leg is the honest sandbox proxy.
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
+            cmd, env=env, capture_output=True, text=True, check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 

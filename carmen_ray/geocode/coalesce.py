@@ -24,6 +24,7 @@ actor) or per-query groups (staged shuffle path).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from math import floor as _math_floor
 
 from .. import constants
 from ..util.jsmath import round_to
@@ -86,15 +87,38 @@ class Stack:
     # strictloose acceptance pins final relevance 1.0 for a
     # country+place stack that skips the region)
     penalized: float = 0.0
+    # finest-zoom tile among entries (containment fast path): aligned
+    # entries form a nested chain, so a new grid is aligned with every
+    # entry iff it is aligned with the finest one
+    fzx: int = 0
+    fzy: int = 0
+    fzz: int = -1
 
     def covers(self) -> list[StackEntry]:
         """Finest index first (the result feature is covers[0])."""
-        return sorted(self.entries, key=lambda e: (-e.idx, e.pm.mask))
+        e = self.entries
+        if len(e) < 2:
+            return e
+        if len(e) == 2:
+            a, b = e
+            if (-a.pm.idx, a.pm.mask) <= (-b.pm.idx, b.pm.mask):
+                return [a, b]
+            return [b, a]
+        return sorted(e, key=lambda e: (-e.pm.idx, e.pm.mask))
 
     def covers_typed(self) -> list[StackEntry]:
         """Query-typed order (lowest mask bit first) — the order carmen's
         Rust coalesce returns entries in; drives direction dedup."""
-        return sorted(self.entries, key=lambda e: (e.pm.mask & -e.pm.mask, e.idx))
+        e = self.entries
+        if len(e) < 2:
+            return e
+        if len(e) == 2:
+            a, b = e
+            am, bm = a.pm.mask, b.pm.mask
+            if (am & -am, a.pm.idx) <= (bm & -bm, b.pm.idx):
+                return [a, b]
+            return [b, a]
+        return sorted(e, key=lambda e: (e.pm.mask & -e.pm.mask, e.pm.idx))
 
 
 def _aligned(ax: int, ay: int, az: int, bx: int, by: int, bz: int) -> bool:
@@ -152,36 +176,61 @@ def stack_and_coalesce(
         pm_grids[i] = grids
 
     partials: list[Stack] = []
+    n_pms = len(pms)
 
     def try_extend(base: Stack, start_i: int) -> None:
-        for i in range(start_i, len(pms)):
+        base_entries = base.entries
+        base_mask = base.mask
+        base_relev = base.relev
+        fzx, fzy, fzz = base.fzx, base.fzy, base.fzz
+        last_idx = base_entries[-1].pm.idx if base_entries else -1
+        for i in range(start_i, n_pms):
             if len(partials) >= _MAX_PARTIALS:
                 return
             pm = pms[i]
-            if base.mask & pm.mask:
+            pmask = pm.mask
+            if base_mask & pmask:
                 continue
-            if base.entries and pm.idx <= base.entries[-1].idx:
+            if base_entries and pm.idx <= last_idx:
                 continue
             # non_overlapping_indexes pruning (index.js:325-342, passed
             # per-phrasematch at phrasematch.js:382): never enumerate a
             # stack mixing indexes whose geocoder_stacks don't intersect
-            if non_overlap and base.entries:
+            if non_overlap and base_entries:
                 no = non_overlap.get(pm.idx)
-                if no and any(e.idx in no for e in base.entries):
+                if no and any(e.pm.idx in no for e in base_entries):
                     continue
+            pz = pm.zoom
+            w = pm.weight
             for grid in pm_grids[i]:
-                if base.entries and not all(
-                    _aligned(grid.x, grid.y, pm.zoom, e.grid.x, e.grid.y, e.pm.zoom)
-                    for e in base.entries
-                ):
-                    continue
+                if base_entries:
+                    # single containment probe vs the finest-zoom entry:
+                    # pairwise-aligned tiles nest, so alignment with the
+                    # finest entry implies alignment with every entry
+                    gx, gy = grid.x, grid.y
+                    if pz == fzz:
+                        if gx != fzx or gy != fzy:
+                            continue
+                    elif pz > fzz:
+                        d = pz - fzz
+                        if (gx >> d) != fzx or (gy >> d) != fzy:
+                            continue
+                    else:
+                        d = fzz - pz
+                        if gx != (fzx >> d) or gy != (fzy >> d):
+                            continue
                 # entry relev = grid relev × subquery weight, the form
                 # carmen-core emits (pinned by spatialmatch.rebalance.test.js)
+                gr = grid.relev * w
                 ns = Stack(
-                    entries=base.entries + [StackEntry(pm, grid, grid.relev * pm.weight)],
-                    mask=base.mask | pm.mask,
+                    entries=base_entries + [StackEntry(pm, grid, gr)],
+                    mask=base_mask | pmask,
+                    relev=base_relev + gr,
                 )
-                ns.relev = base.relev + grid.relev * pm.weight
+                if pz >= fzz:
+                    ns.fzx, ns.fzy, ns.fzz = grid.x, grid.y, pz
+                else:
+                    ns.fzx, ns.fzy, ns.fzz = fzx, fzy, fzz
                 partials.append(ns)
                 if len(partials) >= _MAX_PARTIALS:
                     return
@@ -205,12 +254,14 @@ def stack_and_coalesce(
     for st in partials:
         rebalanced = rebalance(st, query_len)
         rebalanced.penalized = rebalanced.relev
-        if idx_rank:
-            idxs = sorted(idx_rank.get(e.idx, e.idx) for e in rebalanced.entries)
-        else:
-            idxs = sorted(e.idx for e in rebalanced.entries)
-        if len(idxs) > 1 and any(b - a > 1 for a, b in zip(idxs, idxs[1:])):
-            rebalanced.penalized = round_to(rebalanced.relev - 0.01, 8)
+        if len(rebalanced.entries) > 1:
+            if idx_rank:
+                idxs = sorted(idx_rank.get(e.pm.idx, e.pm.idx)
+                              for e in rebalanced.entries)
+            else:
+                idxs = sorted(e.pm.idx for e in rebalanced.entries)
+            if any(b - a > 1 for a, b in zip(idxs, idxs[1:])):
+                rebalanced.penalized = round_to(rebalanced.relev - 0.01, 8)
         out.append(rebalanced)
 
     out.sort(key=_stack_sort_key)
@@ -225,7 +276,7 @@ def stack_and_coalesce(
     for st in out:
         covers = st.covers_typed()
         tmpid = covers[0].grid.tmpid
-        if len(covers) > 1 and covers[0].idx > covers[1].idx:
+        if len(covers) > 1 and covers[0].pm.idx > covers[1].pm.idx:
             if tmpid not in done_desc:
                 done_desc.add(tmpid)
                 filtered.append(st)
@@ -244,25 +295,27 @@ def stack_and_coalesce(
 
 def _stack_sort_key(st: Stack):
     covers = st.covers()
-    scoredist = covers[0].grid.scoredist
-    has_address = any(e.pm.address for e in st.entries)
-    idx_avg = sum(e.idx for e in st.entries) / len(st.entries)
+    top = covers[0]
+    entries = st.entries
+    has_address = any(e.pm.address for e in entries)
+    idx_avg = sum(e.pm.idx for e in entries) / len(entries)
     return (
         -st.penalized,
-        -scoredist,
-        covers[0].idx,
+        -top.grid.scoredist,
+        top.pm.idx,
         0 if has_address else 1,
         -idx_avg,
-        covers[0].grid.fid,
+        top.grid.fid,
     )
 
 
 def rebalance(stack: Stack, query_len: int) -> Stack:
     """Bit-exact port of spatialmatch.js:98-136."""
+    floor = _math_floor  # JS Math.round = floor(x + 0.5); roundTo(x, 8)
     stack_mask = 0
     for e in stack.entries:
         stack_mask |= e.pm.mask
-    coverage = bin(stack_mask).count("1")
+    coverage = stack_mask.bit_count()
     missing = query_len - coverage
     n = len(stack.entries)
 
@@ -271,19 +324,19 @@ def rebalance(stack: Stack, query_len: int) -> Stack:
         stack_weight = 1.0 / (n + 1)
 
     clone = Stack(mask=stack_mask)
+    entries = clone.entries
     total_weight = 0.0
     expected_weight = 0.0
     for e in stack.entries:
         expected_weight += e.relev
-        entry_coverage = bin(e.pm.mask).count("1")
-        entry_weight = entry_coverage / query_len
+        entry_weight = e.pm.mask.bit_count() / query_len
         discount = e.relev / entry_weight if entry_weight else 0.0
-        new_relev = round_to((e.relev + 1.25 * stack_weight * discount) / 2.25, 8)
-        clone.entries.append(StackEntry(e.pm, e.grid, new_relev))
+        new_relev = floor((e.relev + 1.25 * stack_weight * discount) / 2.25 * 1e8 + 0.5) / 1e8
+        entries.append(StackEntry(e.pm, e.grid, new_relev))
         total_weight += new_relev
 
     penalty = expected_weight - stack.relev
-    clone.relev = min(round_to(total_weight - penalty, 8), 1.0)
+    clone.relev = min(floor((total_weight - penalty) * 1e8 + 0.5) / 1e8, 1.0)
     return clone
 
 

@@ -140,9 +140,13 @@ CAND_SCHEMA = pa.schema([
 # verify-exchange salt: groups per feature shard. More salt = more
 # parallel groups (finer tasks, better balance across the hydrate pool)
 # at the cost of more per-group shard binds (bounded by the per-actor
-# LRU). 64 groups starved a 30-actor pool (verify scaled 1.27× for 4×
-# CPUs); 16 × FSHARD_MOD(16) = 256 groups keeps every pool size fed.
-VSHARD_SALT = 16
+# LRU — per-actor shard loads stay ≤ FSHARD_MOD regardless of salt).
+# 64 groups starved a 30-actor pool (verify scaled 1.27× for 4× CPUs);
+# 256 fed every pool size; 64 × FSHARD_MOD(16) = 1024 also smooths the
+# sort-partition quantization (boundaries can only land between groups,
+# so more groups ⇒ more even partitions ⇒ smaller stragglers — r4
+# measured half2 21.1 → 17.3 s at 32 CPUs going 256 → 1024).
+VSHARD_SALT = 64
 
 # hydrated candidate rows (VerifyHydrate output): everything assemble
 # needs to dedupe/sort/rank without touching the index again
@@ -405,20 +409,29 @@ class PhrasematchStage:
                     float(self.index.layer_coalesce_radius.get(pm.layer, 0.0)))
                 rows["ndx"].append(pm.ndx)
                 rows["stack_bits"].append(pm.stack_bits)
-        return pa.table({n: pa.array(rows[n], type=PM_SCHEMA.field(n).type) for n in PM_SCHEMA.names})
+        # __qshard computed here rather than in a downstream
+        # map_batches(add_qshard): an actor-pool op can't fuse with a
+        # task op, so the separate pass re-serialized every (wide) pm
+        # block through the object store once more
+        return add_qshard(pa.table(
+            {n: pa.array(rows[n], type=PM_SCHEMA.field(n).type)
+             for n in PM_SCHEMA.names}))
 
 
 def add_qshard(t: pa.Table) -> pa.Table:
-    """Append the coarse query shard (256 values: enough tasks to ramp
-    the pools and balance skewed queries) WITHOUT converting the block
-    to pandas — only the query_id column leaves Arrow for the hash; the
-    wide grid/cover list columns stay zero-copy."""
+    """Append the coarse query shard (2048 values: the sort exchange can
+    only place partition boundaries between bucket values, so finer
+    buckets ⇒ more even partitions ⇒ smaller coalesce stragglers — r4
+    measured half1 33.0 → 28.9 s at 32 CPUs going 256 → 2048) WITHOUT
+    converting the block to pandas — only the query_id column leaves
+    Arrow for the hash; the wide grid/cover list columns stay
+    zero-copy."""
     import pandas as pd
 
     h = pd.util.hash_pandas_object(
         t.column("query_id").to_pandas(), index=False).to_numpy()
     return t.append_column(
-        "__qshard", pa.array((h % 256).astype(np.int32), type=pa.int32()))
+        "__qshard", pa.array((h % 2048).astype(np.int32), type=pa.int32()))
 
 
 def coalesce_shard(shard_group: pa.Table):
@@ -512,6 +525,21 @@ def coalesce_group(col: dict, rows) -> None:
     else:
         all_dist = all_sd = None
 
+    # bulk-convert the per-row scalar columns once — numpy-scalar
+    # int()/str() per row dominated this loop
+    idx_l = col["idx"].tolist()
+    layer_l = col["layer"].tolist()
+    zoom_l = zooms_col.tolist()
+    mask_l = col["mask"].tolist()
+    weight_l = col["weight"].tolist()
+    subq_l = col["subquery"].tolist()
+    prefix_l = col["prefix"].tolist()
+    addr_l = col["address"].tolist()
+    crad_l = col["coalesce_radius"].tolist()
+    has_partial_col = "partial_number" in col
+    partial_l = col["partial_number"].tolist() if has_partial_col else None
+    phashes_col = col["phashes"]
+
     pms = []
     off = 0
     for i, dec, scores in decoded:
@@ -523,30 +551,29 @@ def coalesce_group(col: dict, rows) -> None:
             dists = np.zeros(m)
             sds = scores
         off += m
-        idx_base = int(col["idx"][i]) * (1 << 25)
-        addr_v = col["address"][i]
-        partial = bool(col["partial_number"][i]) if "partial_number" in col else False
+        idx_base = idx_l[i] * (1 << 25)
+        addr_v = addr_l[i]
+        partial = bool(partial_l[i]) if has_partial_col else False
         grids = [
             Grid(x=x, y=y, relev=rv, score=sc, fid=fd, tmpid=idx_base + fd,
                  distance=dv, scoredist=sv, phash=ph)
             for x, y, rv, sc, fd, dv, sv, ph in zip(
                 dec["x"].tolist(), dec["y"].tolist(), dec["relev"].tolist(),
                 scores.tolist(), dec["id"].tolist(), dists.tolist(),
-                np.asarray(sds).tolist(), list(col["phashes"][i]))
+                np.asarray(sds).tolist(), phashes_col[i].tolist())
         ]
         if partial and has_prox:
             # nearby-only (carmen-core coalesce): partial-number grids
             # count only within the coalesce radius of the prox point
-            r = float(col["coalesce_radius"][i]) or float(
-                constants.COALESCE_PROXIMITY_RADIUS)
+            r = float(crad_l[i]) or float(constants.COALESCE_PROXIMITY_RADIUS)
             grids = [g for g in grids if g.distance <= r]
             if not grids:
                 continue
         pms.append(Phrasematch(
-            idx=int(col["idx"][i]), layer=str(col["layer"][i]),
-            zoom=int(zooms_col[i]), mask=int(col["mask"][i]),
-            weight=float(col["weight"][i]), subquery=str(col["subquery"][i]),
-            phrase_id=0, prefix=bool(col["prefix"][i]), grids=grids,
+            idx=idx_l[i], layer=layer_l[i],
+            zoom=zoom_l[i], mask=mask_l[i],
+            weight=weight_l[i], subquery=subq_l[i],
+            phrase_id=0, prefix=prefix_l[i], grids=grids,
             address=addr_v if isinstance(addr_v, str) else None,
             partial_number=partial,
         ))
@@ -942,8 +969,10 @@ class VerifyHydrate:
             rows["st_relev"].append(float(d["st_relev"][ri]))
             rows["partial_number"].append(partial)
             rows["verified_ok"].append(True)
-        return pa.table({name: pa.array(rows[name], type=t)
-                         for name, t in _HYD_FIELDS})
+        # __qshard for the assemble exchange computed in-stage (same
+        # fusion rationale as PhrasematchStage)
+        return add_qshard(pa.table({name: pa.array(rows[name], type=t)
+                                    for name, t in _HYD_FIELDS}))
 
 
 def assemble_shard(shard_group: pa.Table) -> pa.Table:
@@ -1127,9 +1156,9 @@ def forward_geocode_staged(queries_ds, index=None, concurrency: int = 4,
         pm_rows = parts[0].union(*parts[1:])
 
     # ---- stage 2: shuffle 1 + per-query coalesce ---------------------
+    # __qshard rides on the pm rows from inside PhrasematchStage
     cands = (
-        pm_rows.map_batches(add_qshard, batch_format="pyarrow")
-        .groupby("__qshard")
+        pm_rows.groupby("__qshard")
         .map_groups(coalesce_shard, batch_format="pyarrow")
     )
     # plan-split barrier: one streaming plan holding every pool + three
@@ -1139,7 +1168,10 @@ def forward_geocode_staged(queries_ds, index=None, concurrency: int = 4,
     # for lineage reasons and removing it regressed 2.5×). The pinned
     # set is the post-coalesce candidate top-k: the smallest intermediate
     # in the pipeline, narrow Arrow rows.
-    cands = cands.materialize()
+    import os as _os
+
+    if _os.environ.get("GRAFT_PLAN_SPLIT", "1") != "0":
+        cands = cands.materialize()
 
     # ---- stage 3: ONE vshard exchange + one hydrate pool -------------
     # a single groupby(vskey) routes every candidate to exactly one
@@ -1157,8 +1189,8 @@ def forward_geocode_staged(queries_ds, index=None, concurrency: int = 4,
     )
 
     # ---- stage 4: shuffle 3 + per-query assembly (pure) --------------
+    # __qshard rides on the hydrated rows from inside VerifyHydrate
     return (
-        hydrated.map_batches(add_qshard, batch_format="pyarrow")
-        .groupby("__qshard")
+        hydrated.groupby("__qshard")
         .map_groups(assemble_shard, batch_format="pyarrow")
     )

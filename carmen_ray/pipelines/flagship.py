@@ -192,6 +192,12 @@ def flagship_staged(sf_dir: str = "/root/testdata/sf0.001", concurrency: int = 4
 
     parts = []
     if fwd_tbl.num_rows:
+        # one query block per pool slot: the sort exchanges emit one
+        # output partition per input block, so this sets exchange task
+        # granularity. 4× was measured 3× SLOWER at 32 CPUs (the sort
+        # map emits blocks×partitions slice objects — O(n²) object-store
+        # ops); straggler smoothing comes from the finer __qshard/vskey
+        # bucketing instead (add_qshard, VSHARD_SALT)
         qds = rd.from_arrow(fwd_tbl).repartition(max(2, concurrency))
         parts.append(forward_geocode_staged(
             qds, index, concurrency=concurrency, phrase_shards=phrase_shards,

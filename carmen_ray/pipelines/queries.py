@@ -556,7 +556,7 @@ _ROLL = ("CASE WHEN j >= 64 "
          f"ELSE ((rh * 257 + ord(substr(norm, j + 1, 1))) % {_M61}) END")
 SQL_FINGERPRINT = f"""
 WITH RECURSIVE d AS (
-  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
   FROM documents
 ), b AS (
   SELECT doc_id, norm, length(norm) AS n FROM d
