@@ -6,13 +6,13 @@ worker. This variant is the SURVEY.md §3.2 Ray shape with the explicit
 shuffles:
 
     queries → mB-actor(PhrasematchStage: phrase windows → grid rows)
-            → groupby(query_id)                  # shuffle 1
-            → map_groups(coalesce: stack+rebalance+topk, pure python)
+            → sort(__qshard, known boundaries)   # shuffle 1: hash-bucket
+            → mB(coalesce: stack+rebalance+topk) #   exchange, no sampling
             → groupby(vskey)                     # shuffle 2: ONE vshard
             → map_groups(VerifyHydrate)          #   exchange; actors load
                                                  #   fshard slices lazily
-            → groupby(query_id)                  # shuffle 3
-            → map_groups(assemble: dedupe + final sort + limit)
+            → sort(__qshard, known boundaries)   # shuffle 3
+            → mB(assemble: dedupe + final sort + limit)
 
 Forward queries only — reverse/id queries route through the fused
 actor (engine.ForwardGeocoder), which is also the fast path when the
@@ -384,7 +384,7 @@ class PhrasematchStage:
                         and number_only_subquery(e.subquery)
                         and not e.partial_number)]
 
-            pms = filter_misspelled_short(col.entries)
+            pms = self._prune_grids(filter_misspelled_short(col.entries), lo, la)
             for pm in pms:
                 rows["query_id"].append(qid)
                 rows["query_len"].append(len(tokens))
@@ -417,6 +417,115 @@ class PhrasematchStage:
             {n: pa.array(rows[n], type=PM_SCHEMA.field(n).type)
              for n in PM_SCHEMA.names}))
 
+    def _prune_grids(self, pms, lo, la):
+        """Apply stack_and_coalesce's per-pm grid caps BEFORE the
+        exchange (it has the proximity point, so scoredist is
+        computable here): the partial-number nearby-only filter, then
+        the best-MAX_GRIDS_PER_PM cut in the exact sorted order the
+        downstream prune would produce (grid_prox_arrays is shared, so
+        the scoredist floats — and hence the ordering — are
+        bit-identical). Hot phrases hold hundreds of grids; shipping
+        only what coalesce can use cuts the widest exchange ~payload
+        proportionally. Downstream's own filter+prune still run and
+        are no-ops on pre-pruned rows (table-mode and test callers may
+        bypass this stage)."""
+        from .coalesce import MAX_GRIDS_PER_PM
+
+        import os as _os
+
+        # default OFF: on the bench corpus the mean pm row holds ~13
+        # grids (few phrases exceed the 64-grid cap), so the extra
+        # phrasematch-side pass isn't repaid — and the phrasematch pool
+        # is the CPU-capped stage at small cluster sizes (measured ~15%
+        # slower 8-CPU leg with it on, no consistent 32-CPU win under
+        # host noise). Turn ON for corpora with whale phrases (hot
+        # street/place names at web scale hold hundreds-to-thousands of
+        # grids per phrase window), where shipping grids the coalesce
+        # prune will discard dominates the exchange; outputs are
+        # bit-identical either way (test_pm_prune_parity).
+        if _os.environ.get("GRAFT_PM_PRUNE", "0") == "0":
+            return pms
+        has_prox = lo is not None and la is not None and lo == lo
+        work = [(k, pm) for k, pm in enumerate(pms)
+                if (has_prox and getattr(pm, "partial_number", False))
+                or len(pm.grids) > MAX_GRIDS_PER_PM]
+        if not work:
+            return pms
+
+        # one proximity pass over the concatenated grids of every row
+        # that needs pruning (per-row numpy calls were overhead-bound —
+        # same batching trick as coalesce_group)
+        packed = {}
+        scores_by = {}
+        if has_prox:
+            xs, ys, ns, zs, ss, cr = [], [], [], [], [], []
+            for k, pm in work:
+                g = np.asarray(pm.grids, dtype=np.uint64)
+                dec = gridmod.decode(g)
+                packed[k] = (g, dec)
+                m = len(pm.grids)
+                xs.append(dec["x"].astype(np.float64))
+                ys.append(dec["y"].astype(np.float64))
+                ns.append(np.full(m, 2.0 ** int(pm.zoom)))
+                zs.append(np.full(m, int(pm.zoom), dtype=np.int64))
+                sc = np.asarray(pm.grid_scores, dtype=np.float64)
+                scores_by[k] = sc
+                ss.append(sc)
+                cr.append(np.full(m, float(
+                    self.index.layer_coalesce_radius.get(pm.layer, 0.0))))
+            dist_all, sd_all = grid_prox_arrays(
+                np.concatenate(xs), np.concatenate(ys), np.concatenate(ns),
+                np.concatenate(zs), np.concatenate(ss), np.concatenate(cr),
+                lo, la, float(self.index.max_score))
+        else:
+            for k, pm in work:
+                g = np.asarray(pm.grids, dtype=np.uint64)
+                packed[k] = (g, gridmod.decode(g))
+                scores_by[k] = np.asarray(pm.grid_scores, dtype=np.float64)
+
+        dropped = set()
+        off = 0
+        for k, pm in work:
+            g, dec = packed[k]
+            n_g = len(pm.grids)
+            scores = scores_by[k]
+            if has_prox:
+                dist = dist_all[off:off + n_g]
+                sd = sd_all[off:off + n_g]
+                off += n_g
+            else:
+                dist = None
+                sd = scores
+            keep = np.arange(n_g)
+            if has_prox and getattr(pm, "partial_number", False):
+                crad = float(self.index.layer_coalesce_radius.get(pm.layer, 0.0))
+                r = crad or float(constants.COALESCE_PROXIMITY_RADIUS)
+                keep = keep[dist <= r]
+                if keep.size == 0:
+                    dropped.add(k)  # coalesce_group would drop the pm too
+                    continue
+            if keep.size > MAX_GRIDS_PER_PM:
+                relev = dec["relev"][keep]
+                sdk = sd[keep]
+                tmpid = pm.idx * (1 << 25) + dec["id"][keep]
+                # stable ascending by (-relev, -scoredist, tmpid) ==
+                # sorted(key=(-g.relev, -g.scoredist, g.tmpid))
+                order = np.lexsort((tmpid, -sdk, -relev))[:MAX_GRIDS_PER_PM]
+                keep = keep[order]
+            if keep.size != n_g:
+                pm.grids = g[keep].tolist()
+                pm.grid_scores = scores[keep].tolist()
+                ph = pm.phashes
+                pm.phashes = [ph[j] for j in keep.tolist()]
+        if dropped:
+            return [pm for k, pm in enumerate(pms) if k not in dropped]
+        return pms
+
+
+# query-shard bucket count: uniform by construction (hash of query_id),
+# so exchange boundaries over it are computable without sampling
+QSHARD_MOD = 2048
+
 
 def add_qshard(t: pa.Table) -> pa.Table:
     """Append the coarse query shard (2048 values: the sort exchange can
@@ -431,7 +540,42 @@ def add_qshard(t: pa.Table) -> pa.Table:
     h = pd.util.hash_pandas_object(
         t.column("query_id").to_pandas(), index=False).to_numpy()
     return t.append_column(
-        "__qshard", pa.array((h % 2048).astype(np.int32), type=pa.int32()))
+        "__qshard", pa.array((h % QSHARD_MOD).astype(np.int32), type=pa.int32()))
+
+
+def grid_prox_arrays(all_x, all_y, all_n, all_zoom, all_scores, all_crad,
+                     plon, plat, max_score):
+    """(distance, scoredist) per grid cover — the single source of truth
+    for coalesce_group AND the phrasematch-side top-K grid prune: the
+    prune must order grids by bit-identical scoredist values or the
+    staged path diverges from the fused path."""
+    from ..util.proximity import (
+        _VARIANCE_CONSTANT,
+        gauss,
+        haversine_miles,
+        scale_radius,
+        score_weight,
+    )
+
+    clon = (all_x + 0.5) / all_n * 360.0 - 180.0
+    clat = np.degrees(np.arctan(np.sinh(np.pi * (1 - 2 * (all_y + 0.5) / all_n))))
+    best = haversine_miles(plon, plat, clon, clat)
+    max_corner = np.zeros(len(all_x))
+    for dx in (0.0, 1.0):
+        for dy in (0.0, 1.0):
+            lon_c = (all_x + dx) / all_n * 360.0 - 180.0
+            lat_c = np.degrees(np.arctan(np.sinh(np.pi * (1 - 2 * (all_y + dy) / all_n))))
+            max_corner = np.maximum(max_corner, haversine_miles(plon, plat, lon_c, lat_c))
+    all_dist = np.minimum(best, max_corner)
+    # scoredist = dist_weight × score_weight; dist_weight depends on
+    # the per-row zoom through scale_radius (piecewise) — vectorize
+    # by mapping zoom→radius then one gauss pass
+    radii = np.array([scale_radius(int(z)) for z in (6, 12, 14)])
+    r_sel = np.where(all_zoom <= 6, radii[0], np.where(all_zoom <= 12, radii[1], radii[2]))
+    r_sel = np.where(all_crad > 0, all_crad, r_sel)
+    dist_w = 9.0 * gauss(all_dist / r_sel * 3.0, _VARIANCE_CONSTANT) + 1.0
+    all_sd = dist_w * score_weight(all_scores, 0.0, max_score)
+    return all_dist, all_sd
 
 
 def coalesce_shard(shard_group: pa.Table):
@@ -488,8 +632,6 @@ def coalesce_group(col: dict, rows) -> None:
         decoded.append((i, dec, np.asarray(col["grid_scores"][i], dtype=np.float64)))
 
     if has_prox and decoded:
-        from ..util.proximity import haversine_miles, scale_radius, score_weight
-
         all_x = np.concatenate([d["x"].astype(np.float64) for _, d, _ in decoded])
         all_y = np.concatenate([d["y"].astype(np.float64) for _, d, _ in decoded])
         all_n = np.concatenate([
@@ -498,30 +640,13 @@ def coalesce_group(col: dict, rows) -> None:
         all_zoom = np.concatenate([
             np.full(len(d["x"]), int(zooms_col[i]), dtype=np.int64) for i, d, _ in decoded])
         max_score = float(col["max_score"][0])  # constant per index
-        clon = (all_x + 0.5) / all_n * 360.0 - 180.0
-        clat = np.degrees(np.arctan(np.sinh(np.pi * (1 - 2 * (all_y + 0.5) / all_n))))
-        best = haversine_miles(plon, plat, clon, clat)
-        max_corner = np.zeros(len(all_x))
-        for dx in (0.0, 1.0):
-            for dy in (0.0, 1.0):
-                lon_c = (all_x + dx) / all_n * 360.0 - 180.0
-                lat_c = np.degrees(np.arctan(np.sinh(np.pi * (1 - 2 * (all_y + dy) / all_n))))
-                max_corner = np.maximum(max_corner, haversine_miles(plon, plat, lon_c, lat_c))
-        all_dist = np.minimum(best, max_corner)
-        # scoredist = dist_weight × score_weight; dist_weight depends on
-        # the per-row zoom through scale_radius (piecewise) — vectorize
-        # by mapping zoom→radius then one gauss pass
-        from ..util.proximity import _VARIANCE_CONSTANT, gauss
-
-        radii = np.array([scale_radius(int(z)) for z in (6, 12, 14)])
-        r_sel = np.where(all_zoom <= 6, radii[0], np.where(all_zoom <= 12, radii[1], radii[2]))
         # per-source geocoder_coalesce_radius overrides the zoom-scaled
         # radius (indexer/index.js:233); 0 = unset
         all_crad = np.concatenate([
             np.full(len(d["x"]), float(col["coalesce_radius"][i])) for i, d, _ in decoded])
-        r_sel = np.where(all_crad > 0, all_crad, r_sel)
-        dist_w = 9.0 * gauss(all_dist / r_sel * 3.0, _VARIANCE_CONSTANT) + 1.0
-        all_sd = dist_w * score_weight(all_scores, 0.0, max_score)
+        all_dist, all_sd = grid_prox_arrays(
+            all_x, all_y, all_n, all_zoom, all_scores, all_crad,
+            plon, plat, max_score)
     else:
         all_dist = all_sd = None
 
@@ -1156,10 +1281,22 @@ def forward_geocode_staged(queries_ds, index=None, concurrency: int = 4,
         pm_rows = parts[0].union(*parts[1:])
 
     # ---- stage 2: shuffle 1 + per-query coalesce ---------------------
-    # __qshard rides on the pm rows from inside PhrasematchStage
+    # __qshard rides on the pm rows from inside PhrasematchStage. The
+    # exchange is sort-with-EXPLICIT-boundaries + per-block map_batches
+    # rather than groupby().map_groups(): the bucket space is a uniform
+    # hash (0..QSHARD_MOD), so boundaries are known a priori — this
+    # skips the sort's whole sampling wave (one task per block + a
+    # driver barrier, per exchange) and sets the partition count
+    # directly (~2 per slot for wave balance) instead of inheriting
+    # one-partition-per-input-block. coalesce_shard groups by query_id
+    # internally, so partitioning only needs to co-locate each query's
+    # rows — which any boundary between bucket values preserves.
+    nparts = max(4, 2 * concurrency)
+    step = max(1, QSHARD_MOD // nparts)
+    qbounds = list(range(step, QSHARD_MOD, step))
     cands = (
-        pm_rows.groupby("__qshard")
-        .map_groups(coalesce_shard, batch_format="pyarrow")
+        pm_rows.sort("__qshard", boundaries=qbounds)
+        .map_batches(coalesce_shard, batch_format="pyarrow", batch_size=None)
     )
     # plan-split barrier: one streaming plan holding every pool + three
     # all-to-alls thrashes the executor's per-operator resource budgets
@@ -1189,8 +1326,10 @@ def forward_geocode_staged(queries_ds, index=None, concurrency: int = 4,
     )
 
     # ---- stage 4: shuffle 3 + per-query assembly (pure) --------------
-    # __qshard rides on the hydrated rows from inside VerifyHydrate
+    # __qshard rides on the hydrated rows from inside VerifyHydrate;
+    # same known-boundary exchange as stage 2 (assemble_shard also
+    # groups by query_id internally)
     return (
-        hydrated.groupby("__qshard")
-        .map_groups(assemble_shard, batch_format="pyarrow")
+        hydrated.sort("__qshard", boundaries=qbounds)
+        .map_batches(assemble_shard, batch_format="pyarrow", batch_size=None)
     )

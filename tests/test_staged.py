@@ -199,3 +199,50 @@ def test_phrasematch_stage_features_free(built_dir, ray_session):
     assert st.index._f is None
     assert st.index.n_features == 0
     assert st.index.idx_rank  # dense ranks came from index_meta.json
+
+
+def test_pm_prune_parity(built, ray_session, monkeypatch):
+    """GRAFT_PM_PRUNE=1 moves stack_and_coalesce's per-pm grid caps
+    (nearby-only partial filter + best-MAX_GRIDS_PER_PM cut) into
+    PhrasematchStage, before the exchange. The candidate stream must be
+    bit-identical either way — pinned under a tiny cap so the >cap
+    branch actually fires on this corpus, and with proximity queries so
+    the scoredist ordering (shared grid_prox_arrays) is exercised."""
+    from carmen_ray.geocode import coalesce as coalesce_mod
+    from carmen_ray.geocode.staged import PhrasematchStage, add_qshard, coalesce_shard
+
+    idx = built
+    f = idx.features.to_pandas()
+    t = f[f.layer.isin(["street", "poi", "place"])].head(30)
+    queries = pa.table({
+        "query_id": [f"q{i}" for i in range(len(t))],
+        "query": t["text"].tolist(),
+        # half the queries proximity-biased at their own feature
+        "proximity_lon": [float(r) if i % 2 else None
+                          for i, r in enumerate(t["center_lon"])],
+        "proximity_lat": [float(r) if i % 2 else None
+                          for i, r in enumerate(t["center_lat"])],
+    })
+    kwargs = dict(features=idx.features, phrase_grid=idx.phrase_grid,
+                  freq=idx.freq, max_score=idx.max_score,
+                  layer_zooms=idx.layer_zooms)
+
+    monkeypatch.setattr(coalesce_mod, "MAX_GRIDS_PER_PM", 3)
+
+    def cands(prune: str):
+        monkeypatch.setenv("GRAFT_PM_PRUNE", prune)
+        pm = PhrasematchStage(**kwargs)(queries)
+        if "__qshard" not in pm.column_names:
+            pm = add_qshard(pm)
+        out = coalesce_shard(pm).to_pandas()
+        return out.sort_values(["query_id", "si"]).reset_index(drop=True)
+
+    off, on = cands("0"), cands("1")
+    assert len(off) == len(on) > 0
+    import numpy as np
+    for c in off.columns:
+        a, b = off[c].to_numpy(), on[c].to_numpy()
+        if a.dtype == object and len(a) and isinstance(a[0], np.ndarray):
+            assert all(np.array_equal(x, y) for x, y in zip(a, b)), c
+        else:
+            assert off[c].equals(on[c]), c
