@@ -37,8 +37,10 @@ from .. import constants
 from ..geom.cells import hex_cell, s2_cell
 from ..geom.ops import dist_point_to_geom_miles, nearest_point_on_multiline, point_in_geom
 from ..geom.tile import lonlat_to_tile
+from ..text.closest_lang import closest_lang, closest_lang_label
 from ..text.termops import get_weights
 from ..text.tokenize import as_reverse, normalize_query, parse_id_query, tokenize
+from ..util.hashing import phrase_hash
 from ..util import proximity as prox
 from ..util.jsmath import round_to
 from ..util.permute import continuous_masks
@@ -1112,8 +1114,6 @@ def _display_text(feature, language: str | None) -> tuple[str, str | None]:
     selection)."""
     if not language:
         return feature.text, None
-    from ..text.closest_lang import closest_lang
-
     try:
         langs = json.loads(feature.langs_json) if feature.langs_json else {}
     except (TypeError, ValueError):
@@ -1133,8 +1133,6 @@ def get_matching_text(index: IndexData, feature, source_phash: int,
     share the hash, resolve its language with closest-lang, drop
     category matches, and suppress when it equals the display text.
     Returns (matching_text, matching_language)."""
-    from ..text.closest_lang import closest_lang_label
-    from ..util.hashing import phrase_hash
 
     closest_text = display.split(",")[0].strip()
 
