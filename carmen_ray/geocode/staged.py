@@ -46,7 +46,7 @@ import pyarrow as pa
 from .. import constants
 from ..util import grid as gridmod
 from ..util.jsmath import round_to
-from .coalesce import Grid, Phrasematch, stack_and_coalesce
+from .coalesce import MAX_GRIDS_PER_PM  # noqa: F401  (re-export for tests)
 from .engine import (
     RESULT_FIELDS,
     RESULT_SCHEMA,
@@ -579,193 +579,28 @@ def grid_prox_arrays(all_x, all_y, all_n, all_zoom, all_scores, all_crad,
 
 
 def coalesce_shard(shard_group: pa.Table):
-    """One shuffle group per query-id shard; exact per-query coalesce is
-    grouped inside (the coarse-shard pattern from ops/agg). Arrow in /
-    Arrow out — per-column to_numpy is the only conversion (pandas
-    round-trips of the list columns dominated the stage). Returns an
-    Arrow table in CAND_SCHEMA (one row per candidate stack)."""
-    rows = {n: [] for n in CAND_SCHEMA.names}
-    # one numpy extraction for the whole shard, then per-query slices —
-    # pandas scalar .iloc/.itertuples dominated this stage before
-    cols = {c: shard_group.column(c).to_numpy(zero_copy_only=False)
-            for c in shard_group.column_names}
-    qids = cols["query_id"]
-    order = np.argsort(qids, kind="mergesort")
-    sorted_qids = qids[order]
-    bounds = np.flatnonzero(np.concatenate(
-        [[True], sorted_qids[1:] != sorted_qids[:-1]]))
-    bounds = np.append(bounds, len(sorted_qids))
-    for b in range(len(bounds) - 1):
-        sel = order[bounds[b]:bounds[b + 1]]
-        coalesce_group({c: v[sel] for c, v in cols.items()}, rows)
-    return pa.table({n: pa.array(rows[n], type=CAND_SCHEMA.field(n).type)
-                     for n in CAND_SCHEMA.names})
+    """One shuffle group per query-id shard; queries are grouped and
+    coalesced inside by the shard-level array kernel (coalesce_fast:
+    one decode / proximity / prune / rebalance / sort pass over the
+    whole shard, per-query Python only for the stack enumeration and
+    direction dedup). Arrow in / Arrow out. Returns an Arrow table in
+    CAND_SCHEMA (one row per candidate stack)."""
+    from .coalesce_fast import coalesce_shard_table
 
+    import os as _os
 
-def coalesce_group(col: dict, rows) -> None:
-    """Pure per-query coalesce: rebuild phrasematches from packed rows,
-    stack, apply the direction effects (verifymatch.js:847-933 — covers
-    carry mask+subquery, all present here), append ONE CAND row per
-    candidate stack. `col` is a dict of numpy column slices for one
-    query's pm rows."""
-    import pandas as pd
+    if _os.environ.get("GRAFT_COAL_DEBUG") == "1":
+        import time as _time
 
-    from .engine import _direction_effects
+        t0 = _time.perf_counter()
+        out = coalesce_shard_table(shard_group)
+        dt = _time.perf_counter() - t0
+        print(f"[coal] rows={shard_group.num_rows} out={out.num_rows} "
+              f"chunks={shard_group.column('grids').num_chunks} {dt:.3f}s",
+              flush=True)
+        return out
+    return coalesce_shard_table(shard_group)
 
-    n_rows = len(col["query_id"])
-    if n_rows == 0:
-        return
-    qid = col["query_id"][0]
-    qlen = int(col["query_len"][0])
-    plon = col["proximity_lon"][0]
-    plat = col["proximity_lat"][0]
-    lim = int(col["limit"][0])
-    has_prox = plon is not None and not pd.isna(plon)
-
-    # decode every pm row, then run the proximity math ONCE over all of
-    # the query's grids concatenated (avg pm row holds <10 grids — both
-    # per-grid scalar calls and per-row numpy were overhead-bound)
-    zooms_col = col["zoom"]
-    decoded = []
-    for i in range(n_rows):
-        dec = gridmod.decode(np.asarray(col["grids"][i], dtype=np.uint64))
-        decoded.append((i, dec, np.asarray(col["grid_scores"][i], dtype=np.float64)))
-
-    if has_prox and decoded:
-        all_x = np.concatenate([d["x"].astype(np.float64) for _, d, _ in decoded])
-        all_y = np.concatenate([d["y"].astype(np.float64) for _, d, _ in decoded])
-        all_n = np.concatenate([
-            np.full(len(d["x"]), 2.0 ** int(zooms_col[i])) for i, d, _ in decoded])
-        all_scores = np.concatenate([s for _, _, s in decoded])
-        all_zoom = np.concatenate([
-            np.full(len(d["x"]), int(zooms_col[i]), dtype=np.int64) for i, d, _ in decoded])
-        max_score = float(col["max_score"][0])  # constant per index
-        # per-source geocoder_coalesce_radius overrides the zoom-scaled
-        # radius (indexer/index.js:233); 0 = unset
-        all_crad = np.concatenate([
-            np.full(len(d["x"]), float(col["coalesce_radius"][i])) for i, d, _ in decoded])
-        all_dist, all_sd = grid_prox_arrays(
-            all_x, all_y, all_n, all_zoom, all_scores, all_crad,
-            plon, plat, max_score)
-    else:
-        all_dist = all_sd = None
-
-    # bulk-convert the per-row scalar columns once — numpy-scalar
-    # int()/str() per row dominated this loop
-    idx_l = col["idx"].tolist()
-    layer_l = col["layer"].tolist()
-    zoom_l = zooms_col.tolist()
-    mask_l = col["mask"].tolist()
-    weight_l = col["weight"].tolist()
-    subq_l = col["subquery"].tolist()
-    prefix_l = col["prefix"].tolist()
-    addr_l = col["address"].tolist()
-    crad_l = col["coalesce_radius"].tolist()
-    has_partial_col = "partial_number" in col
-    partial_l = col["partial_number"].tolist() if has_partial_col else None
-    phashes_col = col["phashes"]
-
-    pms = []
-    off = 0
-    for i, dec, scores in decoded:
-        m = len(dec["x"])
-        if has_prox:
-            dists = all_dist[off:off + m]
-            sds = all_sd[off:off + m]
-        else:
-            dists = np.zeros(m)
-            sds = scores
-        off += m
-        idx_base = idx_l[i] * (1 << 25)
-        addr_v = addr_l[i]
-        partial = bool(partial_l[i]) if has_partial_col else False
-        grids = [
-            Grid(x=x, y=y, relev=rv, score=sc, fid=fd, tmpid=idx_base + fd,
-                 distance=dv, scoredist=sv, phash=ph)
-            for x, y, rv, sc, fd, dv, sv, ph in zip(
-                dec["x"].tolist(), dec["y"].tolist(), dec["relev"].tolist(),
-                scores.tolist(), dec["id"].tolist(), dists.tolist(),
-                np.asarray(sds).tolist(), phashes_col[i].tolist())
-        ]
-        if partial and has_prox:
-            # nearby-only (carmen-core coalesce): partial-number grids
-            # count only within the coalesce radius of the prox point
-            r = float(crad_l[i]) or float(constants.COALESCE_PROXIMITY_RADIUS)
-            grids = [g for g in grids if g.distance <= r]
-            if not grids:
-                continue
-        pms.append(Phrasematch(
-            idx=idx_l[i], layer=layer_l[i],
-            zoom=zoom_l[i], mask=mask_l[i],
-            weight=weight_l[i], subquery=subq_l[i],
-            phrase_id=0, prefix=prefix_l[i], grids=grids,
-            address=addr_v if isinstance(addr_v, str) else None,
-            partial_number=partial,
-        ))
-
-    io_mask = col["ignore_order"].astype(bool)
-    ignore_layers = frozenset(str(l) for l in col["layer"][io_mask])
-    idx_rank = {int(i): int(n) for i, n in zip(col["idx"], col["ndx"])}
-    non_overlap = None
-    if "stack_bits" in col and col["stack_bits"].any():
-        from .coalesce import non_overlap_from_bits
-
-        non_overlap = non_overlap_from_bits(
-            {int(i): int(b) for i, b in zip(col["idx"], col["stack_bits"])})
-    stacks = stack_and_coalesce(
-        pms, qlen, idx_rank=idx_rank,
-        non_overlap=non_overlap)[: constants.VERIFYMATCH_MAX_FEATURES_LIMIT]
-    if not stacks:
-        return
-    covers_list = [st.covers() for st in stacks]
-    partial_flags = [
-        any(getattr(e.pm, "partial_number", False) for e in cv)
-        for cv in covers_list]
-    if not any(partial_flags):
-        # pre-exchange chunk-protocol prune: verification can only fail
-        # for partial-number candidates (prefix-miss tombstones), so
-        # with none in the ledger the fused path's chunk/backfill/early-
-        # stop outcome is already decided — replay it with all-True
-        # outcomes HERE and ship only the candidates the fused path
-        # would actually verify (first stack_limit), instead of
-        # hydrating the full max_feats ledger and discarding most of it
-        # in assemble. Replay on the shipped subset is a fixpoint, so
-        # assemble's ledger replay still matches the fused path exactly.
-        from .coalesce import ChunkedVerifyPlanner
-
-        keep = set(ChunkedVerifyPlanner(
-            [st.penalized for st in stacks], partial_flags,
-        ).replay([True] * len(stacks)))
-        stacks = [st for i, st in enumerate(stacks) if i in keep]
-        covers_list = [cv for i, cv in enumerate(covers_list) if i in keep]
-    for si, (st, covers) in enumerate(zip(stacks, covers_list)):
-        tmpid = covers[0].grid.tmpid
-        rows["query_id"].append(qid)
-        rows["limit"].append(lim)
-        rows["proximity_lon"].append(plon if has_prox else None)
-        rows["proximity_lat"].append(plat if has_prox else None)
-        rows["si"].append(si)
-        rows["relev"].append(_direction_effects(covers, st.relev, ignore_layers))
-        rows["st_relev"].append(st.penalized)
-        rows["tmpid"].append(tmpid)
-        rows["zoom"].append(covers[0].pm.zoom)
-        rows["gx"].append(covers[0].grid.x)
-        rows["gy"].append(covers[0].grid.y)
-        rows["gscore"].append(covers[0].grid.score)
-        rows["address"].append(next((e.pm.address for e in covers if e.pm.address), None))
-        rows["top_subquery"].append(covers[0].pm.subquery)
-        rows["top_phash"].append(covers[0].grid.phash)
-        rows["cover_tmpids"].append([e.grid.tmpid for e in covers])
-        rows["cover_idxs"].append([e.pm.idx for e in covers])
-        rows["cover_zooms"].append([e.pm.zoom for e in covers])
-        rows["cover_sublens"].append([len(e.pm.subquery) for e in covers])
-        rows["cover_masks"].append([e.pm.mask for e in covers])
-        rows["cover_relevs"].append([e.relev for e in covers])
-        rows["partial_number"].append(
-            any(getattr(e.pm, "partial_number", False) for e in covers))
-        vshard = int(tmpid % constants.FSHARD_MOD)
-        rows["vshard"].append(vshard)
-        rows["vskey"].append(vshard * VSHARD_SALT + si % VSHARD_SALT)
 
 
 class _CtxRow:
