@@ -112,6 +112,10 @@ class IndexData:
         self._fuzzy_prefix_cache: dict[str, list] = {}
         # per-feature matching-text hash tables (get_matching_text)
         self._mt_cache: dict[tuple, dict] = {}
+        # full get_matching_text result memo — the function is pure in
+        # (feature, phash, language, query_text, closest_key, display)
+        # and hot features repeat across queries
+        self._mt_out_cache: dict[tuple, tuple] = {}
         # per-feature output bbox (AM-aware; None for points)
         self._bbox_cache: dict[int, list | None] = {}
         # geocoder_categories per layer (phrasematch.js:348-353),
@@ -1132,14 +1136,30 @@ def get_matching_text(index: IndexData, feature, source_phash: int,
     source text hash, pick the best by query edit distance when several
     share the hash, resolve its language with closest-lang, drop
     category matches, and suppress when it equals the display text.
-    Returns (matching_text, matching_language)."""
+    Returns (matching_text, matching_language).
+
+    Memoized per actor: pure in (feature, phash, language, query_text,
+    closest_key, display) given the static index tables, and hot
+    features are verified for many queries."""
 
     closest_text = display.split(",")[0].strip()
-
-    # The per-feature phash → {text: [lang keys]} table is static — a
-    # hot feature is verified for many queries, and phrase_hash is a
-    # pure-Python murmur. Cache it per actor keyed by (idx, fid).
     ckey = (int(feature.idx), int(feature.fid))
+    okey = (ckey, source_phash, language, query_text, closest_key,
+            closest_text)
+    memo = index._mt_out_cache.get(okey)
+    if memo is None:
+        memo = _get_matching_text_impl(
+            index, feature, source_phash, language, query_text,
+            closest_key, closest_text, ckey)
+        if len(index._mt_out_cache) >= 1 << 17:
+            index._mt_out_cache.clear()
+        index._mt_out_cache[okey] = memo
+    return memo
+
+
+def _get_matching_text_impl(index, feature, source_phash, language,
+                            query_text, closest_key, closest_text, ckey):
+    # per-feature phash → {text: [lang keys]} table, cached per actor
     by_phash = index._mt_cache.get(ckey)
     if by_phash is None:
         try:

@@ -707,6 +707,8 @@ class VerifyHydrate:
         # bound to the current group's shard by __call__
         self.index: IndexData | None = None
         self._ctx_cache: dict[int, list] = {}
+        self._feat_cache: dict[int, object] = {}
+        self._disp_cache: dict[int, tuple] = {}
 
     def _bind_shard(self, vshard: int) -> None:
         ent = self._shards.get(vshard)
@@ -727,13 +729,30 @@ class VerifyHydrate:
                             idx_rank=self._idx_rank, build_cell_index=False)
             if len(self._shards) >= self._MAX_RESIDENT_SHARDS:
                 self._shards.pop(next(iter(self._shards)))
-            ent = (idx, {})
+            ent = (idx, {}, {}, {})
             self._shards[vshard] = ent
         else:
             # refresh LRU position
             self._shards.pop(vshard)
             self._shards[vshard] = ent
-        self.index, self._ctx_cache = ent
+        self.index, self._ctx_cache, self._feat_cache, self._disp_cache = ent
+
+    def _feat(self, frow: int):
+        """Materialized feature row: the lazy Feature proxy pays a dict
+        lookup + numpy scalar extraction per attribute access and the
+        verify loop reads ~15 attributes per candidate — hot features
+        repeat across candidates, so build a plain-attribute namespace
+        once per row and cache it in the shard's LRU entry. Values are
+        exactly what the proxy would have returned (same column
+        extraction); absent columns raise AttributeError either way."""
+        f = self._feat_cache.get(frow)
+        if f is None:
+            from types import SimpleNamespace
+
+            f = SimpleNamespace(
+                **{col: arr[frow] for col, arr in self.index._f.items()})
+            self._feat_cache[frow] = f
+        return f
 
     def _ctx(self, frow: int, feature):
         """Context chain for a feature row: denormalized column when the
@@ -777,23 +796,28 @@ class VerifyHydrate:
         # one exchange group shares a vshard; handle mixed batches (test
         # callers) by visiting rows in vshard-grouped order
         vs = np.asarray(d["vshard"], dtype=np.int64)
-        row_order = np.argsort(vs, kind="mergesort") if len(vs) else []
+        row_order = (np.argsort(vs, kind="mergesort").tolist()
+                     if len(vs) else [])
+        vs_l = vs.tolist()
+        plon_l = d["proximity_lon"]
+        plat_l = d["proximity_lat"]
+        tmpid_l = d["tmpid"]
+        addr_l = d["address"]
         bound = None
         for ri in row_order:
-            ri = int(ri)
-            if bound != vs[ri]:
-                bound = int(vs[ri])
+            if bound != vs_l[ri]:
+                bound = vs_l[ri]
                 self._bind_shard(bound)
-            plon, plat = d["proximity_lon"][ri], d["proximity_lat"][ri]
+            plon, plat = plon_l[ri], plat_l[ri]
             has_prox = plon is not None
-            tmpid = int(d["tmpid"][ri])
+            tmpid = tmpid_l[ri]
             frow = self.index.row_by_tmpid(tmpid)
             if frow is None:
                 _hyd_tombstone(rows, d, ri)
                 continue
-            feature = self.index.feature_at(frow)
+            feature = self._feat(frow)
             ctx = self._ctx(frow, feature)
-            addr_number = d["address"][ri]
+            addr_number = addr_l[ri]
             partial = bool(d["partial_number"][ri]) if "partial_number" in d else False
             if addr_number and partial:
                 # prefix-only resolution; prefix-miss features are
@@ -833,17 +857,23 @@ class VerifyHydrate:
                 # feat_radius / squishy overrides below may replace it
                 scoredist *= 300
 
-            display, matched_lang = _display_text(feature, None)
-            overrides = {}
-            ojson = getattr(feature, "overrides_json", "") or ""
-            if ojson:
-                overrides = _json.loads(ojson)
-            ctx_names = []
-            for c in ctx:
-                if c.layer in overrides and str(c.text) != overrides[c.layer]:
-                    ctx_names.append(overrides[c.layer])
-                else:
-                    ctx_names.append(_display_text(c, None)[0])
+            disp = self._disp_cache.get(frow)
+            if disp is None:
+                display, matched_lang = _display_text(feature, None)
+                overrides = {}
+                ojson = getattr(feature, "overrides_json", "") or ""
+                if ojson:
+                    overrides = _json.loads(ojson)
+                ctx_names = []
+                for c in ctx:
+                    if c.layer in overrides and str(c.text) != overrides[c.layer]:
+                        ctx_names.append(overrides[c.layer])
+                    else:
+                        ctx_names.append(_display_text(c, None)[0])
+                disp = (display, matched_lang, ctx_names)
+                self._disp_cache[frow] = disp
+            else:
+                display, matched_lang, ctx_names = disp
             if self.index.config is not None and self.index.config.place_format:
                 place_name = self.index.config.render_place_name(
                     display, ctx_names, matched_address, language=matched_lang)
@@ -940,95 +970,116 @@ def assemble_shard(shard_group: pa.Table) -> pa.Table:
     D2 place-name dedup, D3 ghost-vs-scored dedup, the fused path's
     total-order sort, limit, cell derivation. One shuffle group holds
     many queries (coarse qshard); exact grouping is done inside.
-    Arrow in / Arrow out like coalesce_shard."""
+    Arrow in / Arrow out like coalesce_shard. Candidates are handled as
+    row indices over bulk-converted column lists — the per-candidate
+    30-field dicts this replaces were half the stage's CPU."""
+    from .coalesce import ChunkedVerifyPlanner
     from .engine import attach_cells
 
     rows = {name: [] for name, _ in RESULT_FIELDS}
-    cols = {c: shard_group.column(c).to_numpy(zero_copy_only=False)
-            for c in shard_group.column_names}
-    qids = cols["query_id"]
-    order = np.argsort(qids, kind="mergesort")
-    sorted_qids = qids[order]
-    bounds = np.flatnonzero(np.concatenate(
-        [[True], sorted_qids[1:] != sorted_qids[:-1]]))
-    bounds = np.append(bounds, len(sorted_qids))
-    hyd_names = [n for n, _ in _HYD_FIELDS]
-    for b in range(len(bounds) - 1):
-        sel = order[bounds[b]:bounds[b + 1]]
-        cands = [
-            {n: cols[n][i] for n in hyd_names}
-            for i in sel
-        ]
-        # fused tie order: stacks are visited si-ascending and a later
-        # candidate replaces only on strictly greater (relevance,
-        # composite) — sort by si to recreate first-stack-wins
-        cands.sort(key=lambda c: c["si"])
-        qid = cands[0]["query_id"]
-        lim = int(cands[0]["limit"])
-        # replay the fused path's chunked verify (backfill + early stop)
-        # against the known outcomes: only candidates the protocol would
-        # actually have verified survive; tombstones never do
-        from .coalesce import ChunkedVerifyPlanner
-
-        kept = set(ChunkedVerifyPlanner(
-            [float(c["st_relev"]) for c in cands],
-            [bool(c["partial_number"]) for c in cands],
-        ).replay([bool(c["verified_ok"]) for c in cands]))
-        cands = [c for i, c in enumerate(cands) if i in kept]
-        if not cands:
-            continue
-        best: dict[int, dict] = {}
-        for cand in cands:
-            prev = best.get(cand["tmpid"])
-            if prev is None or (cand["relevance"], cand["composite"]) > (
-                    prev["relevance"], prev["composite"]):
-                best[cand["tmpid"]] = cand
-
-        # D2 place-name dedup, then D3 ghost-vs-scored (fused order)
-        results = []
-        seen_names: set[str] = set()
-        for cand in sorted(best.values(), key=lambda x: (
-                -x["relevance"], -x["composite"], -x["scoredist"], x["idx"], x["fid"])):
-            if cand["place_name"] in seen_names:
+    if shard_group.num_rows:
+        # numerics to plain python lists (cheap C tolist; python-float
+        # compares in the sorts), strings/lists stay object arrays —
+        # to_pydict on the wide list<string> context column measured 2x
+        # slower than this split conversion
+        d = {}
+        for c in shard_group.column_names:
+            col = shard_group.column(c)
+            arr = col.to_numpy(zero_copy_only=False)
+            if arr.dtype != object:
+                arr = arr.tolist()
+            d[c] = arr
+        qids = shard_group.column("query_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(qids, kind="mergesort")
+        sorted_qids = qids[order]
+        bounds = np.flatnonzero(np.concatenate(
+            [[True], sorted_qids[1:] != sorted_qids[:-1]]))
+        bounds = np.append(bounds, len(sorted_qids))
+        si_l = d["si"]
+        st_l = d["st_relev"]
+        pnum_l = d["partial_number"]
+        ok_l = d["verified_ok"]
+        rel_l = d["relevance"]
+        comp_l = d["composite"]
+        sd_l = d["scoredist"]
+        idx_l = d["idx"]
+        fid_l = d["fid"]
+        tmpid_l = d["tmpid"]
+        name_l = d["place_name"]
+        score_l = d["score"]
+        lim_l = d["limit"]
+        for b in range(len(bounds) - 1):
+            sel = order[bounds[b]:bounds[b + 1]].tolist()
+            # fused tie order: stacks are visited si-ascending and a
+            # later candidate replaces only on strictly greater
+            # (relevance, composite) — sort by si to recreate
+            # first-stack-wins
+            sel.sort(key=lambda i: si_l[i])
+            qid = qids[sel[0]]
+            lim = lim_l[sel[0]]
+            # replay the fused path's chunked verify (backfill + early
+            # stop) against the known outcomes: only candidates the
+            # protocol would actually have verified survive; tombstones
+            # never do
+            kept = set(ChunkedVerifyPlanner(
+                [st_l[i] for i in sel],
+                [pnum_l[i] for i in sel],
+            ).replay([ok_l[i] for i in sel]))
+            cand = [i for k, i in enumerate(sel) if k in kept]
+            if not cand:
                 continue
-            seen_names.add(cand["place_name"])
-            results.append(cand)
-        # D3 order-dependent ghost filter, identical to the fused path
-        scored_texts = set()
-        deduped = []
-        for r in results:
-            text = r["place_name"].split(",")[0].strip().lower()
-            if r["score"] >= 0 or text not in scored_texts:
-                deduped.append(r)
-                if r["score"] >= 0:
-                    scored_texts.add(text)
-        results = deduped
-        results.sort(key=lambda x: (
-            -x["relevance"], -x["composite"], -x["scoredist"], x["idx"], x["fid"]))
-        for rank, res in enumerate(results[:lim]):
-            out = {
-                "feature_id": res["feature_id"], "relevance": float(res["relevance"]),
-                "place_name": res["place_name"],
-                "center_lon": float(res["center_lon"]),
-                "center_lat": float(res["center_lat"]),
-                "zoom": int(res["fzoom"]),
-                "context": list(res["context"]),
-                "score": float(res["score"]), "scoredist": float(res["scoredist"]),
-                "address": res["address"],
-                "routable_lon": res["routable_lon"],
-                "routable_lat": res["routable_lat"],
-                "matching_text": res["matching_text"],
-                "matching_language": res["matching_language"],
-                "language": res["language"],
-                # NaN (pandas null) → None so both paths emit arrow nulls
-                **{k: (None if res[k] is None or res[k] != res[k] else float(res[k]))
-                   for k in ("bbox_w", "bbox_s", "bbox_e", "bbox_n")},
-                "rank": rank,
-            }
-            attach_cells(out)  # cells only for surviving rows
-            rows["query_id"].append(qid)
-            for name, _ in RESULT_FIELDS[1:]:
-                rows[name].append(out.get(name))
+            best: dict[int, int] = {}
+            for i in cand:
+                t = tmpid_l[i]
+                prev = best.get(t)
+                if prev is None or (rel_l[i], comp_l[i]) > (
+                        rel_l[prev], comp_l[prev]):
+                    best[t] = i
+
+            # D2 place-name dedup, then D3 ghost-vs-scored (fused order)
+            results = []
+            seen_names: set[str] = set()
+            for i in sorted(best.values(), key=lambda i: (
+                    -rel_l[i], -comp_l[i], -sd_l[i], idx_l[i], fid_l[i])):
+                if name_l[i] in seen_names:
+                    continue
+                seen_names.add(name_l[i])
+                results.append(i)
+            # D3 order-dependent ghost filter, identical to the fused path
+            scored_texts: set[str] = set()
+            deduped = []
+            for i in results:
+                text = name_l[i].split(",")[0].strip().lower()
+                if score_l[i] >= 0 or text not in scored_texts:
+                    deduped.append(i)
+                    if score_l[i] >= 0:
+                        scored_texts.add(text)
+            for rank, i in enumerate(deduped[:lim]):
+                out = {
+                    "feature_id": d["feature_id"][i],
+                    "relevance": rel_l[i],
+                    "place_name": name_l[i],
+                    "center_lon": d["center_lon"][i],
+                    "center_lat": d["center_lat"][i],
+                    "zoom": d["fzoom"][i],
+                    "context": d["context"][i],
+                    "score": score_l[i], "scoredist": sd_l[i],
+                    "address": d["address"][i],
+                    "routable_lon": d["routable_lon"][i],
+                    "routable_lat": d["routable_lat"][i],
+                    "matching_text": d["matching_text"][i],
+                    "matching_language": d["matching_language"][i],
+                    "language": d["language"][i],
+                    # NaN (pandas null) -> None so both paths emit nulls
+                    **{k: (None if d[k][i] is None or d[k][i] != d[k][i]
+                           else float(d[k][i]))
+                       for k in ("bbox_w", "bbox_s", "bbox_e", "bbox_n")},
+                    "rank": rank,
+                }
+                attach_cells(out)  # cells only for surviving rows
+                rows["query_id"].append(qid)
+                for name, _ in RESULT_FIELDS[1:]:
+                    rows[name].append(out.get(name))
     return pa.table({name: pa.array(rows[name], type=t) for name, t in RESULT_FIELDS})
 
 
