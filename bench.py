@@ -165,6 +165,31 @@ def run_scaling() -> dict:
     scaling_queries = os.environ.get(
         "GRAFT_SCALING_QUERIES", str(4 * N_QUERIES))
 
+    def physical_core_pins(n: int) -> str:
+        """CPU list covering n distinct PHYSICAL cores (one logical CPU
+        per core). `0..n-1` assumes SMT siblings are enumerated in the
+        upper logical range; hosts with interleaved numbering (cpu0/1 =
+        one core) would otherwise pin the small leg to n/2 cores and
+        inflate the scaling ratio. Falls back to 0..n-1 when sysfs is
+        unreadable."""
+        import glob
+
+        firsts = []
+        try:
+            for p in glob.glob(
+                    "/sys/devices/system/cpu/cpu[0-9]*/topology/"
+                    "thread_siblings_list"):
+                cpu = int(p.split("cpu")[-1].split("/")[0])
+                sib = open(p).read().strip()
+                lead = sib.replace("-", ",").split(",")[0]
+                if cpu == int(lead):
+                    firsts.append(cpu)
+        except (OSError, ValueError):
+            firsts = []
+        if len(firsts) < n:
+            return f"0-{n - 1}"
+        return ",".join(str(c) for c in sorted(firsts)[:n])
+
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_OPS="1",
                    GRAFT_SKIP_FUSED="1",
@@ -177,7 +202,7 @@ def run_scaling() -> dict:
         # 556 q/s unpinned/pinned at 8). An N-node cluster has N nodes'
         # cores; the pinned leg is the honest sandbox proxy.
         if shutil.which("taskset"):
-            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
+            cmd = ["taskset", "-c", physical_core_pins(ncpu)] + cmd
         out = subprocess.run(
             cmd, env=env, capture_output=True, text=True, check=True,
         ).stdout

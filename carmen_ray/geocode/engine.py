@@ -2283,7 +2283,12 @@ class ForwardGeocoder:
                     raise ValueError(
                         f"forward query {q!r} routed to a reverse/id-only "
                         "pool (constructed with reverse_only=True)")
-                p = (plon, plat) if plon is not None and plat is not None else None
+                # both-or-neither, NaN-safe — same ingest normalization
+                # as PhrasematchStage so both paths agree on malformed
+                # half-set proximity rows
+                p = ((plon, plat)
+                     if plon is not None and plon == plon
+                     and plat is not None and plat == plat else None)
                 results = forward_one(self.index, q, proximity=p, limit=lim,
                                       types=list(qtypes) if qtypes is not None and len(qtypes) else None,
                                       language=qlang, worldview=qwv)

@@ -309,6 +309,16 @@ class PhrasematchStage:
         )
 
         rows = {name: [] for name in PM_SCHEMA.names}
+        # proximity is both-or-neither from here on: a malformed row
+        # with lon set but lat null/NaN (or vice versa) must not let
+        # half the pipeline treat it as a proximity query — downstream
+        # gates (coalesce prox pass, _prune_grids, verify) key on lon
+        # alone, so normalize once at ingest
+        plon = [lo if (lo is not None and lo == lo
+                       and la is not None and la == la) else None
+                for lo, la in zip(plon, plat)]
+        plat = [la if lo is not None else None
+                for lo, la in zip(plon, plat)]
         for qid, q, lo, la, lim in zip(qids, queries, plon, plat, lims):
             if self.index.global_rules:
                 q = replace_global_tokens(self.index.global_rules, q)
@@ -445,7 +455,10 @@ class PhrasematchStage:
         # bit-identical either way (test_pm_prune_parity).
         if _os.environ.get("GRAFT_PM_PRUNE", "0") == "0":
             return pms
-        has_prox = lo is not None and la is not None and lo == lo
+        # same gate as the coalesce stage (lon alone, NaN-safe) — ingest
+        # normalizes proximity to both-or-neither, so keying on lon here
+        # can never diverge from downstream ordering
+        has_prox = lo is not None and lo == lo
         work = [(k, pm) for k, pm in enumerate(pms)
                 if (has_prox and getattr(pm, "partial_number", False))
                 or len(pm.grids) > MAX_GRIDS_PER_PM]
@@ -1015,6 +1028,20 @@ def assemble_shard(shard_group: pa.Table) -> pa.Table:
             # (relevance, composite) — sort by si to recreate
             # first-stack-wins
             sel.sort(key=lambda i: si_l[i])
+            # exchange-invariant guard: the boundary sorts hand each
+            # qshard partition to exactly ONE map_batches call (Ray
+            # 2.49's sort reduce emits one block per partition, pinned
+            # by test_exchange_invariant). If a future Ray splits
+            # reduce outputs, a query's candidates straddle two coalesce
+            # batches and each fragment restarts si at 0 — duplicated
+            # ordinals here are that failure's deterministic signature.
+            if len({si_l[i] for i in sel}) != len(sel):
+                raise RuntimeError(
+                    "duplicate stack ordinals for query "
+                    f"{qids[sel[0]]!r}: an upstream exchange partition "
+                    "was split across batches (one-block-per-partition "
+                    "sort invariant broken — see staged.py exchange "
+                    "comments)")
             qid = qids[sel[0]]
             lim = lim_l[sel[0]]
             # replay the fused path's chunked verify (backfill + early
