@@ -816,15 +816,86 @@ class VerifyHydrate:
         plat_l = d["proximity_lat"]
         tmpid_l = d["tmpid"]
         addr_l = d["address"]
+
+        # ---- batched proximity pre-pass --------------------------------
+        # resolve feature rows once, then compute dist + base scoredist
+        # for every proximity row with THE SAME numpy ufunc formulas as
+        # the fused path's attach_proximity (engine.py) — the previous
+        # math-module scalar "fast path" differed from numpy in the last
+        # ulp (libm vs SIMD kernels, radians-of-difference vs
+        # difference-of-radians), which tools/make_goldens' staged==fused
+        # second-source check caught on 2.3% of sf0.01 rows. numpy ufuncs
+        # are value-stable across array shapes, so one batch-wide pass
+        # reproduces the fused per-pm arrays bit-exactly.
+        frows: list = []
         bound = None
         for ri in row_order:
+            if bound != vs_l[ri]:
+                bound = vs_l[ri]
+                self._bind_shard(bound)
+            frows.append(self.index.row_by_tmpid(tmpid_l[ri]))
+        dist_by_ri: dict = {}
+        sdist_by_ri: dict = {}
+        psel = [(k, ri) for k, ri in enumerate(row_order)
+                if plon_l[ri] is not None and frows[k] is not None]
+        if psel:
+            px = np.array([plon_l[ri] for _, ri in psel])
+            py = np.array([plat_l[ri] for _, ri in psel])
+            # feature centers via the per-shard materialized rows
+            bound = None
+            clon = np.empty(len(psel))
+            clat = np.empty(len(psel))
+            crad = np.empty(len(psel))
+            for j, (k, ri) in enumerate(psel):
+                if bound != vs_l[ri]:
+                    bound = vs_l[ri]
+                    self._bind_shard(bound)
+                f = self._feat(frows[k])
+                clon[j] = f.center_lon
+                clat[j] = f.center_lat
+                r = self.index.layer_coalesce_radius.get(f.layer)
+                crad[j] = r if r else 0.0
+            gx = np.array([d["gx"][ri] for _, ri in psel], dtype=np.float64)
+            gy = np.array([d["gy"][ri] for _, ri in psel], dtype=np.float64)
+            zoom_a = np.array([d["zoom"][ri] for _, ri in psel],
+                              dtype=np.int64)
+            gscore_a = np.array([d["gscore"][ri] for _, ri in psel])
+            center_d = prox.haversine_miles(px, py, clon, clat)
+            nz = 2.0 ** zoom_a
+            max_corner = np.zeros(len(psel))
+            for dx in (0.0, 1.0):
+                for dy in (0.0, 1.0):
+                    lon = (gx + dx) / nz * 360.0 - 180.0
+                    lat = np.degrees(np.arctan(
+                        np.sinh(np.pi * (1 - 2 * (gy + dy) / nz))))
+                    dd = prox.haversine_miles(px, py, lon, lat)
+                    max_corner = np.maximum(max_corner, dd)
+            dist_a = np.minimum(center_d, max_corner)
+            # scoredist with the per-source geocoder_coalesce_radius
+            # override, exactly like attach_proximity (the top cover IS
+            # this feature, so its layer radius applies); zoom→radius
+            # mapped like scale_radius, vectorized
+            radii = np.array([prox.scale_radius(int(z)) for z in (6, 12, 14)])
+            r_sel = np.where(zoom_a <= 6, radii[0],
+                             np.where(zoom_a <= 12, radii[1], radii[2]))
+            r_sel = np.where(crad > 0, crad, r_sel)
+            dw = 9.0 * prox.gauss(dist_a / r_sel * 3.0,
+                                  prox._VARIANCE_CONSTANT) + 1.0
+            sd_a = dw * prox.score_weight(
+                gscore_a, self.index.min_score, self.index.max_score)
+            for j, (_, ri) in enumerate(psel):
+                dist_by_ri[ri] = float(dist_a[j])
+                sdist_by_ri[ri] = float(sd_a[j])
+
+        bound = None
+        for k, ri in enumerate(row_order):
             if bound != vs_l[ri]:
                 bound = vs_l[ri]
                 self._bind_shard(bound)
             plon, plat = plon_l[ri], plat_l[ri]
             has_prox = plon is not None
             tmpid = tmpid_l[ri]
-            frow = self.index.row_by_tmpid(tmpid)
+            frow = frows[k]
             if frow is None:
                 _hyd_tombstone(rows, d, ri)
                 continue
@@ -850,17 +921,10 @@ class VerifyHydrate:
             if resolved and resolved.get("line"):
                 routable = nearest_point_on_multiline(
                     resolved["lon"], resolved["lat"], [resolved["line"]])
-            zoom_pm = int(d["zoom"][ri])
             gscore = float(d["gscore"][ri])
             if has_prox:
-                # fused attach_proximity bound via the scalar fast path
-                dist = prox.cover_dist_miles(
-                    plon, plat, float(feature.center_lon),
-                    float(feature.center_lat),
-                    float(d["gx"][ri]), float(d["gy"][ri]), zoom_pm)
-                scoredist = float(prox.scoredist(
-                    gscore, self.index.min_score, self.index.max_score,
-                    dist, zoom_pm))
+                dist = dist_by_ri[ri]
+                scoredist = sdist_by_ri[ri]
             else:
                 dist = 0.0
                 scoredist = gscore

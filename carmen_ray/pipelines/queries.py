@@ -938,6 +938,20 @@ QUERIES["events_topk_per_type"] = q_events_topk_per_type
 ORACLES["events_topk_per_type"] = SQL_EVENTS_TOPK_PER_TYPE
 
 
+def canon_geocode_nulls(df):
+    """Null-string canonicalization for the hash compare: arrow string
+    nulls and DuckDB VARCHAR nulls round-trip differently through the
+    driver's pandas conversion (None vs NaN), so the registry entry —
+    and the golden generated from it — emit "" instead. Float nulls
+    (routable_*, bbox_*) survive as NaN identically on both sides.
+    Shared with tools/make_goldens.py, which applies the SAME
+    canonicalization to the fused second-source run."""
+    for c in ("matching_text", "matching_language", "language",
+              "address", "cell_zxy"):
+        df[c] = df[c].fillna("")
+    return df
+
+
 def q_geocode_join(sf_dir: str):
     """The flagship geocode-join as a registry entry: deterministic
     corpus → index build → mixed forward/proximity/reverse/id query
@@ -950,19 +964,7 @@ def q_geocode_join(sf_dir: str):
     from .flagship import flagship
 
     ds = flagship(sf_dir, concurrency=2, n_queries=400)
-
-    # null-string canonicalization for the hash compare: arrow string
-    # nulls and DuckDB VARCHAR nulls round-trip differently through the
-    # driver's pandas conversion (None vs NaN), so the registry entry —
-    # and the golden generated from it — emit "" instead. Float nulls
-    # (routable_*, bbox_*) survive as NaN identically on both sides.
-    def canon_nulls(df):
-        for c in ("matching_text", "matching_language", "language",
-                  "address", "cell_zxy"):
-            df[c] = df[c].fillna("")
-        return df
-
-    return ds.map_batches(canon_nulls, batch_format="pandas")
+    return ds.map_batches(canon_geocode_nulls, batch_format="pandas")
 
 
 QUERIES["geocode_join"] = q_geocode_join
@@ -973,6 +975,61 @@ QUERIES["geocode_join"] = q_geocode_join
 ORACLES["geocode_join"] = (
     "SELECT * FROM read_parquet('/root/repo/goldens/geocode_join_sf0.01.parquet')"
 )
+
+
+def q_phrase_rank_ids(sf_dir: str):
+    """Distinct (phrase, phrase_id) of the streaming index build — the
+    distributed prefix-bin rank shuffle (index/build.assign_phrase_ids,
+    cf. the reference's FST phrase numbering, lib/indexer/index.js).
+    Oracle: DuckDB re-derives the ids DECLARATIVELY from the committed
+    phrase strings (pbin arithmetic + a dense_rank window), so the
+    shuffle's rank assignment is checked against an independent SQL
+    spec rather than its own output."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .flagship import build_corpus_and_index_streaming, corpus_scale_for
+
+    _, index_dir = build_corpus_and_index_streaming(
+        scale=corpus_scale_for(sf_dir), load=False)
+    ds = rd.read_parquet(f"{index_dir}/phrasegrid",
+                         columns=["phrase", "phrase_id"])
+
+    def distinct(b):
+        return b.group_by(["phrase", "phrase_id"]).aggregate([])
+
+    # per-batch distinct, then a global unique on the tiny result
+    out = ds.map_batches(distinct, batch_format="pyarrow")
+    tbl = pa.concat_tables(
+        [pa.table(b) for b in out.iter_batches(batch_format="pyarrow")],
+        promote_options="default")
+    tbl = tbl.group_by(["phrase", "phrase_id"]).aggregate([])
+    return tbl.sort_by([("phrase", "ascending")])
+
+
+QUERIES["phrase_rank_ids"] = q_phrase_rank_ids
+
+# independent declarative spec of the prefix-bin rank ids:
+# pbin = ord(first char)*256 + ord(second char)%256 (0 when absent);
+# phrase_id = pbin << 40 | dense-rank of phrase within its bin
+ORACLES["phrase_rank_ids"] = """
+WITH t AS (
+  SELECT DISTINCT phrase
+  FROM read_parquet('/root/repo/goldens/phrase_terms_sf0.01.parquet')
+), b AS (
+  SELECT phrase,
+         (CASE WHEN length(phrase) >= 1
+               THEN ascii(substr(phrase, 1, 1)) ELSE 0 END) * 256
+         + (CASE WHEN length(phrase) >= 2
+                 THEN ascii(substr(phrase, 2, 1)) % 256 ELSE 0 END) AS pbin
+  FROM t
+)
+SELECT phrase,
+       pbin * 1099511627776 + (dense_rank() OVER (
+           PARTITION BY pbin ORDER BY phrase) - 1) AS phrase_id
+FROM b
+ORDER BY phrase
+"""
 
 
 def q_geojson_ingest(sf_dir: str):
