@@ -75,7 +75,11 @@ class Geocoder:
             return [r for r in res if r["feature_id"] == feat.doc_id] or res[:1]
         rev = as_reverse(query)
         if rev is not None:
-            return reverse_one(self._data, rev[0], rev[1], limit=limit, types=types)
+            return reverse_one(self._data, rev[0], rev[1], limit=limit,
+                               types=types,
+                               worldview=options.get("worldview"),
+                               language=options.get("language"),
+                               language_mode=options.get("languageMode"))
         return forward_one(
             self._data, query,
             proximity=options.get("proximity"),
@@ -87,6 +91,7 @@ class Geocoder:
             language_mode=options.get("languageMode"),
             stacks=options.get("stacks"),
             bbox=options.get("bbox"),
+            worldview=options.get("worldview"),
         )
 
     def geocode_batch(self, queries_ds, concurrency: int = 4, batch_size: int = 256):

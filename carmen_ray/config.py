@@ -50,6 +50,14 @@ class LayerConfig:
 
     name: str
     zoom: int = 6
+    # geocoder_name (index.js:121): the TYPE this layer serves; several
+    # layers may share one name (worldview-split sources) and behave as
+    # a single type for filters/context. None → the layer's own name.
+    geocoder_name: str | None = None
+    # geocoder_types (index.js:123): ALL types this layer can host
+    # (multityped features); defaults to [geocoder_name]. Gates the
+    # forward types filter at the source level (sourceMatchesTypes).
+    geocoder_types: list[str] = field(default_factory=list)
     geocoder_address: bool = False
     geocoder_tokens: dict = field(default_factory=dict)
     geocoder_stack: list[str] = field(default_factory=list)
@@ -99,6 +107,11 @@ class GeocoderConfig:
     fuzzy_match: bool = True
     autocomplete: bool = True
     layers: dict[str, LayerConfig] = field(default_factory=dict)
+    # options.worldviews (index.js:77): configured worldviews, FIRST is
+    # the query-time default; empty list = worldviews feature unused
+    # (layers bound via geocoder_worldview still filter when a query
+    # passes an explicit worldview, the pre-r5 behavior)
+    worldviews: list[str] = field(default_factory=list)
     # geocoder_format (format-features.js getPlaceName template role):
     # placeholders {address} {name} {context}; None → carmen default
     # "{address} {name}, {context}"

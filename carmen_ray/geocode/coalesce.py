@@ -167,12 +167,23 @@ def stack_and_coalesce(
         return []
     pms = sorted(phrasematches, key=lambda p: (p.idx, p.mask))
 
-    # prune + pre-bucket grids per pm
+    # prune + pre-bucket grids per pm. The cap bounds DISTINCT FEATURES
+    # (whale phrases hold thousands of tmpids), never cells of a kept
+    # feature: a >cap-cover polygon (a country at its native zoom) must
+    # keep every cell or the containment probe below loses exactly the
+    # cell that aligns with a finer stack partner (carmen-core stacks
+    # over all grids; the cap is this engine's guardrail).
     pm_grids: dict[int, list[Grid]] = {}
     for i, pm in enumerate(pms):
         grids = pm.grids
         if len(grids) > MAX_GRIDS_PER_PM:
-            grids = sorted(grids, key=lambda g: (-g.relev, -g.scoredist, g.tmpid))[:MAX_GRIDS_PER_PM]
+            order = sorted(grids, key=lambda g: (-g.relev, -g.scoredist, g.tmpid))
+            kept: set = set()
+            for g in order:
+                if len(kept) >= MAX_GRIDS_PER_PM:
+                    break
+                kept.add(g.tmpid)
+            grids = [g for g in order if g.tmpid in kept]
         pm_grids[i] = grids
 
     partials: list[Stack] = []

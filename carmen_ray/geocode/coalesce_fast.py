@@ -340,8 +340,26 @@ def coalesce_shard_table(shard_group: pa.Table) -> pa.Table:
         seg_starts = np.concatenate(
             ([0], np.flatnonzero(sorted_row[1:] != sorted_row[:-1]) + 1))
         seg_lens = np.diff(np.concatenate((seg_starts, [len(sorted_row)])))
-        rank = np.arange(len(sorted_row)) - np.repeat(seg_starts, seg_lens)
-        top = rank < MAX_GRIDS_PER_PM
+        # cap DISTINCT FEATURES per pm, not raw cells (mirror of the
+        # object kernel's kept-tmpid cut): a grid survives when its
+        # tmpid is among the row's first MAX_GRIDS_PER_PM distinct
+        # tmpids in quality order — every cell of a kept polygon stays.
+        t = G_tmpid[sorted_gidx]
+        pos = np.arange(len(t))
+        pair_order = np.lexsort((pos, t, sorted_row))
+        pt, pr = t[pair_order], sorted_row[pair_order]
+        newpair = np.concatenate(
+            ([True], (pt[1:] != pt[:-1]) | (pr[1:] != pr[:-1]))) \
+            if len(pt) else np.zeros(0, dtype=bool)
+        grp_id = np.cumsum(newpair) - 1
+        first_pos_of_grp = pos[pair_order][newpair]
+        elem_first_pos = np.empty(len(t), dtype=np.int64)
+        elem_first_pos[pair_order] = first_pos_of_grp[grp_id]
+        is_new = elem_first_pos == pos
+        new_cum = np.cumsum(is_new)
+        seg_base = new_cum[seg_starts] - is_new[seg_starts]
+        drank_at_pos = new_cum - 1 - np.repeat(seg_base, seg_lens)
+        top = drank_at_pos[elem_first_pos] < MAX_GRIDS_PER_PM
         top_gidx = sorted_gidx[top]
         top_row = sorted_row[top]
         cut = np.flatnonzero(top_row[1:] != top_row[:-1]) + 1

@@ -522,8 +522,16 @@ class PhrasematchStage:
                 sdk = sd[keep]
                 tmpid = pm.idx * (1 << 25) + dec["id"][keep]
                 # stable ascending by (-relev, -scoredist, tmpid) ==
-                # sorted(key=(-g.relev, -g.scoredist, g.tmpid))
-                order = np.lexsort((tmpid, -sdk, -relev))[:MAX_GRIDS_PER_PM]
+                # sorted(key=(-g.relev, -g.scoredist, g.tmpid)); the cap
+                # keeps the first MAX distinct tmpids' grids COMPLETE
+                # (the downstream kept-tmpid cut — cells of a kept
+                # polygon must all survive)
+                order = np.lexsort((tmpid, -sdk, -relev))
+                ts = tmpid[order]
+                _, first_idx, inv = np.unique(ts, return_index=True,
+                                              return_inverse=True)
+                drank = np.argsort(np.argsort(first_idx))[inv]
+                order = order[drank < MAX_GRIDS_PER_PM]
                 keep = keep[order]
             if keep.size != n_g:
                 pm.grids = g[keep].tolist()

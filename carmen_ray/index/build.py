@@ -84,7 +84,20 @@ def build_lang_map(parsed_ds) -> dict[str, int]:
 # ------------------------------------------------------------ parse docs
 
 
-def parse_docs_batch(batch: pa.Table) -> pa.Table:
+def layer_meta_from_config(config) -> dict | None:
+    """layer → (idx, zoom) from the config's declaration ORDER, the way
+    carmen numbers indexes by constructor order (index.js:96-123). Only
+    kicks in when the config declares a layer outside the built-in
+    LAYER_IDX table (e.g. worldview-split sources like country_wv_us),
+    so corpora over the standard layer names keep their pinned idx."""
+    layers = getattr(config, "layers", None) if config is not None else None
+    if not layers or all(name in LAYER_IDX for name in layers):
+        return None
+    return {name: (pos, int(getattr(lc, "zoom", LAYER_ZOOM.get(name, 6))))
+            for pos, (name, lc) in enumerate(layers.items())}
+
+
+def parse_docs_batch(batch: pa.Table, layer_meta: dict | None = None) -> pa.Table:
     """spans → typed feature columns. Keeps the spans column verbatim so
     the span-sequence invariant survives every downstream projection."""
     doc_ids = batch["doc_id"].to_pylist()
@@ -98,15 +111,18 @@ def parse_docs_batch(batch: pa.Table) -> pa.Table:
         "covers_x": [], "covers_y": [], "media_refs": [], "spans": [],
         "addr_numbers_json": [], "addr_range_json": [],
         "intersections_json": [], "proximity_radius": [], "overrides_json": [],
-        "addr_style": [],
+        "addr_style": [], "stack": [], "types_json": [],
     }
 
     for doc_id, spans in zip(doc_ids, spans_col):
         if spans is None:
             spans = []
         layer = doc_id.split(".", 1)[0]
-        idx = LAYER_IDX.get(layer, len(LAYER_IDX))
-        zoom = LAYER_ZOOM.get(layer, 6)
+        if layer_meta is not None and layer in layer_meta:
+            idx, zoom = layer_meta[layer]
+        else:
+            idx = LAYER_IDX.get(layer, len(LAYER_IDX))
+            zoom = LAYER_ZOOM.get(layer, 6)
         try:
             fid = int(doc_id.split(".", 1)[1])
         except (IndexError, ValueError):
@@ -119,6 +135,8 @@ def parse_docs_batch(batch: pa.Table) -> pa.Table:
         intersections = []
         prox_radius = 0.0
         overrides = {}
+        stack = ""
+        ftypes: list[str] = []
         for s in sorted(spans, key=lambda s: s["offset"]):
             k = s["kind"]
             if k == "text" and not text:
@@ -155,6 +173,13 @@ def parse_docs_batch(batch: pa.Table) -> pa.Table:
                 intersections.append(s["text"])
             elif k == "proximity_radius":
                 prox_radius = float(s["text"])
+            elif k == "stack":
+                # carmen:geocoder_stack — a single string per feature
+                # (indexdocs.js:187-188 rejects non-strings)
+                stack = s["text"] or ""
+            elif k == "types":
+                # carmen:types multi-typing (comma-separated)
+                ftypes = [t for t in s["text"].split(",") if t]
             elif k.startswith("override:"):
                 overrides[k[len("override:"):]] = s["text"]
 
@@ -174,7 +199,11 @@ def parse_docs_batch(batch: pa.Table) -> pa.Table:
         out["fid"].append(fid % (1 << 20))
         out["text"].append(text)
         out["synonyms"].append(synonyms)
-        out["langs_json"].append(json.dumps(langs, sort_keys=True))
+        # span (authoring) order preserved: closest-lang's scored-tie
+        # break is the candidate enumeration order, like the reference's
+        # stable sort over feature property order (languageFallback:
+        # ar→ur wins over fa because text_ur is authored first)
+        out["langs_json"].append(json.dumps(langs))
         out["score"].append(score)
         out["center_lon"].append(center[0])
         out["center_lat"].append(center[1])
@@ -193,6 +222,8 @@ def parse_docs_batch(batch: pa.Table) -> pa.Table:
         out["proximity_radius"].append(prox_radius)
         out["overrides_json"].append(json.dumps(overrides, sort_keys=True) if overrides else "")
         out["addr_style"].append(addr_style)
+        out["stack"].append(stack)
+        out["types_json"].append(json.dumps(ftypes) if ftypes else "")
 
     schema_overrides = {
         "idx": pa.int32(), "zoom": pa.int32(), "fid": pa.int64(),
@@ -581,7 +612,9 @@ def build_index(docs_ds, freq_min_count: int = 1, config=None) -> CarmenIndex:
     import ray
     import pyarrow as _pa
 
-    parsed = docs_ds.map_batches(parse_docs_batch, batch_format="pyarrow")
+    parsed = docs_ds.map_batches(
+        parse_docs_batch, batch_format="pyarrow",
+        fn_kwargs={"layer_meta": layer_meta_from_config(config)})
     parsed = parsed.materialize()  # reused by 3 downstream branches
 
     # one extra execution total: frequency aggregate (vocab is capped)
@@ -626,6 +659,7 @@ def build_index(docs_ds, freq_min_count: int = 1, config=None) -> CarmenIndex:
         "bbox_w", "bbox_s", "bbox_e", "bbox_n", "spans",
         "addr_numbers_json", "addr_range_json", "intersections_json",
         "proximity_radius", "overrides_json", "addr_style",
+        "stack", "types_json",
     ]
     feat_tbl = feat_tbl.select(feature_cols)
     # canonical feature order: context/reverse tie-breaks are
@@ -682,7 +716,9 @@ def build_index_streaming(docs_ds, out_dir: str, freq_min_count: int = 1,
         with open(_done(table), "w") as fh:
             fh.write("ok")
 
-    parsed = docs_ds.map_batches(parse_docs_batch, batch_format="pyarrow")
+    parsed = docs_ds.map_batches(
+        parse_docs_batch, batch_format="pyarrow",
+        fn_kwargs={"layer_meta": layer_meta_from_config(config)})
     parsed = parsed.materialize()  # block refs only; reused by branches
 
     freq = build_frequency(parsed, min_count=freq_min_count, config=config)
@@ -731,6 +767,7 @@ def build_index_streaming(docs_ds, out_dir: str, freq_min_count: int = 1,
         "bbox_w", "bbox_s", "bbox_e", "bbox_n", "spans",
         "addr_numbers_json", "addr_range_json", "intersections_json",
         "proximity_radius", "overrides_json", "addr_style",
+        "stack", "types_json",
     ]
     os.makedirs(out_dir, exist_ok=True)
     # table-granular resume: a killed `ray job submit` run skips tables

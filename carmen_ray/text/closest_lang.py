@@ -77,6 +77,15 @@ LANGUAGE_BONUSES = {"ru": 2, "en": 2, "ar": 2, "hi": 2}
 SCRIPT_BONUSES = {"Hans": 1, "Latn": 1}
 DIGRAPHIC = ("sr",)
 
+# equivalent-languages.json verbatim (data): languages close enough to
+# pass the languageMode=strict filter for each other
+# (filter-sources.js:137-139 equivalentLanguages)
+EQUIVALENT = {
+    "hr": ["bs", "sr"],
+    "bs": ["hr", "sr"],
+    "sr_Latn": ["bs", "hr"],
+}
+
 
 def normalize_code(code: str) -> str:
     parts = code.replace("-", "_").split("_")
@@ -90,13 +99,16 @@ def normalize_code(code: str) -> str:
 
 
 def has_language(code: str) -> bool:
-    """Loose validity: 2-3 letter base, optional script/region subtags."""
+    """Loose validity: 2-3 letter base; extra subtags just need to be
+    non-empty alnum — the reference's hasLanguage only requires the
+    LANGUAGE component to parse ('bg-nonexistent' is valid and falls
+    back, closest-lang.js:72-81; the language-flag acceptance)."""
     if code == "universal":
         return True
     parts = code.replace("-", "_").split("_")
     if not (2 <= len(parts[0]) <= 3 and parts[0].isalpha()):
         return False
-    return all(1 <= len(p) <= 4 and p.isalnum() for p in parts[1:])
+    return all(p.isalnum() for p in parts[1:])
 
 
 def _script_of(code: str) -> str | None:
@@ -171,6 +183,45 @@ def closest_lang_label(target: str, candidates: list[str],
     if score < 50 or (language_mode == "strict" and winner in DIGRAPHIC):
         return None
     return winner
+
+
+def get_language_code(code: str | None) -> str | None:
+    """Language component of a code; 'universal' passes through
+    (closest-lang.js:306-310 getLanguageCode)."""
+    if code is None:
+        return None
+    if code == "universal":
+        return "universal"
+    if not has_language(code):
+        return None
+    return code.replace("-", "_").split("_")[0].lower()
+
+
+def equivalent_languages(a: str, b: str) -> bool:
+    """filter-sources.js:137-139."""
+    return b in EQUIVALENT.get(a, ())
+
+
+def feature_matches_language(available: dict[str, str], language: str | None,
+                             language_mode: str | None,
+                             default_key: str = "default") -> bool:
+    """languageMode=strict feature filter
+    (filter-sources.js:119-128 featureMatchesLanguage): resolve the
+    closest language label among the feature's translations, then
+    require its language code to equal the requested one, be
+    'universal', or be listed as equivalent."""
+    if not language:
+        return True
+    if language_mode != "strict":
+        return True
+    cands = [k for k in available if k != default_key and available[k]]
+    label = closest_lang_label(language.replace("-", "_"), cands,
+                               language_mode)
+    a = get_language_code(label)
+    b = get_language_code(language)
+    return bool(a and b and (a == "universal" or a == b
+                             or (label is not None
+                                 and equivalent_languages(label, b))))
 
 
 def closest_lang(requested: str, available: dict[str, str],
