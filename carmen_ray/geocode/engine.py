@@ -248,6 +248,7 @@ class IndexData:
             self.n_features = 0
             self.has_feature_stacks = False
             self.has_feature_types = False
+            self.multitype_active = bool(self.layer_type)
             self.doc_index = {}
             self.by_fid = {}
             self._tmpids_sorted = np.empty(0, dtype=np.int64)
@@ -288,6 +289,9 @@ class IndexData:
         self.has_feature_stacks = stk is not None and any(bool(s) for s in stk)
         tjs = self._f.get("types_json")
         self.has_feature_types = tjs is not None and any(bool(t) for t in tjs)
+        # gate for the type-memo walk on the hot path: plain corpora
+        # (no multityping, no name aliasing) keep the direct doc_id path
+        self.multitype_active = self.has_feature_types or bool(self.layer_type)
         self.doc_index = {d: i for i, d in enumerate(self._f["doc_id"])}
         self.by_fid = {
             (int(ix), int(fid)): i
@@ -1250,6 +1254,46 @@ def _feature_types(index: IndexData, feature) -> list[str]:
     return [index.layer_type.get(layer, layer)]
 
 
+def _stack_chain(index: IndexData, feats: list, types=None) -> list:
+    """stackFeatures' type-memo walk (context.js:175-255) over a
+    fine→coarse chain: each feature takes its last-to-first untaken
+    carmen:type; before the first kept feature, a requested-types
+    filter drops both candidate types and whole features (after it,
+    coarser features stack as context regardless of types). Returns
+    [(feature, selected_type)] — the selected type drives the shifted
+    extid ('caracas' multityped [region, place] returned standalone is
+    place.1, geocode-unit.multitype)."""
+    base_types = {t.split(".", 1)[0] for t in types} if types else None
+    memo: set = set()
+    first = False
+    out = []
+    for feat in feats:
+        sel = None
+        for t in reversed(_feature_types(index, feat)):
+            if base_types is not None and not first and t not in base_types:
+                continue
+            if t in memo:
+                continue  # taken; a Polygon never bumps (context.js:216)
+            sel = t
+            break
+        if sel is None:
+            continue
+        memo.add(sel)
+        first = True
+        out.append((feat, sel))
+    return out
+
+
+def _extid(index: IndexData, feat, sel_type: str) -> str:
+    """carmen:extid reconstruction (context.js:213): type-shifted ids
+    for multityped / name-aliased features; plain features keep their
+    exact document id (ids are not required to be '<layer>.<int>')."""
+    layer = str(feat.layer)
+    if sel_type == layer:
+        return str(feat.doc_id)
+    return f"{sel_type}.{int(feat.fid)}"
+
+
 def _feature_matches_stacks(feature, stacks) -> bool:
     """filter-sources.js:71-77 featureMatchesStacks: stack-less features
     always pass; otherwise the feature's carmen:geocoder_stack must be
@@ -1826,6 +1870,18 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
                           if _lang_allows(c, language, language_mode, index)]
         else:
             render_ctx = ctx
+        # type-memo walk over [feature]+context (stackFeatures): drives
+        # the shifted extids of multityped features and drops context
+        # entries whose every type is already taken. Plain corpora skip
+        # the walk (doc ids pass through untouched).
+        if index.multitype_active:
+            fwd_chain = _stack_chain(index, [feature] + render_ctx)
+            feat_type = fwd_chain[0][1]
+            render_ctx = [f for f, _ in fwd_chain[1:]]
+            ctx_ids = [_extid(index, f, t) for f, t in fwd_chain[1:]]
+        else:
+            feat_type = str(feature.layer)
+            ctx_ids = [c.doc_id for c in render_ctx]
         # override:{type} context replacement (R10, verifymatch.js:597-631):
         # the result feature's authored override text supersedes the
         # recalled context element of that layer
@@ -1911,14 +1967,14 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
         else:
             lon, lat = float(feature.center_lon), float(feature.center_lat)
         candidate = {
-            "feature_id": feature.doc_id,
+            "feature_id": _extid(index, feature, feat_type),
             "relevance": relevance,
             "composite": composite,
             "place_name": place_name,
             "center_lon": lon,
             "center_lat": lat,
             "zoom": int(feature.zoom),  # cells derived after the limit
-            "context": [c.doc_id for c in render_ctx],
+            "context": ctx_ids,
             "score": float(feature.score),
             "scoredist": float(scoredist),
             "idx": int(feature.idx),
@@ -2220,31 +2276,18 @@ def reverse_one(index: IndexData, lon: float, lat: float, limit: int = 1,
     if not hits:
         return []
     hits.sort(key=lambda r: -int(r.idx))  # finest first
-    # stackFeatures (context.js:175-255): before the first kept type,
-    # the types filter drops features outright (feature-level — a
-    # multityped feature passes if ANY of its carmen:types is wanted);
-    # after it, coarser features stack as context regardless of types.
-    # One feature per TYPE (worldview-split layers share a name).
-    if types:
-        base_types = {t.split(".", 1)[0] for t in types}
-        while hits and not (
-                set(_feature_types(index, hits[0])) & base_types):
-            hits.pop(0)
-        if not hits:
-            return []
-    seen_types: set[str] = set()
-    deduped = []
-    for h in hits:
-        t = index.layer_type.get(str(h.layer), str(h.layer))
-        if t in seen_types:
-            continue
-        seen_types.add(t)
-        deduped.append(h)
-    hits = deduped
+    # stackFeatures (context.js:175-255): one feature per TYPE, the
+    # requested-types filter applies only before the first kept feature
+    # (multityped features pass via ANY wanted carmen:type and take a
+    # type-shifted extid — geocode-unit.multitype-reverse)
+    chain = _stack_chain(index, hits, types=types)
+    if not chain:
+        return []
     out = []
     for i in range(min(limit, 1)):
-        top = hits[0]
-        ctx_rows = hits[1:]
+        top, top_type = chain[0]
+        ctx_rows = [f for f, _ in chain[1:]]
+        ctx_ids = [_extid(index, f, t) for f, t in chain[1:]]
         # reverse address snap (context.js:694-716): the top hit of an
         # address feature resolves to the snapped cluster/ITP point
         snapped = reverse_address_snap(top, lon, lat)
@@ -2260,7 +2303,7 @@ def reverse_one(index: IndexData, lon: float, lat: float, limit: int = 1,
         zoom = int(top.zoom)
         tx, ty = lonlat_to_tile(out_lon, out_lat, zoom)
         out.append({
-            "feature_id": top.doc_id,
+            "feature_id": _extid(index, top, top_type),
             "relevance": 1.0,
             "place_name": place_name,
             "center_lon": out_lon,
@@ -2270,7 +2313,7 @@ def reverse_one(index: IndexData, lon: float, lat: float, limit: int = 1,
             "h3_r8": hex_cell(out_lon, out_lat, 8),
             "h3_r9": hex_cell(out_lon, out_lat, 9),
             "s2_cell": s2_cell(out_lon, out_lat, 12),
-            "context": [c.doc_id for c in ctx_rows],
+            "context": ctx_ids,
             "score": float(top.score),
             "scoredist": 0.0,
             "rank": 0,

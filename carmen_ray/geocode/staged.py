@@ -1018,14 +1018,24 @@ class VerifyHydrate:
             rows["limit"].append(int(d["limit"][ri]))
             rows["si"].append(int(d["si"][ri]))
             rows["tmpid"].append(tmpid)
-            rows["feature_id"].append(feature.doc_id)
+            if self.index.multitype_active:
+                # shifted extids for multityped/aliased features —
+                # identical walk to forward_one (staged==fused parity)
+                from .engine import _extid, _stack_chain
+
+                fc = _stack_chain(self.index, [feature] + list(ctx))
+                rows["feature_id"].append(_extid(self.index, feature, fc[0][1]))
+                rows["context"].append([_extid(self.index, f, t)
+                                        for f, t in fc[1:]])
+            else:
+                rows["feature_id"].append(feature.doc_id)
+                rows["context"].append([c.doc_id for c in ctx])
             rows["relevance"].append(relevance)
             rows["composite"].append(composite)
             rows["place_name"].append(place_name)
             rows["center_lon"].append(lon)
             rows["center_lat"].append(lat)
             rows["fzoom"].append(int(feature.zoom))
-            rows["context"].append([c.doc_id for c in ctx])
             rows["score"].append(float(feature.score))
             rows["scoredist"].append(float(scoredist))
             rows["idx"].append(int(feature.idx))

@@ -34,6 +34,40 @@ from ..util.hashing import fnv1a_64
 
 ENGINE_VERSION = "carmen_ray-0.1"
 
+try:  # pragma: no cover - lance is absent in this environment
+    import lance as _lance
+except ImportError:
+    _lance = None
+
+
+def _resolve_format(format: str | None) -> str:
+    """Storage format for a partition: explicit 'lance'/'parquet', or
+    auto (Lance — the north star's table format — when importable,
+    parquet otherwise). Explicit 'lance' without the lib is an error,
+    not a silent fallback."""
+    if format is None:
+        return "lance" if _lance is not None else "parquet"
+    if format == "lance" and _lance is None:
+        raise ImportError(
+            "format='lance' requested but the lance package is not "
+            "installed; pass format=None for automatic fallback")
+    if format not in ("lance", "parquet"):
+        raise ValueError(f"unknown partition format {format!r}")
+    return format
+
+
+def _read_partition_table(out_dir: str, key: str) -> pa.Table:
+    """Read one committed partition regardless of its storage format."""
+    d = partition_dir(out_dir, key)
+    lance_path = os.path.join(d, "data.lance")
+    if os.path.exists(lance_path):
+        if _lance is None:
+            raise ImportError(
+                f"partition {key} was written as Lance but the lance "
+                "package is not installed")
+        return _lance.dataset(lance_path).to_table()
+    return pq.read_table(os.path.join(d, "data.parquet"))
+
 
 def partition_dir(out_dir: str, key: str) -> str:
     return os.path.join(out_dir, f"part={key}")
@@ -78,18 +112,28 @@ def table_digest(tbl: pa.Table) -> str:
 
 
 def write_partition(out_dir: str, key: str, tbl: pa.Table,
-                    input_digest: str | None = None) -> dict:
-    """Atomic partition write + lineage commit. Returns the lineage rec."""
+                    input_digest: str | None = None,
+                    format: str | None = None) -> dict:
+    """Atomic partition write + lineage commit. Returns the lineage rec.
+
+    `format`: 'parquet' | 'lance' | None (auto: Lance when importable).
+    The layout contract (part=<key>/ dir, _lineage.json, atomic rename,
+    manifest) is identical for both formats."""
     t0 = time.time()
+    fmt = _resolve_format(format)
     final = partition_dir(out_dir, key)
     tmp = final + ".tmp"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     os.makedirs(tmp, exist_ok=True)
-    pq.write_table(tbl, os.path.join(tmp, "data.parquet"))
+    if fmt == "lance":
+        _lance.write_dataset(tbl, os.path.join(tmp, "data.lance"))
+    else:
+        pq.write_table(tbl, os.path.join(tmp, "data.parquet"))
     lineage = {
         "partition": key,
         "rows": tbl.num_rows,
+        "format": fmt,
         "input_digest": input_digest or table_digest(tbl),
         "wall_s": round(time.time() - t0, 3),
         "engine_version": ENGINE_VERSION,
@@ -119,7 +163,7 @@ def _update_manifest(out_dir: str) -> None:
 def read_partitions(out_dir: str) -> pa.Table:
     tables = []
     for key in sorted(completed_partitions(out_dir)):
-        tables.append(pq.read_table(os.path.join(partition_dir(out_dir, key), "data.parquet")))
+        tables.append(_read_partition_table(out_dir, key))
     return pa.concat_tables(tables, promote_options="permissive") if tables else pa.table({})
 
 
@@ -160,9 +204,12 @@ def write_dataset_partitioned(ds, out_dir: str, key_fn, resume: bool = True) -> 
     return lineages
 
 
-def write_index(index, out_dir: str, resume: bool = True) -> None:
+def write_index(index, out_dir: str, resume: bool = True,
+                format: str | None = None) -> None:
     """Persist a CarmenIndex in the resumable layout: features sharded by
-    fid % 16, phrase_grid by prefix bin % 16, media cells whole."""
+    fid % 16, phrase_grid by prefix bin % 16, media cells whole.
+    `format` selects the per-partition storage (Lance when importable,
+    parquet fallback — same layout contract)."""
     import numpy as np
 
     os.makedirs(out_dir, exist_ok=True)
@@ -173,7 +220,8 @@ def write_index(index, out_dir: str, resume: bool = True) -> None:
         key = f"features-{shard:02d}"
         if resume and is_complete(out_dir, key):
             continue
-        write_partition(out_dir, key, feats.filter(pa.array(fid == shard)))
+        write_partition(out_dir, key, feats.filter(pa.array(fid == shard)),
+                        format=format)
 
     pg = index.phrase_grid
     pid = (np.asarray(pg["phrase_id"], dtype=np.int64) >> 40) % 16
@@ -181,10 +229,12 @@ def write_index(index, out_dir: str, resume: bool = True) -> None:
         key = f"phrasegrid-{shard:02d}"
         if resume and is_complete(out_dir, key):
             continue
-        write_partition(out_dir, key, pg.filter(pa.array(pid == shard)))
+        write_partition(out_dir, key, pg.filter(pa.array(pid == shard)),
+                        format=format)
 
     if not (resume and is_complete(out_dir, "mediacells")):
-        write_partition(out_dir, "mediacells", index.media_cells)
+        write_partition(out_dir, "mediacells", index.media_cells,
+                        format=format)
     meta = {
         "freq": index.freq,
         "max_score": index.max_score,
@@ -201,16 +251,16 @@ def load_index(out_dir: str):
         meta = json.load(f)
     parts = completed_partitions(out_dir)
     feats = pa.concat_tables(
-        [pq.read_table(os.path.join(partition_dir(out_dir, k), "data.parquet"))
+        [_read_partition_table(out_dir, k)
          for k in sorted(parts) if k.startswith("features-")],
         promote_options="permissive",
     )
     pg = pa.concat_tables(
-        [pq.read_table(os.path.join(partition_dir(out_dir, k), "data.parquet"))
+        [_read_partition_table(out_dir, k)
          for k in sorted(parts) if k.startswith("phrasegrid-")],
         promote_options="permissive",
     )
-    media = pq.read_table(os.path.join(partition_dir(out_dir, "mediacells"), "data.parquet"))
+    media = _read_partition_table(out_dir, "mediacells")
     feats = feats.sort_by([
         ("idx", "ascending"), ("fid", "ascending"), ("doc_id", "ascending"),
     ])
