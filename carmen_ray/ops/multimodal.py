@@ -1,12 +1,12 @@
 """Multimodal column stages: decode / feature-extract / resize /
 frame-sample over opaque `binary` media columns.
 
-The image/audio libraries are not in this container, so the decode
-kernels are STUBBED (deterministic fakes clearly marked below); the Ray
-plumbing — schema, actor-pool signature, batch sizing, output layout —
-is real and tested. Swap `_decode_image_stub` for PIL/libvips and the
-pipeline is production-shaped: small batches for large payloads, one
-actor-pool stage per transform, setup (model/codec init) in __init__.
+Image decode is REAL for PNG payloads (ops/imaging.py — a pure
+zlib+numpy codec, no external library needed) and, when PIL happens to
+be importable, for other formats too. Non-image payloads (the
+bench/test fakes are hash-seeded random bytes) fall back to the
+deterministic stub so the pipeline shape stays exercised end-to-end in
+this container. Audio/video codecs remain env-gated stubs.
 """
 
 from __future__ import annotations
@@ -15,6 +15,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..util.hashing import fnv1a_64
+from .imaging import PNG_MAGIC, decode_image, encode_png, resize_nearest
 
 MEDIA_SCHEMA = pa.schema([
     ("media_ref", pa.string()),
@@ -48,7 +49,7 @@ def fake_media_batch(refs: list[str], media_type: str = "image") -> pa.Table:
 
 
 def _decode_image_stub(payload: bytes, width: int, height: int) -> np.ndarray:
-    """STUB decode — replace with PIL.Image.open in production.
+    """STUB decode for non-image payloads (test/bench fakes).
 
     Deterministic fake: derives a small luma plane from the payload hash
     so downstream feature math is stable and testable.
@@ -56,6 +57,20 @@ def _decode_image_stub(payload: bytes, width: int, height: int) -> np.ndarray:
     h = fnv1a_64(payload)
     rng = np.random.RandomState(h % (2**31))
     return rng.randint(0, 256, size=(min(height, 32), min(width, 32)), dtype=np.uint8)
+
+
+def _decode_luma(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Real decode when the payload IS an image (PNG natively; PIL when
+    importable), stub otherwise; always returns a 2-D luma plane."""
+    try:
+        img = decode_image(payload)
+    except ValueError:
+        return _decode_image_stub(payload, width, height)
+    if img.ndim == 3:  # ITU-R 601 luma, rounded to uint8
+        img = np.clip(np.round(
+            0.299 * img[:, :, 0] + 0.587 * img[:, :, 1]
+            + 0.114 * img[:, :, 2]), 0, 255).astype(np.uint8)
+    return img
 
 
 class ImageFeatures:
@@ -80,7 +95,7 @@ class ImageFeatures:
         embs = np.zeros((len(payloads), self.embed_dim), dtype=np.float32)
         lumas = np.zeros(len(payloads), dtype=np.float64)
         for i, (p, w, h) in enumerate(zip(payloads, widths, heights)):
-            img = _decode_image_stub(p, w, h)
+            img = _decode_luma(p, w, h)
             lumas[i] = float(img.mean())
             flat = np.zeros(1024, dtype=np.float32)
             v = img.reshape(-1).astype(np.float32)
@@ -96,17 +111,39 @@ class ImageFeatures:
 
 
 class Resize:
-    """Actor-pool resize stage (stub kernel, real plumbing)."""
+    """Actor-pool resize stage: payload binary in → payload binary out
+    with width=height=target. REAL for PNG payloads (pure zlib+numpy
+    decode → nearest-neighbor resample → PNG re-encode); other formats
+    need PIL (env-gated) and raise NotImplementedError otherwise."""
 
     def __init__(self, target: int = 224):
         self.target = target
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        raise NotImplementedError(
-            "resize kernel requires an image library (PIL/libvips) not present "
-            "in this container; the stage contract is: payload binary in → "
-            "payload binary out with width=height=target"
-        )
+        out_payload, out_w, out_h = [], [], []
+        for p in batch["payload"].to_pylist():
+            if not p.startswith(PNG_MAGIC):
+                try:
+                    img = decode_image(p)  # PIL path when importable
+                except ValueError:
+                    raise NotImplementedError(
+                        "resize of non-PNG payloads requires an image "
+                        "library (PIL/libvips) not present in this "
+                        "container") from None
+            else:
+                img = decode_image(p)
+            small = resize_nearest(img, self.target, self.target)
+            out_payload.append(encode_png(small))
+            out_w.append(self.target)
+            out_h.append(self.target)
+        return pa.table({
+            "media_ref": batch["media_ref"],
+            "payload": pa.array(out_payload, type=pa.binary()),
+            "media_type": batch["media_type"],
+            "width": pa.array(out_w, type=pa.int32()),
+            "height": pa.array(out_h, type=pa.int32()),
+            "duration_ms": batch["duration_ms"],
+        })
 
 
 def frame_sample_batch(batch: pa.Table, every_ms: int = 1000) -> pa.Table:
