@@ -228,8 +228,134 @@ def run_scaling() -> dict:
     }
 
 
+def run_skew_leg() -> dict:
+    """One skew leg: staged forward geocode of a whale-name query batch
+    over a pre-built skew index (GRAFT_SKEW_INDEX_DIR), with
+    GRAFT_PM_PRUNE as set by the orchestrator. Prints wall time,
+    result count and a content hash for the parity check."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from carmen_ray.pipelines.flagship import flagship_staged
+    from carmen_ray.sources.synth import _STREET_SUFFIX, _name, _pick
+
+    index_dir = os.environ["GRAFT_SKEW_INDEX_DIR"]
+    n_names = int(os.environ.get("GRAFT_SKEW_NAMES", "12"))
+    nq = int(os.environ.get("GRAFT_SKEW_QUERIES", "24000"))
+    names = [f"{_name(42, 9, k)} {_pick(_STREET_SUFFIX, 42, 9, k, 5)}"
+             for k in range(n_names)]
+    qids, qs, plon, plat = [], [], [], []
+    for i in range(nq):
+        qids.append(f"s{i}")
+        qs.append(names[i % n_names])
+        # half the batch proximity-biased at in-world points: the prune
+        # must reproduce the scoredist ordering, not just raw score
+        if i % 2:
+            plon.append(-155.0 + float(i * 7919 % 290))
+            plat.append(-55.0 + float(i * 104729 % 105))
+        else:
+            plon.append(None)
+            plat.append(None)
+    qtbl = pa.table({
+        "query_id": qids, "query": qs,
+        "proximity_lon": pa.array(plon, type=pa.float64()),
+        "proximity_lat": pa.array(plat, type=pa.float64()),
+        "kind": pa.array(["forward"] * nq),
+    })
+    pool = max(2, NUM_CPUS - 2)
+    t0 = time.time()
+    res = flagship_staged(
+        None, concurrency=pool, phrase_shards=PHRASE_SHARDS,
+        verify_shards=VERIFY_SHARDS, index_dir=index_dir, queries=qtbl)
+    df = res.to_pandas()
+    wall = time.time() - t0
+    df = (df[["query_id", "rank", "feature_id", "relevance", "matching_text"]]
+          .sort_values(["query_id", "rank", "feature_id"])
+          .reset_index(drop=True))
+    digest = hashlib.sha256(df.to_csv(index=False).encode()).hexdigest()
+    ray.shutdown()
+    return {
+        "prune": os.environ.get("GRAFT_PM_PRUNE", "0"),
+        "wall_s": round(wall, 3),
+        "queries_per_sec": round(nq / wall, 1) if wall else 0,
+        "n_queries": nq,
+        "n_results": int(len(df)),
+        "hash": digest,
+    }
+
+
+def run_skew() -> dict:
+    """VERDICT r4 #6 — whale-phrase skew stress: the reference's own
+    phrasematch bench regime (2,000 features per name,
+    reference bench/phrasematch.js:27). Builds a Zipf-skewed corpus,
+    then runs the identical whale-heavy query batch with
+    GRAFT_PM_PRUNE off and on in fresh processes (the prune flag is
+    read inside actors, so each leg needs its own Ray session) and
+    reports both timings plus bit-parity of the ranked output."""
+    import tempfile
+
+    import ray
+
+    n_names = int(os.environ.get("GRAFT_SKEW_NAMES", "12"))
+    feats = int(os.environ.get("GRAFT_SKEW_FEATS", "2000"))
+    idx_dir = tempfile.mkdtemp(prefix="carmen_skew_idx_", dir="/tmp")
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    from carmen_ray.index.build import build_index_streaming
+    from carmen_ray.sources.synth import generate_skew_corpus
+
+    t0 = time.time()
+    tbl = generate_skew_corpus(n_names=n_names, feats_per_name=feats)
+    build_index_streaming(rd.from_arrow(tbl).repartition(NUM_CPUS), idx_dir)
+    build_s = time.time() - t0
+    ray.shutdown()
+
+    def leg(prune: str) -> dict:
+        env = dict(os.environ, GRAFT_SKEW_INDEX_DIR=idx_dir,
+                   GRAFT_PM_PRUNE=prune, RAY_GRAFT_CPUS=str(NUM_CPUS))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--skew-leg"],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    off, on = leg("0"), leg("1")
+    return {
+        "metric": "skew_prune_speedup",
+        "value": round(off["wall_s"] / on["wall_s"], 3) if on["wall_s"] else 0,
+        "unit": "ratio",
+        "num_cpus": NUM_CPUS,
+        "n_docs": tbl.num_rows,
+        "n_names": n_names,
+        "feats_per_name": feats,
+        "index_build_sec": round(build_s, 3),
+        "prune_off": off,
+        "prune_on": on,
+        "parity": bool(off["hash"] == on["hash"]
+                       and off["n_results"] == on["n_results"]),
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--skew" in sys.argv:
+        print(json.dumps(run_skew()))
+    elif "--skew-leg" in sys.argv:
+        print(json.dumps(run_skew_leg()))
     else:
         print(json.dumps(run_bench(include_ops=os.environ.get("GRAFT_SKIP_OPS") != "1")))

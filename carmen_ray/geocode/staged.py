@@ -1202,17 +1202,143 @@ def _pool_size(concurrency: int, pools: int) -> tuple[int, int]:
     return (max(1, per // 2), per)
 
 
+class QueryCheckpoint:
+    """Query-path resume at the post-coalesce barrier (VERDICT r4 #8).
+
+    The post-coalesce candidate set is the narrowest intermediate in
+    the staged plan and the natural checkpoint: coalesce is per-query
+    pure (the kernel groups by query_id internally and holds no
+    cross-query state), so the candidate rows for a query-id bucket are
+    identical no matter which other queries run alongside it. The
+    checkpoint partitions candidates by a fixed hash of query_id
+    (`add_qshard`'s bucket mapped to one of ~2·concurrency ranges,
+    pinned in ``_ckpt_meta.json`` so a resume at a different
+    concurrency keeps the same partition map) through the
+    manifest/lineage machinery of ``sources/io.py`` — atomic
+    per-partition commits, so a 100 TB batch-geocode job killed at 90%
+    re-runs only the query buckets without a committed partition
+    instead of restarting from zero. The reference has no query-side
+    checkpointing at all (its geocode path is request/response).
+    """
+
+    def __init__(self, checkpoint_dir: str, concurrency: int):
+        import json as _json
+        import os as _os
+
+        from ..sources import io as ckio
+
+        self._io = ckio
+        self.dir = checkpoint_dir
+        meta_path = _os.path.join(checkpoint_dir, "_ckpt_meta.json")
+        if _os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = _json.load(f)
+            if meta.get("qshard_mod") != QSHARD_MOD:
+                raise ValueError(
+                    f"checkpoint {checkpoint_dir} was written with "
+                    f"qshard_mod={meta.get('qshard_mod')}; engine has "
+                    f"{QSHARD_MOD} — refusing to mix partition maps")
+        else:
+            _os.makedirs(checkpoint_dir, exist_ok=True)
+            meta = {"qshard_mod": QSHARD_MOD,
+                    "step": max(1, QSHARD_MOD // max(4, 2 * concurrency)),
+                    "engine_version": ckio.ENGINE_VERSION}
+            tmp = meta_path + ".tmp"
+            with open(tmp, "w") as f:
+                _json.dump(meta, f)
+            _os.replace(tmp, meta_path)
+        self.bounds = np.arange(int(meta["step"]), QSHARD_MOD,
+                                int(meta["step"]), dtype=np.int64)
+        self.keys = [f"{p:05d}" for p in range(len(self.bounds) + 1)]
+        self.done = set(ckio.completed_partitions(checkpoint_dir))
+        self.todo = [k for k in self.keys if k not in self.done]
+
+    def _pids(self, t: pa.Table) -> np.ndarray:
+        """Partition index per row — the same pandas query_id hash as
+        add_qshard (deterministic across processes), bucketed by the
+        meta-pinned boundaries."""
+        import pandas as pd
+
+        h = pd.util.hash_pandas_object(
+            t.column("query_id").to_pandas(), index=False).to_numpy()
+        return np.searchsorted(
+            self.bounds, (h % QSHARD_MOD).astype(np.int64), side="right")
+
+    def filter_queries(self, queries_ds):
+        """Resume half of the contract: drop queries whose candidate
+        partition is already committed, so only incomplete buckets
+        re-run the phrasematch+coalesce half."""
+        todo = np.array(sorted(int(k) for k in self.todo), dtype=np.int64)
+
+        def keep_incomplete(t: pa.Table) -> pa.Table:
+            return t.filter(pa.array(np.isin(self._pids(t), todo)))
+
+        return queries_ds.map_batches(keep_incomplete, batch_format="pyarrow")
+
+    def write_cands(self, cands) -> None:
+        """Consume the live half-1 plan into committed partitions, then
+        mark buckets that produced no candidates complete (zero-row
+        partitions) so a resume never re-runs them."""
+        keys = self.keys
+
+        def part_key(t: pa.Table, _pids=self._pids) -> pa.Table:
+            col = pa.array([keys[p] for p in _pids(t).tolist()],
+                           type=pa.string())
+            return t.append_column("__part", col)
+
+        self._io.write_dataset_partitioned(
+            cands, self.dir, part_key, resume=True, format="parquet")
+        empty = pa.table({n: pa.array([], type=CAND_SCHEMA.field(n).type)
+                          for n in CAND_SCHEMA.names})
+        for k in self._io.remaining_partitions(self.dir, self.keys):
+            self._io.write_partition(self.dir, k, empty, format="parquet")
+        self.done = set(self._io.completed_partitions(self.dir))
+        self.todo = []
+
+    def read_cands(self):
+        """Stream the committed candidate partitions back as the
+        stage-3 input. read_parquet is a fresh plan root, which also
+        supplies the plan-split barrier the non-checkpoint path gets
+        from materialize()."""
+        import os as _os
+
+        import ray.data as rd
+
+        parts = self._io.completed_partitions(self.dir)
+        missing = [k for k in self.keys if k not in parts]
+        if missing:
+            raise RuntimeError(
+                f"checkpoint {self.dir} incomplete after write: "
+                f"{len(missing)} partitions missing (e.g. {missing[:3]})")
+        paths = [
+            _os.path.join(self._io.partition_dir(self.dir, k), "data.parquet")
+            for k, rec in sorted(parts.items()) if rec.get("rows", 0) > 0
+        ]
+        if not paths:
+            empty = pa.table({n: pa.array([], type=CAND_SCHEMA.field(n).type)
+                              for n in CAND_SCHEMA.names})
+            return rd.from_arrow(empty)
+        return rd.read_parquet(paths)
+
+
 def forward_geocode_staged(queries_ds, index=None, concurrency: int = 4,
                            config=None, phrase_shards: int = 1,
                            verify_shards: int = 1,
-                           index_dir: str | None = None):
+                           index_dir: str | None = None,
+                           checkpoint_dir: str | None = None):
     """The staged pipeline with the explicit per-query shuffles.
 
     index_dir mode: every actor reads its own shard from the
     partitioned parquet index — the driver ships only the path, shard
     coordinates and config. Table mode (index=CarmenIndex) ships the
     phrase/feature tables through fn_constructor_kwargs for
-    compact/test use."""
+    compact/test use.
+
+    checkpoint_dir: enable query-path resume (QueryCheckpoint). The
+    post-coalesce candidate set is committed to atomic per-bucket
+    partitions before the verify half; a killed run re-runs only
+    uncommitted buckets. Costs one extra narrow-row shuffle plus the
+    disk round-trip, so it's opt-in for long batch jobs."""
     if index_dir is not None:
         pm_base = {"index_dir": index_dir, "config": config}
         vf_base = {"index_dir": index_dir, "config": config}
@@ -1245,6 +1371,20 @@ def forward_geocode_staged(queries_ds, index=None, concurrency: int = 4,
             "layer_zooms": index.layer_zooms, "config": config,
             "idx_rank": idx_rank,
         }
+
+    ckpt = (QueryCheckpoint(checkpoint_dir, concurrency)
+            if checkpoint_dir is not None else None)
+    nparts = max(4, 2 * concurrency)
+    step = max(1, QSHARD_MOD // nparts)
+    qbounds = list(range(step, QSHARD_MOD, step))
+
+    if ckpt is not None and not ckpt.todo:
+        # fully-committed checkpoint: skip the phrasematch+coalesce
+        # half entirely and stream the candidates back from disk
+        cands = ckpt.read_cands()
+        return _verify_half(cands, vf_base, concurrency, qbounds)
+    if ckpt is not None and ckpt.done:
+        queries_ds = ckpt.filter_queries(queries_ds)
 
     # ---- stage 1: phrase-sharded phrasematch fan-out -----------------
     # every query visits every shard's actor pool; each pool holds only
@@ -1286,25 +1426,36 @@ def forward_geocode_staged(queries_ds, index=None, concurrency: int = 4,
     # one-partition-per-input-block. coalesce_shard groups by query_id
     # internally, so partitioning only needs to co-locate each query's
     # rows — which any boundary between bucket values preserves.
-    nparts = max(4, 2 * concurrency)
-    step = max(1, QSHARD_MOD // nparts)
-    qbounds = list(range(step, QSHARD_MOD, step))
     cands = (
         pm_rows.sort("__qshard", boundaries=qbounds)
         .map_batches(coalesce_shard, batch_format="pyarrow", batch_size=None)
     )
-    # plan-split barrier: one streaming plan holding every pool + three
-    # all-to-alls thrashes the executor's per-operator resource budgets
-    # at small CPU counts (measured 594 s vs 239 s for the same stages
-    # run in two halves at 8 CPUs — the r3 architecture had this barrier
-    # for lineage reasons and removing it regressed 2.5×). The pinned
-    # set is the post-coalesce candidate top-k: the smallest intermediate
-    # in the pipeline, narrow Arrow rows.
     import os as _os
 
-    if _os.environ.get("GRAFT_PLAN_SPLIT", "1") != "0":
+    if ckpt is not None:
+        # the checkpoint commit consumes the half-1 plan and the
+        # read-back is a fresh plan root — it IS the plan-split barrier
+        ckpt.write_cands(cands)
+        cands = ckpt.read_cands()
+    elif _os.environ.get("GRAFT_PLAN_SPLIT", "1") != "0":
+        # plan-split barrier: one streaming plan holding every pool +
+        # three all-to-alls thrashes the executor's per-operator
+        # resource budgets at small CPU counts (measured 594 s vs 239 s
+        # for the same stages run in two halves at 8 CPUs — the r3
+        # architecture had this barrier for lineage reasons and removing
+        # it regressed 2.5×). The pinned set is the post-coalesce
+        # candidate top-k: the smallest intermediate in the pipeline,
+        # narrow Arrow rows.
         cands = cands.materialize()
 
+    return _verify_half(cands, vf_base, concurrency, qbounds)
+
+
+def _verify_half(cands, vf_base, concurrency: int, qbounds: list[int]):
+    """Stages 3-4: the verify exchange + hydrate pool and the final
+    per-query assembly exchange, over a candidate Dataset in
+    CAND_SCHEMA (live from coalesce, or streamed from a
+    QueryCheckpoint)."""
     # ---- stage 3: ONE vshard exchange + one hydrate pool -------------
     # a single groupby(vskey) routes every candidate to exactly one
     # group whose rows share a feature shard; the pool's actors read

@@ -154,7 +154,11 @@ def _update_manifest(out_dir: str) -> None:
         "partitions": completed_partitions(out_dir),
         "updated_at": time.time(),
     }
-    tmp = os.path.join(out_dir, "_manifest.json.tmp")
+    # unique tmp per writer: concurrent partition writers each rebuild
+    # the manifest; a shared tmp name would interleave their writes
+    # (corrupt JSON), while distinct tmps + os.replace serialize to
+    # some writer's consistent snapshot
+    tmp = os.path.join(out_dir, f"_manifest.json.tmp.{os.getpid()}")
     with open(tmp, "w") as f:
         json.dump(manifest, f)
     os.replace(tmp, os.path.join(out_dir, "_manifest.json"))
@@ -167,32 +171,94 @@ def read_partitions(out_dir: str) -> pa.Table:
     return pa.concat_tables(tables, promote_options="permissive") if tables else pa.table({})
 
 
-def write_dataset_partitioned(ds, out_dir: str, key_fn, resume: bool = True) -> dict[str, dict]:
+# write-task granularity for write_dataset_partitioned: partition keys
+# hash into this many exchange buckets (explicit integer boundaries →
+# one write task per bucket)
+_WRITE_BUCKETS = 64
+
+
+def write_dataset_partitioned(ds, out_dir: str, key_fn, resume: bool = True,
+                              format: str | None = None) -> dict[str, dict]:
     """Write a Dataset partitioned by key_fn(batch)->key column, skipping
     already-complete partitions when resuming.
 
-    Distributed: one groupby(__part) shuffle, then each group's task
-    writes its own partition via `write_partition` (atomic rename →
-    idempotent, so Ray retries and killed-run resumes are safe). Only
-    per-partition lineage summaries return to the driver — no partition
-    data is ever buffered driver-side."""
-    os.makedirs(out_dir, exist_ok=True)
+    Distributed, single-writer-per-key by construction: keys hash into
+    integer buckets and the exchange is a sort with EXPLICIT boundaries
+    between bucket values — unlike a sampled-boundary sort (or the
+    groupby(__part) this replaced), equal keys can never straddle a
+    partition boundary, so no two tasks ever write the same partition.
+    (The groupby version lost rows whenever the sort's sampled
+    boundaries landed inside a low-cardinality key run: two concurrent
+    write_partition calls raced on the same tmp dir.) Each task slices
+    its bucket block by key and commits each key's partition atomically
+    via `write_partition` (tmp + rename → idempotent for Ray retries
+    and killed-run resumes). A same-run duplicate writer — possible
+    only if Ray ever splits a sort reduce output across blocks, the
+    version-pinned invariant tested in test_exchange_invariant — is
+    detected through the run nonce in lineage and fails loudly instead
+    of silently dropping the first writer's rows. Only per-partition
+    lineage summaries return to the driver — no partition data is ever
+    buffered driver-side.
 
-    def write_group(tbl: pa.Table) -> pa.Table:
-        key = str(tbl["__part"][0].as_py())
-        skipped = bool(resume and is_complete(out_dir, key))
-        if not skipped:
-            write_partition(out_dir, key, tbl.drop_columns(["__part"]))
+    `format`: per-partition storage, as in `write_partition`. Callers
+    that will re-read the partitions through `ray.data.read_parquet`
+    (e.g. the staged query-path checkpoint) pin format='parquet'."""
+    import uuid
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    os.makedirs(out_dir, exist_ok=True)
+    nonce = uuid.uuid4().hex
+
+    def add_bucket(tbl: pa.Table) -> pa.Table:
+        b = [fnv1a_64(str(k)) % _WRITE_BUCKETS
+             for k in tbl.column("__part").to_pylist()]
+        return tbl.append_column("__pbucket", pa.array(b, type=pa.int64()))
+
+    def write_bucket(tbl: pa.Table) -> pa.Table:
+        parts, nrows, skips = [], [], []
+        if tbl.num_rows:
+            order = pc.sort_indices(tbl.column("__part"))
+            tbl = tbl.take(order)
+            keys = np.asarray(tbl.column("__part").to_pylist())
+            starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+            ends = np.r_[starts[1:], len(keys)]
+            for s, e in zip(starts.tolist(), ends.tolist()):
+                key = str(keys[s])
+                skipped = False
+                if is_complete(out_dir, key):
+                    lp = os.path.join(partition_dir(out_dir, key),
+                                      "_lineage.json")
+                    with open(lp) as f:
+                        rec = json.load(f)
+                    if rec.get("input_digest") == f"run:{nonce}":
+                        raise RuntimeError(
+                            f"partition {key!r} written twice in one "
+                            "run: an exchange bucket was split across "
+                            "blocks (one-block-per-partition sort "
+                            "invariant broken)")
+                    skipped = bool(resume)
+                if not skipped:
+                    write_partition(
+                        out_dir, key,
+                        tbl.slice(s, e - s).drop_columns(
+                            ["__part", "__pbucket"]),
+                        input_digest=f"run:{nonce}", format=format)
+                parts.append(key)
+                nrows.append(e - s)
+                skips.append(skipped)
         return pa.table({
-            "part": pa.array([key], type=pa.string()),
-            "rows": pa.array([tbl.num_rows], type=pa.int64()),
-            "skipped": pa.array([skipped]),
+            "part": pa.array(parts, type=pa.string()),
+            "rows": pa.array(nrows, type=pa.int64()),
+            "skipped": pa.array(skips, type=pa.bool_()),
         })
 
     written = (
         ds.map_batches(key_fn, batch_format="pyarrow")
-        .groupby("__part")
-        .map_groups(write_group, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .sort("__pbucket", boundaries=list(range(1, _WRITE_BUCKETS)))
+        .map_batches(write_bucket, batch_format="pyarrow", batch_size=None)
         .to_pandas()
     )
     lineages = {}

@@ -279,6 +279,67 @@ def _gen_rows(n_countries, n_regions, n_places, n_streets, n_pois, seed,
         yield f"poi.{i}", _mk_spans(entries)
 
 
+def generate_skew_corpus(n_names: int = 12, feats_per_name: int = 2000,
+                         seed: int = 42, base_scale: int = 2) -> pa.Table:
+    """Whale-phrase stress corpus: a handful of street names each shared
+    by `feats_per_name` distinct features scattered across the world —
+    the regime the reference's own phrasematch bench seeds (2,000
+    features per name, reference bench/phrasematch.js:27). One phrase
+    row then carries thousands of grid covers; this is the skew the
+    optional GRAFT_PM_PRUNE pre-exchange grid cap targets, and the
+    bench's --skew mode measures prune-on vs prune-off over it."""
+    base = generate_corpus(
+        n_places=max(40, 20 * base_scale), n_streets=200 * base_scale,
+        n_pois=100 * base_scale, seed=seed)
+
+    # replicate the base world lattice (generate_corpus defaults:
+    # 4 countries, 12 regions) so whale streets land inside real places
+    n_countries, n_regions = 4, 12
+    n_places = max(40, 20 * base_scale)
+    countries = []
+    for i in range(n_countries):
+        w = -160.0 + 80.0 * (i % 4)
+        s = -60.0 + 60.0 * (i // 4)
+        countries.append((w, s, w + 70.0, s + 50.0))
+    regions = []
+    for i in range(n_regions):
+        w0, s0, e0, n0 = countries[i % n_countries]
+        col = (i // n_countries) % 3
+        w = w0 + col * (e0 - w0) / 3
+        regions.append((w, s0 + 5, w + (e0 - w0) / 3, n0 - 5))
+    places = []
+    for i in range(n_places):
+        w, s, e, n = regions[i % n_regions]
+        cx = w + (e - w) * (0.15 + 0.7 * _rand(seed, 2, i, 1))
+        cy = s + (n - s) * (0.15 + 0.7 * _rand(seed, 2, i, 2))
+        places.append((cx, cy))
+
+    doc_ids, spans = [], []
+    for k in range(n_names):
+        name = f"{_name(seed, 9, k)} {_pick(_STREET_SUFFIX, seed, 9, k, 5)}"
+        for j in range(feats_per_name):
+            cx, cy = places[(k * 37 + j) % n_places]
+            x0 = cx + (_rand(seed, 7, k * 100003 + j, 1) - 0.5) * 2.0
+            y0 = cy + (_rand(seed, 7, k * 100003 + j, 2) - 0.5) * 2.0
+            x1 = x0 + 0.02 + 0.03 * _rand(seed, 7, k * 100003 + j, 3)
+            geom = {"type": "LineString",
+                    "coordinates": [[x0, y0], [(x0 + x1) / 2, y0 + 0.01], [x1, y0]]}
+            entries = [
+                ("text", name, ""),
+                ("geom", json.dumps(geom), ""),
+                ("center", f"{(x0 + x1) / 2},{y0}", ""),
+                # Zipf-ish scores: a few standouts, a long flat tail —
+                # the prune's best-K cut has real work to do
+                ("score", str(90 - (j % 90)), ""),
+            ]
+            doc_ids.append(f"street.whale{k}x{j}")
+            spans.append(_mk_spans(entries))
+
+    whales = pa.table({"doc_id": pa.array(doc_ids, type=pa.string()),
+                       "spans": pa.array(spans, type=pa.list_(SPAN_TYPE))})
+    return pa.concat_tables([base, whales])
+
+
 def generate_corpus_ds(scale: int = 1, seed: int = 42, blocks: int = 8):
     """Dataset version for bench: scale multiplies street/poi counts."""
     import ray.data as rd
