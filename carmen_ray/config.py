@@ -49,7 +49,9 @@ class LayerConfig:
     """Per-layer geocoder_* switches (subset the engine honors)."""
 
     name: str
-    zoom: int = 6
+    # maxzoom meta (tileJSON): None → the built-in per-layer default
+    # (LAYER_ZOOM) for known layer names, 6 otherwise
+    zoom: int | None = None
     # geocoder_name (index.js:121): the TYPE this layer serves; several
     # layers may share one name (worldview-split sources) and behave as
     # a single type for filters/context. None → the layer's own name.
@@ -72,6 +74,13 @@ class LayerConfig:
     # scoreranges (filter-sources.js:82-110): subtype → (lo, hi) score
     # fractions of maxscore, enabling "poi.landmark"-style type filters
     scoreranges: dict = field(default_factory=dict)
+    # authored minscore/maxscore (tileJSON meta, docs/data-sources.md;
+    # geocode-unit.scoredist sets maxscore=100000 over observed 10000):
+    # geocoder.minScore/maxScore aggregate these across sources, and the
+    # verify scoredist normalizes raw scores against them — None falls
+    # back to the observed build-time bounds
+    minscore: float | None = None
+    maxscore: float | None = None
     # geocoder_worldview (context.js:37-67): the worldview this layer's
     # data represents; "all" participates in every worldview
     geocoder_worldview: str = "all"
@@ -158,8 +167,19 @@ class GeocoderConfig:
     def build_replacers(self):
         """→ (simple, complex, global) replacers, carmen's categorization
         (token.js:439-487): simple word swaps go to both index & query;
-        complex regex rules apply at index time via variant enumeration."""
-        cat = categorize_token_replacements(self.tokens)
+        complex regex rules apply at index time via variant enumeration.
+
+        Per-layer geocoder_tokens (index.js source meta; the relevance
+        acceptance maps Drive→Dr on the address source only) merge into
+        the shared map — carmen scopes each source's replacer to that
+        source, approximated here as a global merge where the global
+        map wins conflicts (documented divergence: a layer's token rule
+        also applies to other layers' phrases)."""
+        tokens = dict(self.tokens)
+        for lc in getattr(self, "layers", {}).values():
+            for k, v in (getattr(lc, "geocoder_tokens", None) or {}).items():
+                tokens.setdefault(k, v)
+        cat = categorize_token_replacements(tokens)
         simple = create_simple_replacer(cat["simple"]) if cat["simple"] else None
         complex_rules = (
             create_complex_replacer(cat["complex"], include_unambiguous=True)

@@ -216,6 +216,24 @@ class IndexData:
         self.freq = freq
         self.max_score = max_score
         self.min_score = 0.0
+        # authored score bounds (tileJSON minscore/maxscore meta):
+        # geocoder.minScore/maxScore aggregate each source's authored
+        # bound, falling back to the observed build-time bound for
+        # unauthored sources (geocode-unit.scoredist authors
+        # maxscore=100000 over an observed max of 10000)
+        if config is not None and getattr(config, "layers", None):
+            lcs = list(config.layers.values())
+            a_max = [float(lc.maxscore) for lc in lcs
+                     if getattr(lc, "maxscore", None) is not None]
+            a_min = [float(lc.minscore) for lc in lcs
+                     if getattr(lc, "minscore", None) is not None]
+            if a_max:
+                if len(a_max) == len(lcs):
+                    self.max_score = max(a_max)
+                else:
+                    self.max_score = max([max_score] + a_max)
+            if a_min:
+                self.min_score = min([0.0] + a_min)
         self.layer_zooms = layer_zooms
         self.max_zoom = max(layer_zooms.values()) if layer_zooms else 14
 
@@ -1194,12 +1212,15 @@ def _feature_langs(feature) -> dict[str, str]:
 def _display_text(feature, language: str | None) -> tuple[str, str | None]:
     """→ (display text, matched language key) honoring carmen's
     closest-lang fallback (format-features.js getPlaceName language
-    selection)."""
+    selection). Display text is the first comma-synonym, trimmed —
+    closest-lang.js:324-328 (the text-trim acceptance: '  Colombia\\n'
+    renders as 'Colombia')."""
     if not language:
-        return feature.text, None
+        return feature.text.split(",")[0].strip(), None
     available = _feature_langs(feature)
     key, text = closest_lang(language, available)
-    return (text or feature.text), (None if key == "default" else key)
+    return ((text or feature.text).split(",")[0].strip(),
+            (None if key == "default" else key))
 
 
 def _lang_allows(feature, language: str | None,

@@ -86,14 +86,28 @@ def build_lang_map(parsed_ds) -> dict[str, int]:
 
 def layer_meta_from_config(config) -> dict | None:
     """layer → (idx, zoom) from the config's declaration ORDER, the way
-    carmen numbers indexes by constructor order (index.js:96-123). Only
-    kicks in when the config declares a layer outside the built-in
-    LAYER_IDX table (e.g. worldview-split sources like country_wv_us),
-    so corpora over the standard layer names keep their pinned idx."""
+    carmen numbers indexes by constructor order (index.js:96-123).
+    Declaration-order numbering kicks in when the config declares a
+    layer outside the built-in LAYER_IDX table (e.g. worldview-split
+    sources like country_wv_us); corpora over the standard layer names
+    keep their pinned idx, but an EXPLICIT per-layer zoom (carmen's
+    maxzoom meta — geocode-unit.scoredist runs an address source at
+    maxzoom 6) still overrides the built-in zoom."""
     layers = getattr(config, "layers", None) if config is not None else None
-    if not layers or all(name in LAYER_IDX for name in layers):
+    if not layers:
         return None
-    return {name: (pos, int(getattr(lc, "zoom", LAYER_ZOOM.get(name, 6))))
+
+    def _zoom(name, lc) -> int:
+        z = getattr(lc, "zoom", None)
+        return int(z) if z is not None else LAYER_ZOOM.get(name, 6)
+
+    if all(name in LAYER_IDX for name in layers):
+        meta = {name: (LAYER_IDX[name], _zoom(name, lc))
+                for name, lc in layers.items()}
+        if all(z == LAYER_ZOOM.get(n, 6) for n, (_, z) in meta.items()):
+            return None  # nothing overridden → pinned default path
+        return meta
+    return {name: (pos, _zoom(name, lc))
             for pos, (name, lc) in enumerate(layers.items())}
 
 
