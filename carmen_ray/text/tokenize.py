@@ -130,19 +130,29 @@ def normalize_query(query: TokenizedQuery) -> TokenizedQuery:
             words = tok.split(" ")
             if len(out.tokens) + len(words) <= MAX_QUERY_TOKENS:
                 for w in words:
-                    out.tokens.append(normalize_text(w))
+                    norm = normalize_text(w)
+                    if not norm:
+                        continue  # emoji-only word (termops drops empties)
+                    out.tokens.append(norm)
                     out.owner.append(query.owner[i])
                     out.separators.append(" ")
                 continue
         words = _CJK.split(tok)
         if len(words) > 1 and len(out.tokens) + len(words) <= MAX_QUERY_TOKENS:
             for w in words:
-                if w:
-                    out.tokens.append(normalize_text(w))
+                norm = normalize_text(w) if w else ""
+                if norm:
+                    out.tokens.append(norm)
                     out.owner.append(query.owner[i])
                     out.separators.append("")
             continue
-        out.tokens.append(normalize_text(tok))
+        norm = normalize_text(tok)
+        if not norm:
+            # a mixed CJK+emoji token can normalize to nothing — carmen
+            # filters empty terms after normalization (termops.js:72-115;
+            # the emoji acceptance's 'Anarres 南🗾' stack)
+            continue
+        out.tokens.append(norm)
         out.separators.append(query.separators[i])
         out.owner.append(query.owner[i])
     return out

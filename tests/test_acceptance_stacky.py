@@ -102,6 +102,22 @@ def test_street_beats_city_when_fully_addressed(stacky_index):
     assert res[0]["relevance"] == 1.0
 
 
+def test_spatialmatch_stack_limit_option(stacky_index):
+    """Per-query spatialmatch_stack_limit (geocode.js options;
+    geocode-unit.spatialmatch-stack-length passes it) caps how many
+    candidate stacks leave coalesce: limit 1 keeps only the best stack,
+    so the street twin never verifies."""
+    from carmen_ray.geocode.engine import forward_one
+
+    full = forward_one(stacky_index, "windsor court", limit=5,
+                       allow_dupes=True)
+    capped = forward_one(stacky_index, "windsor court", limit=5,
+                         allow_dupes=True, spatialmatch_stack_limit=1)
+    assert len(full) > 1
+    assert len(capped) == 1
+    assert capped[0]["feature_id"] == full[0]["feature_id"]
+
+
 def test_both_stacks_enumerated(stacky_index):
     """The coalesce layer itself forms both relevance-1 stacks for the
     bare query (province+city cross-layer and the street single)."""
