@@ -70,9 +70,9 @@ class Geocoder:
             row = self._data.doc_index.get(f"{idq[0]}.{idq[1]}")
             if row is None:
                 return []
-            feat = self._data.feature_at(row)
-            res = forward_one(self._data, feat.text, limit=1)
-            return [r for r in res if r["feature_id"] == feat.doc_id] or res[:1]
+            from .geocode.engine import hydrate_one
+
+            return hydrate_one(self._data, row)
         rev = as_reverse(query)
         if rev is not None:
             return reverse_one(self._data, rev[0], rev[1], limit=limit,

@@ -716,6 +716,9 @@ def coalesce_shard_table(shard_group: pa.Table) -> pa.Table:
     vshard = (tmpid_a % constants.FSHARD_MOD).astype(np.int32)
     vskey = vshard * VSHARD_SALT + (si_a % VSHARD_SALT)
 
+    _cov_rows_l = cov_rows.tolist()
+    _offs = cov_offs.tolist()
+
     def _lst(values, typ):
         return pa.ListArray.from_arrays(pa.array(cov_offs),
                                         pa.array(values, type=typ))
@@ -735,6 +738,9 @@ def coalesce_shard_table(shard_group: pa.Table) -> pa.Table:
         "gscore": pa.array(SC_a[top_gids], type=pa.float64()),
         "address": pa.array(addr_out, type=pa.string()),
         "top_subquery": pa.array(subq_obj[top_rows], type=pa.string()),
+        "cover_text": pa.array(
+            [" ".join(subq_obj[r] for r in _cov_rows_l[_offs[k]:_offs[k + 1]])
+             for k in range(n_out)], type=pa.string()),
         "top_phash": pa.array(PH_a[top_gids], type=pa.int64()),
         "cover_tmpids": _lst(cov_tmpids, pa.int64()),
         "cover_idxs": _lst(idx_col[cov_rows].astype(np.int32), pa.int32()),

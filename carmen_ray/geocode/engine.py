@@ -28,6 +28,7 @@ Pipeline semantics parity targets (reference files):
 from __future__ import annotations
 
 import json
+import re
 
 import numpy as np
 import pandas as pd
@@ -529,7 +530,9 @@ class IndexData:
             cands.update(self._phrase_deletes.get(d, ()))
         cands.discard(joined)
         out = [(p, dl_distance(joined, p, 1)) for p in cands]
-        out = [(p, d) for p, d in out if d <= 1]
+        dw = _digit_words(joined)
+        out = [(p, d) for p, d in out
+               if d <= 1 and _digit_words(p) == dw]
         out.sort(key=lambda t: (t[1], -self.freq.get(t[0], 0), t[0]))
         out = out[:max_candidates]
         if len(self._fuzzy_cache) >= _FUZZY_CACHE_CAP:
@@ -570,11 +573,12 @@ class IndexData:
                 cands.add(v)
             cands.update(self._prefix_deletes.get(v, ()))
         out = []
+        dw = _digit_words(joined)
         for p in cands:
             if p == joined or p.startswith(joined):
                 continue
             d = dl_distance(joined, p, 1)
-            if d <= 1:
+            if d <= 1 and _digit_words(p) == dw:
                 out.append((p, d))
         # insertion-typo variants: the corrected prefix IS the variant.
         # One left-probe + startswith beats the full [lo, hi) range scan
@@ -583,7 +587,7 @@ class IndexData:
         n_ph = len(self.phrases)
         for v in variants:
             if (len(v) >= _c.MIN_CORRECTION_LENGTH and v not in seen_p
-                    and v != joined):
+                    and v != joined and _digit_words(v) == dw):
                 lo = int(np.searchsorted(self.phrases, v, side="left"))
                 if lo < n_ph and str(self.phrases[lo]).startswith(v):
                     out.append((v, 1))
@@ -628,6 +632,16 @@ class IndexData:
 _FUZZY_CACHE_CAP = 1 << 17  # ~131k windows per actor, cleared wholesale
 
 
+def _digit_words(s: str) -> list[str]:
+    """The words of a phrase that carry digits (or '#' masks). The
+    reference's fuzzy store never edits number-bearing words — they
+    match exactly or not at all (mapbox/fuzzy-phrase word fuzzing; the
+    duplicate-address acceptance: '101 main st' must NOT fuzzy-correct
+    to a feature NAMED '103 main st'). A fuzzy candidate whose
+    digit-word sequence differs from the query window's is rejected."""
+    return [w for w in s.split(" ") if any(c.isdigit() or c == "#" for c in w)]
+
+
 def dl_distance(a: str, b: str, cap: int = 2) -> int:
     """Damerau-Levenshtein (restricted) with early exit above cap."""
     if a == b:
@@ -665,7 +679,9 @@ def fuzzy_candidates(index: IndexData, token: str, max_candidates: int = 4) -> l
             cands.add(d)                    # deletion fixes
         for w in index.deletes.get(d, ()):
             cands.add(w)                    # substitution/transposition
-    out = [w for w in cands if dl_distance(token, w, 1) <= 1]
+    dw = _digit_words(token)
+    out = [w for w in cands
+           if dl_distance(token, w, 1) <= 1 and _digit_words(w) == dw]
     out.sort(key=lambda w: (dl_distance(token, w, 1), -index.freq.get(w, 0), w))
     return out[:max_candidates]
 
@@ -1146,23 +1162,62 @@ def resolve_address_prefix(feature, number: str, proximity=None) -> dict | None:
             "omitted": False, "line": None}
 
 
-def resolve_address(feature, number: str) -> dict | None:
+def resolve_address_all(feature, number: str, num: int = 10) -> list[dict]:
     """Address cluster match via the style vtable (R5,
     addresscluster.js:61-218, 338-420) then TIGER-range interpolation
     with parity masks (R6, addressitp.js:35-169; nearest-fallback ≤400
-    housenumbers)."""
+    housenumbers).
+
+    Returns EVERY cluster point at the best style-match rank, capped at
+    `num` (addresscluster.js:61-115 — a house number duplicated inside
+    one cluster yields several result features, the duplicate-address
+    acceptance's '100 Main st' → two '100 Main st' rows); ITP
+    interpolation contributes at most one."""
     anj = feature.addr_numbers_json
     if anj:
         nums = json.loads(anj)
-        hit = match_address_cluster(feature, number)
-        if hit is not None:
+        style = getattr(feature, "addr_style", "") or "standard"
+        if style not in ADDRESS_STYLE_VTABLE:
+            style = "standard"
+        gen, matcher = ADDRESS_STYLE_VTABLE[style]
+        q = gen(number)
+        best_rank, hits = None, []
+        for i, n in enumerate(nums):
+            rank = matcher(q, gen(str(n)), False)
+            if rank < 0:
+                continue
+            if best_rank is None or rank < best_rank:
+                best_rank, hits = rank, [i]
+            elif rank == best_rank:
+                hits.append(i)
+        if hits:
             geom = json.loads(feature.geometry_json)
             coords = geom["coordinates"] if geom["type"] == "MultiPoint" else []
-            if len(coords) > hit:
-                pt = coords[hit]
-                return {"address": str(nums[hit]), "lon": float(pt[0]), "lat": float(pt[1]),
-                        "omitted": False, "line": None}
+            out = []
+            for i in hits:
+                if len(out) >= num:
+                    break
+                if i < len(coords):
+                    pt = coords[i]
+                    out.append({"address": str(nums[i]), "lon": float(pt[0]),
+                                "lat": float(pt[1]), "omitted": False,
+                                "line": None})
+            if out:
+                return out
 
+    itp = _resolve_address_itp(feature, number)
+    return [itp] if itp else []
+
+
+def resolve_address(feature, number: str) -> dict | None:
+    """First match of resolve_address_all — the single-point form the
+    staged hydrate and reverse paths use (their dedupe drops the extra
+    same-name points anyway, see VerifyHydrate)."""
+    all_ = resolve_address_all(feature, number, num=1)
+    return all_[0] if all_ else None
+
+
+def _resolve_address_itp(feature, number: str) -> dict | None:
     arj = feature.addr_range_json
     if arj and number.isdigit():
         rng = json.loads(arj)
@@ -1585,6 +1640,58 @@ def attach_proximity(index: IndexData, pms, proximity) -> None:
             g.scoredist = float(sd[i])
 
 
+_SHORT_ADDR_RE = re.compile(r"^[\d#]+\s*\S{0,2}$")
+
+
+def _result_sort_key(r: dict):
+    """Forward result total order (verifymatch.js:1003-1053
+    sortContext shape): relevance, proximity composite, the
+    omitted-geometry demotion (sortContext's omittedDifference),
+    scoredist, the cluster-over-interpolation preference
+    (verifymatch.js:1036-1046; the cluster-vs-range acceptance), then
+    the deterministic idx/fid tail."""
+    return (-r["relevance"], -r["composite"], r.get("omitted", False),
+            -r["scoredist"], r.get("interpolated", False),
+            r["idx"], r["fid"])
+
+
+def _addr_dedupe_key(index: IndexData, feature, covers, ctx) -> str | None:
+    """uniqueAddressId (format-features.js:320-374): address-source
+    results additionally dedupe on the stack's matched cover texts plus
+    one context extid per remaining layer, so a cluster hit and its
+    differently-spelled street twin ('Main st' / 'Main street') reached
+    via the same matched phrase collapse even though their place_names
+    differ. Skipped for short numeric autocomplete covers
+    (isShortAddressQuery). The reference filters context extids by the
+    types named in geocoder_format; this engine's format template has
+    no per-type placeholders, so every context layer contributes
+    (slightly stricter keys — documented divergence)."""
+    if not covers:
+        return None
+    return addr_dedupe_key_parts(
+        index, feature, " ".join(e.pm.subquery for e in covers),
+        covers[0].pm.subquery, ctx)
+
+
+def addr_dedupe_key_parts(index: IndexData, feature, cover_text: str,
+                          top_subquery: str, ctx) -> str | None:
+    """Core of _addr_dedupe_key, shared with the staged VerifyHydrate
+    (which ships cover_text through the exchange instead of covers)."""
+    if str(feature.layer) not in index.address_layers:
+        return None
+    if _SHORT_ADDR_RE.match(top_subquery or ""):
+        return None
+    parts = [cover_text]
+    seen_layers = {str(feature.layer)}
+    for c in ctx:
+        lay = str(c.layer)
+        if lay in seen_layers:
+            continue
+        seen_layers.add(lay)
+        parts.append(str(c.doc_id))
+    return "_" + ":".join(parts)
+
+
 def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
                 autocomplete: bool = True, types: list[str] | None = None,
                 fuzzy: bool = True, language: str | None = None,
@@ -1595,6 +1702,7 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
                 _stats: dict | None = None,
                 max_correction_length: int | None = None,
                 verifymatch_stack_limit: int | None = None,
+                spatialmatch_stack_limit: int | None = None,
                 worldview: str | None = None) -> list[dict]:
     from ..text.token_replacer import replace_global_tokens
 
@@ -1781,8 +1889,12 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
                 g.distance = 0.0
                 g.scoredist = g.score
 
-    cand_stacks = stack_and_coalesce(pms, query_len, idx_rank=index.idx_rank,
-                                     non_overlap=getattr(index, "non_overlap", None))
+    cand_stacks = stack_and_coalesce(
+        pms, query_len, idx_rank=index.idx_rank,
+        non_overlap=getattr(index, "non_overlap", None),
+        max_stacks=(spatialmatch_stack_limit
+                    if spatialmatch_stack_limit is not None
+                    else constants.SPATIALMATCH_STACK_LIMIT))
     # verify EVERY candidate stack and keep the best per feature — a
     # feature can be reached by several mask assignments ("new york new
     # york") and carmen scores them all, keeping the max
@@ -1802,19 +1914,32 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
 
         ctx = _context_for(index, frow, int(feature.idx), worldview=worldview)
 
-        # address resolution (R5/R6) + routable point (R8)
+        # address resolution (R5/R6) + routable point (R8).
+        # addr_state mirrors carmen:address (verifymatch.js:397-463):
+        # the matched number string, False (cluster/range present but
+        # the number missed → street fallback, ×0.99 relev penalty),
+        # None (address source without cluster/range), or "n/a" (no
+        # number in the query at all).
         addr_number = next((e.pm.address for e in covers if e.pm.address), None)
         partial = any(e.pm.partial_number for e in covers)
-        resolved = None
+        resolved_pts: list[dict] = []
+        addr_state: object = "n/a"
         if addr_number is not None:
             if partial:
                 # prefix-only resolution; clusterless / prefix-miss
                 # features are dropped outright (verifymatch.js:404-416)
-                resolved = resolve_address_prefix(feature, addr_number, proximity)
-                if resolved is None:
+                rp = resolve_address_prefix(feature, addr_number, proximity)
+                if rp is None:
                     return False
+                resolved_pts = [rp]
+                addr_state = rp["address"]
+            elif feature.addr_numbers_json or feature.addr_range_json:
+                resolved_pts = resolve_address_all(feature, addr_number)
+                addr_state = (resolved_pts[0]["address"] if resolved_pts
+                              else False)
             else:
-                resolved = resolve_address(feature, addr_number)
+                addr_state = None
+        resolved = resolved_pts[0] if resolved_pts else None
         matched_address = resolved["address"] if resolved else None
         routable = None
         if resolved and resolved.get("line"):
@@ -1954,8 +2079,29 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
                 if ctmp not in matched_tmpids and c.layer in GRANT_SCORE_LAYERS                         and str(c.text).lower() == squishy_ctx_target:
                     relevance += 0.01
                     break
+        if addr_state is False:
+            # cluster/range present but the queried number missed —
+            # street-fallback penalty (verifymatch.js:489-492:
+            # carmen:address === false → cover.relev *= 0.99)
+            relevance *= 0.99
         relevance = round_to(relevance, 6)
         scoredist = top.grid.scoredist
+        # address-resolved results measure proximity from the RESOLVED
+        # point, not the feature center/grid (verifymatch.js:450,483:
+        # the addressFeat clone's carmen:center is the point and
+        # carmen:distance derives from it) — the address-omitted
+        # acceptance's close-prox ordering depends on this
+        dist_val = top.grid.distance
+        if proximity is not None and resolved is not None:
+            dist_val = float(prox.distance(
+                (float(proximity[0]), float(proximity[1])),
+                (resolved["lon"], resolved["lat"]),
+                top.grid.x, top.grid.y, int(top.pm.zoom)))
+            scoredist = float(prox.scoredist(
+                float(feature.score), index.min_score, index.max_score,
+                dist_val, int(feature.zoom),
+                radius=index.layer_coalesce_radius.get(str(feature.layer))))
+
         # partial-number matches from address indexes get an artificial
         # scoredist boost so they can surface (spatialmatch.js:198-204)
         if any(e.pm.partial_number for e in covers):
@@ -1967,7 +2113,7 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
         if proximity is not None and feat_radius:
             scoredist = float(prox.scoredist(
                 float(feature.score), index.min_score, index.max_score,
-                top.grid.distance, int(feature.zoom), radius=feat_radius))
+                dist_val, int(feature.zoom), radius=feat_radius))
 
         # squishy: identically-named matched parent grants its score
         squishy = _squishy_boost(index, feature, ctx, matched_tmpids)
@@ -1976,12 +2122,17 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
             if proximity is not None:
                 scoredist = float(prox.scoredist(
                     boosted, index.min_score, index.max_score,
-                    top.grid.distance, int(feature.zoom), radius=feat_radius))
+                    dist_val, int(feature.zoom), radius=feat_radius))
             else:
                 scoredist = scoredist + squishy
+        # carmen's null-address composite penalty applies to carmen:
+        # address === null only — a False (street-fallback) state took
+        # the ×0.99 relev hit instead (proximity.js:212-222)
         composite = prox.relevance_score(
             relevance, scoredist if proximity else 1.0,
-            address=matched_address if addr_number is not None else "n/a",
+            address=(matched_address
+                     if addr_number is not None and addr_state is not False
+                     else "n/a"),
             ghost=ghost)
         if resolved:
             lon, lat = resolved["lon"], resolved["lat"]
@@ -2007,14 +2158,51 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
             "matching_language": matching_language,
             "language": matched_lang,
             "place_name": place_name,
+            # omitted/interpolated feed the final sort demotion and the
+            # dedupe non-omitted/non-interpolated preference
+            # (verifymatch.js:990,1015-1024; format-features.js:268-285)
+            "omitted": (bool(resolved.get("omitted")) if resolved
+                        else bool(getattr(feature, "omitted", False))),
+            "interpolated": bool(resolved and resolved.get("line") is not None),
+            "addr_key": _addr_dedupe_key(index, feature, covers, ctx),
         }
         fbbox = index.feature_bbox_am(frow, feature)
         candidate["bbox_w"], candidate["bbox_s"], candidate["bbox_e"], \
             candidate["bbox_n"] = fbbox if fbbox else (None, None, None, None)
+        # a duplicated house number inside one cluster yields several
+        # result points (addresscluster.js forward returns every
+        # best-rank hit; duplicate-address acceptance) — clones of the
+        # primary candidate differing only in the resolved point
+        group = [candidate]
+        for rp in resolved_pts[1:]:
+            c = dict(candidate)
+            c["center_lon"], c["center_lat"] = rp["lon"], rp["lat"]
+            if rp["address"] != matched_address:
+                c["address"] = rp["address"]
+            if proximity is not None:
+                # each extra point carries its own distance-derived
+                # scoredist/composite (carmen's addressFeat clones each
+                # recompute carmen:distance from their own center)
+                rd_ = float(prox.distance(
+                    (float(proximity[0]), float(proximity[1])),
+                    (rp["lon"], rp["lat"]),
+                    top.grid.x, top.grid.y, int(top.pm.zoom)))
+                c["scoredist"] = float(prox.scoredist(
+                    float(feature.score), index.min_score, index.max_score,
+                    rd_, int(feature.zoom),
+                    radius=(feat_radius or index.layer_coalesce_radius.get(
+                        str(feature.layer)))))
+                c["composite"] = prox.relevance_score(
+                    relevance, c["scoredist"],
+                    address=(rp["address"]
+                             if addr_number is not None
+                             and addr_state is not False else "n/a"),
+                    ghost=ghost)
+            group.append(c)
         prev = best_by_tmpid.get(top.grid.tmpid)
         if prev is None or (candidate["relevance"], candidate["composite"]) > (
-                prev["relevance"], prev["composite"]):
-            best_by_tmpid[top.grid.tmpid] = candidate
+                prev[0]["relevance"], prev[0]["composite"]):
+            best_by_tmpid[top.grid.tmpid] = group
         return True
 
     # chunked verify with backfill + early stop (verifymatch.js:85-227):
@@ -2037,15 +2225,32 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
         _stats["candidates_total"] = len(ledger)
         _stats["candidates_verified"] = planner.seen
 
-    # place-name dedup (D2): best candidate per display name
+    # place-name dedup (D2) + uniqueAddressId dedup with the
+    # non-omitted / non-interpolated replacement preference
+    # (format-features.js:252-291,320-374)
+    all_cands = [c for g in best_by_tmpid.values() for c in g]
+    all_cands.sort(key=_result_sort_key)
     results = []
-    seen_names: set[str] = set()
-    for cand in sorted(best_by_tmpid.values(), key=lambda r: (
-            -r["relevance"], -r["composite"], -r["scoredist"], r["idx"], r["fid"])):
-        if not allow_dupes:
-            if cand["place_name"] in seen_names:
-                continue
-            seen_names.add(cand["place_name"])
+    seen_keys: dict[str, int] = {}
+    for cand in all_cands:
+        if allow_dupes:
+            results.append(cand)
+            continue
+        keys = [cand["place_name"]]
+        if cand["addr_key"]:
+            keys.append(cand["addr_key"])
+        prev_i = next((seen_keys[k] for k in keys if k in seen_keys), None)
+        if prev_i is not None:
+            prev = results[prev_i]
+            if prev["address"] and not cand["address"]:
+                pass  # a street fallback never replaces an address hit
+            elif prev["omitted"] and not cand["omitted"]:
+                results[prev_i] = cand
+            elif prev["interpolated"] and not cand["interpolated"]:
+                results[prev_i] = cand
+            continue
+        for k in keys:
+            seen_keys[k] = len(results)
         results.append(cand)
 
     # ghost-vs-scored text dedup (D3, verifymatch.js:659-672) — order
@@ -2064,8 +2269,7 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
     results = deduped
 
     # final deterministic sort (verifymatch.js:1003-1053 shape)
-    results.sort(key=lambda r: (
-        -r["relevance"], -r["composite"], -r["scoredist"], r["idx"], r["fid"]))
+    results.sort(key=_result_sort_key)
     results = results[:limit]
     # cell assignment only for the rows that survive the limit — h3/s2
     # per candidate was ~30% of verify time at 10× corpus scale
@@ -2456,19 +2660,19 @@ def reverse_address_snap(feature, lon: float, lat: float) -> dict | None:
 
 
 def hydrate_one(index: IndexData, row: int) -> list[dict]:
-    """Direct feature fetch for id queries (geocode.js:150-151): format
-    the addressed feature itself. Never re-ranks through forward search,
-    so an id query can't come back as a different feature that happens
-    to share the name (VERDICT r1 'What's wrong' #3)."""
+    """Direct feature fetch for id queries (geocode.js:150-151,168-204):
+    format the addressed feature itself. Never re-ranks through forward
+    search, so an id query can't come back as a different feature that
+    happens to share the name (VERDICT r1 'What's wrong' #3). idGeocode
+    calls toFeature([feature]) with NO context chain — 'place.1' renders
+    'chicago', not 'chicago, china' (the byid acceptance)."""
     feature = index.feature_at(row)
-    ctx = _context_for(index, row, int(feature.idx),
-                       worldview=_resolve_worldview(index, None))
+    ctx: list = []
     display, matched_lang = _display_text(feature, None)
-    ctx_names = [_display_text(c, None)[0] for c in ctx]
     if index.config is not None and index.config.place_format:
-        place_name = index.config.render_place_name(display, ctx_names, None)
+        place_name = index.config.render_place_name(display, [], None)
     else:
-        place_name = ", ".join([display] + ctx_names)
+        place_name = display
     lon, lat = float(feature.center_lon), float(feature.center_lat)
     zoom = int(feature.zoom)
     tx, ty = lonlat_to_tile(lon, lat, zoom)

@@ -52,6 +52,7 @@ from .engine import (
     RESULT_SCHEMA,
     IndexData,
     _context_for,
+    addr_dedupe_key_parts,
     number_only_subquery,
     phrasematch_query,
     query_hypotheses,
@@ -117,6 +118,9 @@ CAND_SCHEMA = pa.schema([
     ("gscore", pa.float64()),       # top cover's grid score
     ("address", pa.string()),
     ("top_subquery", pa.string()),  # matching_text derivation
+    ("cover_text", pa.string()),    # all cover subqueries joined, in
+                                    # covers() order — the uniqueAddressId
+                                    # dedupe key's text half
     ("top_phash", pa.int64()),      # source text hash of top cover
     ("cover_tmpids", pa.list_(pa.int64())),
     ("cover_idxs", pa.list_(pa.int32())),
@@ -172,6 +176,12 @@ _HYD_FIELDS = [
     # fused path's backfill/early-stop decisions exactly
     ("st_relev", pa.float64()), ("partial_number", pa.bool_()),
     ("verified_ok", pa.bool_()),
+    # duplicate-address dedupe/sort inputs (format-features.js:252-374,
+    # verifymatch.js:990,1015-1024): omitted-geometry demotion +
+    # replacement preference, interpolated replacement preference, and
+    # the uniqueAddressId second dedupe key
+    ("omitted", pa.bool_()), ("interpolated", pa.bool_()),
+    ("addr_key", pa.string()),
 ]
 HYD_SCHEMA = pa.schema(_HYD_FIELDS)
 
@@ -922,8 +932,19 @@ class VerifyHydrate:
                 if resolved is None:
                     _hyd_tombstone(rows, d, ri)
                     continue
+                addr_state: object = resolved["address"]
+            elif addr_number:
+                # addr_state mirrors the fused path's carmen:address
+                # (verifymatch.js:397-463): number / False / None
+                if feature.addr_numbers_json or feature.addr_range_json:
+                    resolved = resolve_address(feature, addr_number)
+                    addr_state = resolved["address"] if resolved else False
+                else:
+                    resolved = None
+                    addr_state = None
             else:
-                resolved = resolve_address(feature, addr_number) if addr_number else None
+                resolved = None
+                addr_state = "n/a"
             matched_address = resolved["address"] if resolved else None
             routable = None
             if resolved and resolved.get("line"):
@@ -936,6 +957,17 @@ class VerifyHydrate:
             else:
                 dist = 0.0
                 scoredist = gscore
+            if has_prox and resolved is not None:
+                # resolved-point proximity, identical to the fused path
+                # (verifymatch.js:450,483)
+                dist = float(prox.distance(
+                    (plon, plat), (resolved["lon"], resolved["lat"]),
+                    int(d["gx"][ri]), int(d["gy"][ri]), int(d["zoom"][ri])))
+                scoredist = float(prox.scoredist(
+                    float(feature.score), self.index.min_score,
+                    self.index.max_score, dist, int(feature.zoom),
+                    radius=self.index.layer_coalesce_radius.get(
+                        str(feature.layer))))
             if partial:
                 # partial-number boost (spatialmatch.js:198-204), same
                 # ordering as the fused path: boost first, then the
@@ -990,6 +1022,10 @@ class VerifyHydrate:
                             and str(c.text).lower() == squishy_ctx_target:
                         relevance += 0.01
                         break
+            if addr_state is False:
+                # street-fallback penalty, same as the fused path
+                # (verifymatch.js:489-492)
+                relevance *= 0.99
             relevance = round_to(relevance, 6)
 
             feat_radius = float(getattr(feature, "proximity_radius", 0.0) or 0.0) or None
@@ -1009,7 +1045,10 @@ class VerifyHydrate:
                     scoredist = scoredist + squishy
             composite = prox.relevance_score(
                 relevance, scoredist if has_prox else 1.0,
-                address=matched_address if addr_number else "n/a", ghost=ghost)
+                address=(matched_address
+                         if addr_number and addr_state is not False
+                         else "n/a"),
+                ghost=ghost)
             if resolved:
                 lon, lat = resolved["lon"], resolved["lat"]
             else:
@@ -1054,6 +1093,14 @@ class VerifyHydrate:
             rows["st_relev"].append(float(d["st_relev"][ri]))
             rows["partial_number"].append(partial)
             rows["verified_ok"].append(True)
+            rows["omitted"].append(
+                bool(resolved.get("omitted")) if resolved
+                else bool(getattr(feature, "omitted", False)))
+            rows["interpolated"].append(
+                bool(resolved and resolved.get("line") is not None))
+            rows["addr_key"].append(addr_dedupe_key_parts(
+                self.index, feature, d["cover_text"][ri],
+                d["top_subquery"][ri], ctx))
         # __qshard for the assemble exchange computed in-stage (same
         # fusion rationale as PhrasematchStage)
         return add_qshard(pa.table({name: pa.array(rows[name], type=t)
@@ -1103,6 +1150,10 @@ def assemble_shard(shard_group: pa.Table) -> pa.Table:
         name_l = d["place_name"]
         score_l = d["score"]
         lim_l = d["limit"]
+        om_l = d["omitted"]
+        itp_l = d["interpolated"]
+        ak_l = d["addr_key"]
+        adr_l = d["address"]
         for b in range(len(bounds) - 1):
             sel = order[bounds[b]:bounds[b + 1]].tolist()
             # fused tie order: stacks are visited si-ascending and a
@@ -1145,14 +1196,34 @@ def assemble_shard(shard_group: pa.Table) -> pa.Table:
                         rel_l[prev], comp_l[prev]):
                     best[t] = i
 
-            # D2 place-name dedup, then D3 ghost-vs-scored (fused order)
+            # D2 place-name + uniqueAddressId dedup with the
+            # non-omitted / non-interpolated replacement preference,
+            # then D3 ghost-vs-scored — identical walk to the fused
+            # dedupe (engine.forward_one)
             results = []
-            seen_names: set[str] = set()
+            seen_keys: dict[str, int] = {}
             for i in sorted(best.values(), key=lambda i: (
-                    -rel_l[i], -comp_l[i], -sd_l[i], idx_l[i], fid_l[i])):
-                if name_l[i] in seen_names:
+                    -rel_l[i], -comp_l[i], bool(om_l[i]),
+                    -sd_l[i], bool(itp_l[i]), idx_l[i], fid_l[i])):
+                keys = [name_l[i]]
+                if ak_l[i]:
+                    keys.append(ak_l[i])
+                prev_i = next(
+                    (seen_keys[k] for k in keys if k in seen_keys), None)
+                if prev_i is not None:
+                    if adr_l[prev_i] and not adr_l[i]:
+                        pass  # street fallback never replaces an address
+                    elif bool(om_l[prev_i]) and not bool(om_l[i]):
+                        results[results.index(prev_i)] = i
+                        seen_keys.update({k: i for k, v in seen_keys.items()
+                                          if v == prev_i})
+                    elif bool(itp_l[prev_i]) and not bool(itp_l[i]):
+                        results[results.index(prev_i)] = i
+                        seen_keys.update({k: i for k, v in seen_keys.items()
+                                          if v == prev_i})
                     continue
-                seen_names.add(name_l[i])
+                for k in keys:
+                    seen_keys[k] = i
                 results.append(i)
             # D3 order-dependent ghost filter, identical to the fused path
             scored_texts: set[str] = set()
@@ -1163,6 +1234,11 @@ def assemble_shard(shard_group: pa.Table) -> pa.Table:
                     deduped.append(i)
                     if score_l[i] >= 0:
                         scored_texts.add(text)
+            # a dedupe replacement can break the walk order — re-sort
+            # like the fused path's final sort
+            deduped.sort(key=lambda i: (
+                -rel_l[i], -comp_l[i], bool(om_l[i]),
+                -sd_l[i], bool(itp_l[i]), idx_l[i], fid_l[i]))
             for rank, i in enumerate(deduped[:lim]):
                 out = {
                     "feature_id": d["feature_id"][i],

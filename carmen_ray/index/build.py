@@ -125,7 +125,7 @@ def parse_docs_batch(batch: pa.Table, layer_meta: dict | None = None) -> pa.Tabl
         "covers_x": [], "covers_y": [], "media_refs": [], "spans": [],
         "addr_numbers_json": [], "addr_range_json": [],
         "intersections_json": [], "proximity_radius": [], "overrides_json": [],
-        "addr_style": [], "stack": [], "types_json": [],
+        "addr_style": [], "stack": [], "types_json": [], "omitted": [],
     }
 
     for doc_id, spans in zip(doc_ids, spans_col):
@@ -197,6 +197,14 @@ def parse_docs_batch(batch: pa.Table, layer_meta: dict | None = None) -> pa.Tabl
             elif k.startswith("override:"):
                 overrides[k[len("override:"):]] = s["text"]
 
+        if not text.strip() and not any(s.strip() for s in synonyms) \
+                and not any(v.strip() for v in langs.values()):
+            # whitespace-only text and no alternative names: the
+            # reference skips indexing such docs entirely — they may
+            # live in the VT but never load (the featurenoop
+            # acceptance; indexdocs.js text checks)
+            continue
+
         if geom is None and center is not None:
             geom = {"type": "Point", "coordinates": [center[0], center[1]]}
         if geom is None:
@@ -238,6 +246,12 @@ def parse_docs_batch(batch: pa.Table, layer_meta: dict | None = None) -> pa.Tabl
         out["addr_style"].append(addr_style)
         out["stack"].append(stack)
         out["types_json"].append(json.dumps(ftypes) if ftypes else "")
+        # authored geometry.omitted (the duplicate-address acceptance;
+        # verifymatch.js:990,1015-1024 sort demotion, format-features.js
+        # :278 dedupe preference) — survives in geometry_json too, but a
+        # bool column keeps the sort path off the JSON parser
+        out["omitted"].append(bool(isinstance(geom, dict)
+                                   and geom.get("omitted")))
 
     schema_overrides = {
         "idx": pa.int32(), "zoom": pa.int32(), "fid": pa.int64(),
@@ -673,7 +687,7 @@ def build_index(docs_ds, freq_min_count: int = 1, config=None) -> CarmenIndex:
         "bbox_w", "bbox_s", "bbox_e", "bbox_n", "spans",
         "addr_numbers_json", "addr_range_json", "intersections_json",
         "proximity_radius", "overrides_json", "addr_style",
-        "stack", "types_json",
+        "stack", "types_json", "omitted",
     ]
     feat_tbl = feat_tbl.select(feature_cols)
     # canonical feature order: context/reverse tie-breaks are
@@ -681,6 +695,13 @@ def build_index(docs_ds, freq_min_count: int = 1, config=None) -> CarmenIndex:
     feat_tbl = feat_tbl.sort_by([
         ("idx", "ascending"), ("fid", "ascending"), ("doc_id", "ascending"),
     ])
+    if "phrase" not in pg_tbl.column_names:
+        # no feature produced any indexable phrase (e.g. every text
+        # normalizes to nothing — indexdocs skips such docs silently,
+        # the featurenoop acceptance) → schema-complete empty table
+        from ..geocode.staged import empty_phrase_grid
+
+        pg_tbl = empty_phrase_grid()
     # total-order sort: block arrival order varies with parallelism, and
     # any tie in the sort would leak that into grid-list order (and into
     # stacking-cap truncation) -> nondeterministic results across runs
@@ -781,7 +802,7 @@ def build_index_streaming(docs_ds, out_dir: str, freq_min_count: int = 1,
         "bbox_w", "bbox_s", "bbox_e", "bbox_n", "spans",
         "addr_numbers_json", "addr_range_json", "intersections_json",
         "proximity_radius", "overrides_json", "addr_style",
-        "stack", "types_json",
+        "stack", "types_json", "omitted",
     ]
     os.makedirs(out_dir, exist_ok=True)
     # table-granular resume: a killed `ray job submit` run skips tables

@@ -157,3 +157,79 @@ def test_tile_edge_feature_found(ray_session):
     assert res[0]["feature_id"] == "poi.1"
     assert res[0]["place_name"] == "test"
     assert res[0]["relevance"] == 1.0
+
+
+def test_ghost_feature_stacks(ray_session):
+    """geocode-unit.ghost.test.js: 'Mos Eisley Tatooine' — the scored
+    neighborhood twin of a ghost (score -1) city stacks with the city
+    'Tatooine' and renders its scored context chain at relevance 1."""
+    import math
+
+    from carmen_ray.geocode.engine import forward_one
+
+    def tile_box_poly(z, x, y):
+        n = 2 ** z
+        w = x / n * 360 - 180
+        e = (x + 1) / n * 360 - 180
+        nn = math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * y / n))))
+        s = math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * (y + 1) / n))))
+        return json.dumps({"type": "Polygon", "coordinates": [[
+            [w, s], [e, s], [e, nn], [w, nn], [w, s]]]})
+
+    from carmen_ray.config import GeocoderConfig, LayerConfig
+
+    box = tile_box_poly(6, 32, 32)
+    ctr = "2.8125,-2.81"
+    pt = json.dumps({"type": "Point", "coordinates": [2.8125, -2.81]})
+    cfg = GeocoderConfig(layers={
+        "region": LayerConfig("region", zoom=6),
+        "city": LayerConfig("city", zoom=6),
+        "neighborhood": LayerConfig("neighborhood", zoom=6),
+        "poi": LayerConfig("poi", zoom=6),
+    })
+    ix = _build([
+        ("region.1", _mk_spans([("text", "Outer Rim", ""),
+                                ("geom", box, ""), ("center", ctr, "")])),
+        ("city.2", _mk_spans([("text", "Mos Eisley", ""),
+                              ("geom", box, ""), ("center", ctr, ""),
+                              ("score", "-1", "")])),
+        ("city.3", _mk_spans([("text", "Tatooine", ""),
+                              ("geom", box, ""), ("center", ctr, ""),
+                              ("score", "1000", "")])),
+        ("neighborhood.5", _mk_spans([("text", "Mos Eisley", ""),
+                                      ("geom", box, ""), ("center", ctr, ""),
+                                      ("score", "10", "")])),
+        ("poi.5", _mk_spans([("text", "Tatooine Community College", ""),
+                             ("geom", pt, ""), ("center", ctr, "")])),
+    ], cfg)
+    res = forward_one(ix, "Mos Eisley Tatooine", limit=5)
+    assert res and res[0]["place_name"] == "Mos Eisley, Tatooine, Outer Rim"
+    assert res[0]["relevance"] == 1.0
+
+
+def test_byid_queries(ray_session):
+    """geocode-unit.byid.test.js: '{type}.{id}' queries return exactly
+    that feature (the geocode dispatch level routes them, like
+    geocode.js's byId branch)."""
+    import ray.data as rd
+
+    from carmen_ray.api import Geocoder
+
+    rows = [
+        ("country.1", _mk_spans([("text", "china", ""),
+                                 ("geom", PT0, ""), ("center", "0,0", "")])),
+        ("place.1", _mk_spans([("text", "chicago", ""),
+                               ("geom", PT0, ""), ("center", "0,0", "")])),
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in rows]),
+        "spans": pa.array([r[1] for r in rows], type=pa.list_(SPAN_TYPE))})
+    g = Geocoder.from_docs(rd.from_arrow(tbl).repartition(1))
+    res = g.geocode("country.1")
+    assert len(res) == 1
+    assert res[0]["feature_id"] == "country.1"
+    assert res[0]["place_name"] == "china"
+    res = g.geocode("place.1")
+    assert len(res) == 1
+    assert res[0]["feature_id"] == "place.1"
+    assert res[0]["place_name"] == "chicago"

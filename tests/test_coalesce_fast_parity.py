@@ -165,6 +165,7 @@ def _reference_coalesce_group(col: dict, rows) -> None:
         rows["address"].append(next(
             (e.pm.address for e in covers if e.pm.address), None))
         rows["top_subquery"].append(covers[0].pm.subquery)
+        rows["cover_text"].append(" ".join(e.pm.subquery for e in covers))
         rows["top_phash"].append(covers[0].grid.phash)
         rows["cover_tmpids"].append([e.grid.tmpid for e in covers])
         rows["cover_idxs"].append([e.pm.idx for e in covers])
