@@ -29,19 +29,31 @@ _NUMBER_LETTER = re.compile(
 
 def whitespace_hypothesis(tokens: list[str]) -> list[str] | None:
     """lib/util/whitespace.js:6-28 — split letter/number run-ons."""
+    wsm = whitespace_hypothesis_map(tokens)
+    return wsm[0] if wsm is not None else None
+
+
+def whitespace_hypothesis_map(
+        tokens: list[str]) -> tuple[list[str], list[int]] | None:
+    """whitespace_hypothesis plus, per new token, the ORIGINAL token's
+    mask bit (phrasematch.js gapExpansionMasks: words split out of one
+    query token keep that token's mask position, so corrected-hypothesis
+    subqueries still stack against base-hypothesis covers)."""
     new_tokens: list[str] = []
+    mask_map: list[int] = []
     found = False
-    for tok in tokens:
+    for i, tok in enumerate(tokens):
         m = _NUMBER_LETTER.match(tok)
         if m:
             found = True
-            if m.group(2):
-                new_tokens.extend([m.group(2), m.group(3)])
-            else:
-                new_tokens.extend([m.group(4), m.group(5)])
+            parts = ([m.group(2), m.group(3)] if m.group(2)
+                     else [m.group(4), m.group(5)])
+            new_tokens.extend(parts)
+            mask_map.extend([1 << i] * 2)
         else:
             new_tokens.append(tok)
-    return new_tokens if found else None
+            mask_map.append(1 << i)
+    return (new_tokens, mask_map) if found else None
 
 
 @dataclass
@@ -52,10 +64,16 @@ class LayerConfig:
     # maxzoom meta (tileJSON): None → the built-in per-layer default
     # (LAYER_ZOOM) for known layer names, 6 otherwise
     zoom: int | None = None
-    # geocoder_name (index.js:121): the TYPE this layer serves; several
-    # layers may share one name (worldview-split sources) and behave as
-    # a single type for filters/context. None → the layer's own name.
+    # geocoder_name (index.js:121): the NAME GROUP this layer belongs
+    # to; several layers may share one name (worldview-split sources)
+    # and behave as a single group for filters/context conflicts.
+    # None → the layer's own name.
     geocoder_name: str | None = None
+    # geocoder_type (index.js:122): the TYPE this layer serves when it
+    # differs from its name group — same-name different-type sources
+    # CONFLICT in reverse context stacking (context.js:188,652: the
+    # closer feature evicts the other from the chain). None → the name.
+    geocoder_type: str | None = None
     # geocoder_types (index.js:123): ALL types this layer can host
     # (multityped features); defaults to [geocoder_name]. Gates the
     # forward types filter at the source level (sourceMatchesTypes).

@@ -148,6 +148,8 @@ class IndexData:
         # splits map several layers onto one type; filters/context
         # operate on type names
         self.layer_type: dict[str, str] = {}
+        # layer → name group (geocoder_name; context conflicts)
+        self.layer_name: dict[str, str] = {}
         # layer → declared hostable types (geocoder_types, index.js:123)
         self.layer_types_decl: dict[str, list[str]] = {}
         # configured worldviews (index.js:77): first is the query-time
@@ -158,8 +160,13 @@ class IndexData:
         if config is not None:
             for lname, lc in getattr(config, "layers", {}).items():
                 gname = getattr(lc, "geocoder_name", None)
+                gtype = getattr(lc, "geocoder_type", None)
+                if gname or gtype:
+                    # source.type = geocoder_type || geocoder_name || id
+                    # (index.js:122); source.name = geocoder_name || id
+                    self.layer_type[lname] = str(gtype or gname)
                 if gname:
-                    self.layer_type[lname] = str(gname)
+                    self.layer_name[lname] = str(gname)
                 gtypes = getattr(lc, "geocoder_types", None)
                 if gtypes:
                     self.layer_types_decl[lname] = [str(t) for t in gtypes]
@@ -183,7 +190,18 @@ class IndexData:
                     self.intersection_tokens.add(str(it))
                 cats = getattr(lc, "geocoder_categories", None)
                 if cats:
-                    self.layer_categories[lname] = set(cats)
+                    # index.js:230-246: each category enters the set
+                    # tokenized AND token-replaced (the
+                    # geocoder_categories acceptance asserts both
+                    # 'pizza' and its geocoder_tokens form 'pz'), so a
+                    # replaced query phrase still cat-matches
+                    cset = set()
+                    for c in cats:
+                        toks = list(tokenize(str(c)).tokens)
+                        cset.add(" ".join(toks))
+                        if self.simple is not None:
+                            cset.add(" ".join(self.simple.replace(toks)))
+                    self.layer_categories[lname] = cset
                 sr = getattr(lc, "scoreranges", None)
                 if sr:
                     self.layer_scoreranges[lname] = dict(sr)
@@ -280,6 +298,10 @@ class IndexData:
                 self.idx_rank = {int(ix): r for r, ix in enumerate(uniq)}
             self.layer_rows = {}
             self.layer_bbox = {}
+            self.layer_maxscore = {
+                lname: float(lc.maxscore)
+                for lname, lc in (getattr(config, "layers", {}) or {}).items()
+                if getattr(lc, "maxscore", None) is not None} if config else {}
             # features-free mode: whole-layer bounds arrive from index
             # metadata (the proxMatch gate needs them at phrasematch time)
             self.layer_bounds = {
@@ -351,11 +373,39 @@ class IndexData:
                 str(l): tuple(float(v) for v in b)
                 for l, b in layer_bounds.items()}
         else:
-            self.layer_bounds = {
-                l: (float(np.min(w)), float(np.min(s)),
-                    float(np.max(e)), float(np.max(n)))
-                for l, (w, s, e, n) in self.layer_bbox.items() if len(w)
-            }
+            # derived bounds are TILE-granular like the reference's
+            # (index.js:268 info.bounds = extent of the indexed tiles,
+            # not of raw feature geometries): snap the feature extent
+            # outward to the layer zoom's tile grid — a query point one
+            # street over from the last indexed feature is still inside
+            # the source's bounds for proxMatch / nearest gating
+            from ..geom.tile import lonlat_to_tile, tile_to_lonlat
+
+            self.layer_bounds = {}
+            for l, (w, s, e, n) in self.layer_bbox.items():
+                if not len(w):
+                    continue
+                z = int((layer_zooms or {}).get(l, 6))
+                nz = 1 << z
+                x0, y0 = lonlat_to_tile(float(np.min(w)), float(np.max(n)), z)
+                x1, y1 = lonlat_to_tile(float(np.max(e)), float(np.min(s)), z)
+                bw, bn = tile_to_lonlat(int(x0), int(y0), z)
+                be, bs = tile_to_lonlat(min(int(x1) + 1, nz),
+                                        min(int(y1) + 1, nz), z)
+                self.layer_bounds[l] = (float(bw), float(bs),
+                                        float(be), float(bn))
+        # per-SOURCE score bound (tileJSON maxscore per index): subtype
+        # score ranges scale by the OWNING source's maxscore
+        # (context.js:109-113), not the geocoder-wide bound — two
+        # sources sharing geocoder_name 'poi' can have different
+        # maxscores (geocode-unit.types: cn maxscore 500, au 100)
+        self.layer_maxscore: dict[str, float] = {
+            l: (float(np.max(self._f["score"][rows])) if len(rows) else 0.0)
+            for l, rows in self.layer_rows.items()}
+        if config is not None:
+            for lname, lc in getattr(config, "layers", {}).items():
+                if getattr(lc, "maxscore", None) is not None:
+                    self.layer_maxscore[lname] = float(lc.maxscore)
         self._geom_cache: dict[int, dict] = {}
         self._context_cache: dict[int, list] = {}
         self._compute_non_overlap({int(ix): str(l) for l, ix in order})
@@ -531,8 +581,12 @@ class IndexData:
         cands.discard(joined)
         out = [(p, dl_distance(joined, p, 1)) for p in cands]
         dw = _digit_words(joined)
+        # word-by-word fuzzy (the fuzzy-phrase model): a candidate must
+        # have the SAME word count as the window — carmen never corrects
+        # across a space ('mainst' ↛ 'main st', fuzzy.test.js:287-292)
+        nw = joined.count(" ")
         out = [(p, d) for p, d in out
-               if d <= 1 and _digit_words(p) == dw]
+               if d <= 1 and _digit_words(p) == dw and p.count(" ") == nw]
         out.sort(key=lambda t: (t[1], -self.freq.get(t[0], 0), t[0]))
         out = out[:max_candidates]
         if len(self._fuzzy_cache) >= _FUZZY_CACHE_CAP:
@@ -574,11 +628,14 @@ class IndexData:
             cands.update(self._prefix_deletes.get(v, ()))
         out = []
         dw = _digit_words(joined)
+        nw = joined.count(" ")
         for p in cands:
             if p == joined or p.startswith(joined):
                 continue
             d = dl_distance(joined, p, 1)
-            if d <= 1 and _digit_words(p) == dw:
+            # same word count as the window: the fuzzy prefix ending
+            # only extends the LAST word, never invents a space
+            if d <= 1 and _digit_words(p) == dw and p.count(" ") == nw:
                 out.append((p, d))
         # insertion-typo variants: the corrected prefix IS the variant.
         # One left-probe + startswith beats the full [lo, hi) range scan
@@ -587,7 +644,8 @@ class IndexData:
         n_ph = len(self.phrases)
         for v in variants:
             if (len(v) >= _c.MIN_CORRECTION_LENGTH and v not in seen_p
-                    and v != joined and _digit_words(v) == dw):
+                    and v != joined and _digit_words(v) == dw
+                    and v.count(" ") == nw):
                 lo = int(np.searchsorted(self.phrases, v, side="left"))
                 if lo < n_ph and str(self.phrases[lo]).startswith(v):
                     out.append((v, 1))
@@ -782,7 +840,10 @@ def phrasematch_query(index: IndexData, tokens: list[str], autocomplete: bool = 
                       fuzzy_max_distance: int = 0,
                       word_boundary: bool = False,
                       collector=None,
-                      number_order: str | None = None) -> list[Phrasematch]:
+                      number_order: str | None = None,
+                      mask_map: list[int] | None = None,
+                      weight_n: int | None = None,
+                      initial_distance: int = 0) -> list[Phrasematch]:
     """All subquery-window matches against the phrase table (J1).
 
     With fuzzy_max_distance=1, every window also fuzzy-matches whole
@@ -790,12 +851,19 @@ def phrasematch_query(index: IndexData, tokens: list[str], autocomplete: bool = 
     phrasematch.js:106-131): a typo inside a multi-word phrase that
     still tokenizes to known words ('mane street') is corrected, with
     the R1 penalty max((len − d/2)/len, .75) (phrasematch.js:321-345)
-    and the short-word correction rejections."""
+    and the short-word correction rejections.
+
+    mask_map / weight_n / initial_distance serve the whitespace-corrected
+    hypothesis (phrasematch.js:61-77): each token's emitted mask bit maps
+    back to its ORIGINAL query position (gapExpansionMasks), weights are
+    over the original token count, and every match carries the already-
+    spent edit budget (initialDistance=1 → R1 penalty, no further fuzz)."""
     from .. import constants as _c
 
     n = len(tokens)
     if n == 0:
         return []
+    wn = weight_n if weight_n is not None else n
     if collector is None:
         collector = PhrasematchCollector()
     out = collector
@@ -806,6 +874,12 @@ def phrasematch_query(index: IndexData, tokens: list[str], autocomplete: bool = 
         # continuous masks are contiguous runs
         sub = [tokens[j] for j in positions]
         joined = " ".join(sub)
+        if mask_map is not None:
+            omask = 0
+            for j in positions:
+                omask |= mask_map[j]
+        else:
+            omask = mask
         ender = bool(mask & (1 << (n - 1)))
         for use_prefix in ([False, True] if (autocomplete and ender) else [False]):
             if (joined, use_prefix) in seen:
@@ -813,9 +887,14 @@ def phrasematch_query(index: IndexData, tokens: list[str], autocomplete: bool = 
             seen.add((joined, use_prefix))
             lo, hi = index.lookup(joined, use_prefix, word_boundary)
             if hi > lo:
-                weight = (len(sub) / n) * weight_multiplier
-                _emit_phrase_rows(index, lo, hi, mask, weight, joined,
+                weight = (bin(omask).count("1") / wn) * weight_multiplier
+                if initial_distance:
+                    weight *= max(
+                        (len(joined) - initial_distance / 2) / len(joined),
+                        0.75)
+                _emit_phrase_rows(index, lo, hi, omask, weight, joined,
                                   use_prefix, address, out,
+                                  edit_distance=initial_distance,
                                   number_order=number_order)
         if fuzzy_max_distance > 0:
             for cand, d in index.fuzzy_phrase_lookup(joined):
@@ -835,8 +914,8 @@ def phrasematch_query(index: IndexData, tokens: list[str], autocomplete: bool = 
                 if hi <= lo:
                     continue
                 penalty = max((len(joined) - d / 2) / len(joined), 0.75)
-                weight = (len(sub) / n) * weight_multiplier * penalty
-                _emit_phrase_rows(index, lo, hi, mask, weight, cand,
+                weight = (bin(omask).count("1") / wn) * weight_multiplier * penalty
+                _emit_phrase_rows(index, lo, hi, omask, weight, cand,
                                   False, address, out, edit_distance=d,
                                   number_order=number_order)
             if autocomplete and ender:
@@ -857,8 +936,8 @@ def phrasematch_query(index: IndexData, tokens: list[str], autocomplete: bool = 
                     if hi <= lo:
                         continue
                     penalty = max((len(joined) - d / 2) / len(joined), 0.75)
-                    weight = (len(sub) / n) * weight_multiplier * penalty
-                    _emit_phrase_rows(index, lo, hi, mask, weight, cand,
+                    weight = (bin(omask).count("1") / wn) * weight_multiplier * penalty
+                    _emit_phrase_rows(index, lo, hi, omask, weight, cand,
                                       True, address, out, edit_distance=d,
                                       number_order=number_order)
     return getattr(collector, "out", [])
@@ -1330,7 +1409,10 @@ def _feature_types(index: IndexData, feature) -> list[str]:
     return [index.layer_type.get(layer, layer)]
 
 
-def _stack_chain(index: IndexData, feats: list, types=None) -> list:
+def _stack_chain(index: IndexData, feats: list, types=None,
+                 dists: list | None = None,
+                 polys: list | None = None,
+                 reverse_mode: str = "distance") -> list:
     """stackFeatures' type-memo walk (context.js:175-255) over a
     fine→coarse chain: each feature takes its last-to-first untaken
     carmen:type; before the first kept feature, a requested-types
@@ -1338,26 +1420,60 @@ def _stack_chain(index: IndexData, feats: list, types=None) -> list:
     coarser features stack as context regardless of types). Returns
     [(feature, selected_type)] — the selected type drives the shifted
     extid ('caracas' multityped [region, place] returned standalone is
-    place.1, geocode-unit.multitype)."""
+    place.1, geocode-unit.multitype).
+
+    When query distances are provided (the reverse path), the full
+    conflict semantics run: a claimed feature also claims its NAME
+    group (carmen:conflict, context.js:652 — set when geocoder_name ≠
+    geocoder_type), and a later non-polygon feature strictly closer to
+    the query evicts the holder and every memo reference to it
+    (context.js:216-238) — unless the holder's type is explicitly
+    requested (a conflicting feature cannot bump a wanted type)."""
     base_types = {t.split(".", 1)[0] for t in types} if types else None
-    memo: set = set()
+    memo: dict[str, int] = {}
+    sel_type: dict[int, str] = {}
     first = False
-    out = []
-    for feat in feats:
-        sel = None
+    for i, feat in enumerate(feats):
+        layer = str(feat.layer)
+        ltype = index.layer_type.get(layer, layer)
+        lname = index.layer_name.get(layer, layer)
+        conflict = lname if lname != ltype else None
         for t in reversed(_feature_types(index, feat)):
             if base_types is not None and not first and t not in base_types:
                 continue
-            if t in memo:
-                continue  # taken; a Polygon never bumps (context.js:216)
-            sel = t
+            if t not in memo:
+                memo[t] = i
+                if conflict is not None:
+                    memo[conflict] = i
+                sel_type[i] = t
+                first = True
+                break
+            # occupied: distance-based eviction (reverse only)
+            j = memo[t]
+            if dists is None:
+                continue
+            if polys is not None and polys[i]:
+                continue  # a polygon never bumps (context.js:216)
+            if reverse_mode == "score":
+                si = float(feats[i].score)
+                sj = float(feats[j].score)
+                if not si > 0 and sj > 0:
+                    continue
+                if si > 0 and sj > 0 and sj >= si:
+                    continue
+            if dists[i] >= dists[j]:
+                continue
+            if base_types is not None and t not in base_types:
+                continue  # can't bump a wanted type (context.js:226)
+            for k in [k for k, v in memo.items() if v == j]:
+                del memo[k]
+            sel_type.pop(j, None)
+            memo[t] = i
+            if conflict is not None:
+                memo[conflict] = i
+            sel_type[i] = t
             break
-        if sel is None:
-            continue
-        memo.add(sel)
-        first = True
-        out.append((feat, sel))
-    return out
+    return [(feats[i], sel_type[i]) for i in sorted(sel_type)]
 
 
 def _extid(index: IndexData, feat, sel_type: str) -> str:
@@ -1368,6 +1484,60 @@ def _extid(index: IndexData, feat, sel_type: str) -> str:
     if sel_type == layer:
         return str(feat.doc_id)
     return f"{sel_type}.{int(feat.fid)}"
+
+
+def _feature_allowed_types(index: IndexData, feature, types) -> bool:
+    """featureMatchesTypes (filter-sources.js:82-110): a plain type must
+    appear in the feature's carmen:types; a 'type.subtype' additionally
+    requires the feature's score inside the subtype's range of the
+    OWNING source's maxscore."""
+    ftypes = _feature_types(index, feature)
+    layer = str(feature.layer)
+    for t in types:
+        parts = t.split(".", 1)
+        if len(parts) == 1:
+            if t in ftypes:
+                return True
+        else:
+            base, sub = parts
+            rng = index.layer_scoreranges.get(layer, {}).get(sub)
+            if base in ftypes and rng is not None:
+                ms = index.layer_maxscore.get(layer, index.max_score)
+                if rng[0] * ms <= float(feature.score) <= rng[1] * ms:
+                    return True
+    return False
+
+
+def _validate_types(index: IndexData, types) -> list[str]:
+    """options.types validation + normalization (geocode.js:68-84):
+    must be a non-empty list of known types ('<type>' from each
+    source's declared types or '<type>.<subtype>' from scoreranges);
+    a subtype accompanied by its own base type is dropped; the rest
+    are deduped and sorted."""
+    if not isinstance(types, (list, tuple)) or len(types) < 1:
+        raise ValueError("options.types must be an array with at least 1 type")
+    acceptable: list[str] = []
+    layers = index.layers or sorted(
+        set(index.layer_type) | set(index.layer_scoreranges))
+    for l in layers:
+        for t in index.layer_decl_types(l):
+            if t not in acceptable:
+                acceptable.append(t)
+        base = index.layer_type.get(l, l)
+        for sub in index.layer_scoreranges.get(l, {}):
+            st = f"{base}.{sub}"
+            if st not in acceptable:
+                acceptable.append(st)
+    req = set(types)
+    for t in types:
+        if t not in acceptable:
+            raise ValueError(
+                f'Type "{t}" is not a known type. Must be one of: '
+                + ", ".join(acceptable))
+        if "." in t and t.split(".", 1)[0] in req:
+            # poi.landmark alongside poi: the base type subsumes it
+            req.discard(t)
+    return sorted(req)
 
 
 def _feature_matches_stacks(feature, stacks) -> bool:
@@ -1716,6 +1886,31 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
         # 'fake' errors, 'bg-nonexistent' falls back)
         if not has_language(language):
             raise ValueError(f"'{language}' is not a valid language code")
+    if bbox is not None:
+        # geocode.js:126-142 bbox validation (EINVALID); the acceptance
+        # (geocode-unit.bbox) passes length-3, non-numeric and
+        # out-of-range arrays and expects errors
+        if not isinstance(bbox, (list, tuple)) or len(bbox) != 4:
+            raise ValueError(
+                "BBox is not valid. Must be an array of format "
+                "[minX, minY, maxX, maxY]")
+        vals = []
+        for i, (lo, hi, nm) in enumerate([(-180, 180, "minX"), (-90, 90, "minY"),
+                                          (-180, 180, "maxX"), (-90, 90, "maxY")]):
+            try:
+                v = float(bbox[i])
+            except (TypeError, ValueError):
+                v = float("nan")
+            if v != v or v < lo or v > hi:
+                raise ValueError(
+                    f"BBox {nm} value must be a number between {lo} and {hi}")
+            vals.append(v)
+        if vals[0] > vals[2]:
+            raise ValueError("BBox minX value cannot be greater than maxX value")
+        if vals[1] > vals[3]:
+            raise ValueError("BBox minY value cannot be greater than maxY value")
+    if types is not None:
+        types = _validate_types(index, types)
     # worldview default + validation (geocode.js:343-345)
     worldview = _resolve_worldview(index, worldview)
     if index.global_rules:
@@ -1783,6 +1978,32 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
                                          address=addr["number"],
                                          fuzzy_max_distance=fz,
                                          number_order="first"))
+    # whitespace correction (M17 — whitespace.js:6-28 via
+    # phrasematch.js:61-77): address sources only, and only with fuzzy
+    # budget available; the corrected hypothesis runs with the budget
+    # SPENT (maxDistance 0, every match at edit distance 1 → R1
+    # penalty) and split words keep the source token's mask bit
+    # (gapExpansionMasks) so they stack against base-hypothesis covers
+    if fz and index.address_layers:
+        from ..config import whitespace_hypothesis_map
+
+        wsm = whitespace_hypothesis_map(tokens)
+        if wsm is not None:
+            ws_tokens, ws_map = wsm
+            col_w = PhrasematchCollector()
+            phrasematch_query(index, ws_tokens, autocomplete=autocomplete,
+                              word_boundary=word_boundary, seen=tried,
+                              mask_map=ws_map, weight_n=len(tokens),
+                              initial_distance=1, collector=col_w)
+            for var_tokens, addr in num_tokenize(ws_tokens):
+                phrasematch_query(index, var_tokens, autocomplete=autocomplete,
+                                  word_boundary=word_boundary, seen=tried,
+                                  address=addr["number"], mask_map=ws_map,
+                                  weight_n=len(tokens), initial_distance=1,
+                                  collector=col_w,
+                                  number_order=number_order_of(var_tokens, addr))
+            pms.extend(p for p in col_w.out
+                       if p.layer in index.address_layers)
     # bare all-digit queries (phrasematch.js:185-232): with proxMatch
     # (proximity inside an address source's bounds) the hypothesis
     # becomes a partial-number search — the raw token AND its
@@ -1834,7 +2055,13 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
     # types filter with subtype support (filter-sources.js:43-57
     # sourceMatchesTypes): "poi.landmark" passes layers whose config
     # declares the subtype in scoreranges; the score-range check itself
-    # happens per feature below (featureMatchesTypes, :82-110)
+    # happens per feature below (featureMatchesTypes, :82-110).
+    # NOTE: the reference never filters PHRASEMATCHES by type — excluded
+    # sources still participate in stacking as context covers
+    # ('100 main st washington dc' with types=['address'] needs the
+    # place/region covers for relevance 1); the filter applies to a
+    # stack's TOP cover at verify (verifymatch.js:190-197 sourceAllowed
+    # on covers[0]) and per feature (featureAllowed).
     plain_types: set = set()
     subtype_filters: list[tuple[str, str]] = []
     if types:
@@ -1845,24 +2072,44 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
             else:
                 plain_types.add(t)
 
-        def pm_allowed(p) -> bool:
-            # by the layer's DECLARED types (sourceMatchesTypes,
-            # filter-sources.js:43-57): geocoder_types ∪ geocoder_name;
-            # multityped features are re-checked per feature in verify
-            for t in index.layer_decl_types(p.layer):
-                if t in plain_types:
+    def _layer_allowed(layer: str) -> bool:
+        # by the layer's DECLARED types (sourceMatchesTypes,
+        # filter-sources.js:43-57): geocoder_types ∪ geocoder_name;
+        # multityped features are re-checked per feature in verify
+        for t in index.layer_decl_types(layer):
+            if t in plain_types:
+                return True
+            for base, sub in subtype_filters:
+                if t == base and sub in index.layer_scoreranges.get(layer, {}):
                     return True
-                for base, sub in subtype_filters:
-                    if t == base and sub in index.layer_scoreranges.get(p.layer, {}):
-                        return True
-            return False
-
-        pms = [p for p in pms if pm_allowed(p)]
+        return False
     # worldview filter (context.js:37-67 byworldview): layers bound to a
     # different worldview don't participate
     if worldview is not None:
         pms = [p for p in pms
                if index.layer_worldview.get(p.layer, "all") in ("all", worldview)]
+    if bbox is not None and pms:
+        # phrasematch.js:42-43: sources whose bounds don't intersect the
+        # requested bbox never phrasematch at all
+        from ..util.bbox import am_intersect, inside_tile
+
+        pms = [p for p in pms
+               if p.layer not in index.layer_bounds
+               or am_intersect(list(index.layer_bounds[p.layer]), bbox)]
+        # spatialmatch.js:36-37 → carmen-core coalesce bbox: the box is
+        # converted to a tile range at the stack's max zoom and grids
+        # outside it (range scaled down per subquery zoom) never enter
+        # stacking — without this, in-box low-score features are starved
+        # out of the verify window by out-of-box twins
+        if pms:
+            maxz = max(p.zoom for p in pms)
+            _, bx0, by0, bx1, by1 = inside_tile(bbox, maxz)
+            for pm in pms:
+                d = maxz - pm.zoom
+                x0, y0, x1, y1 = bx0 >> d, by0 >> d, bx1 >> d, by1 >> d
+                pm.grids = [g for g in pm.grids
+                            if x0 <= g.x <= x1 and y0 <= g.y <= y1]
+            pms = [pm for pm in pms if pm.grids]
     if not pms:
         return []
 
@@ -1895,6 +2142,12 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
         max_stacks=(spatialmatch_stack_limit
                     if spatialmatch_stack_limit is not None
                     else constants.SPATIALMATCH_STACK_LIMIT))
+    if types:
+        # verifymatch.js:190-197: stacks whose TOP cover's source fails
+        # the types filter are skipped before the chunk loads (they
+        # never consume verify budget)
+        cand_stacks = [st for st in cand_stacks
+                       if _layer_allowed(st.covers()[0].pm.layer)]
     # verify EVERY candidate stack and keep the best per feature — a
     # feature can be reached by several mask assignments ("new york new
     # york") and carmen scores them all, keeping the max
@@ -1995,7 +2248,9 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
                     rng_ = index.layer_scoreranges.get(
                         str(feature.layer), {}).get(sub)
                     if base in ftypes and rng_ is not None:
-                        lo_, hi_ = rng_[0] * index.max_score, rng_[1] * index.max_score
+                        ms = index.layer_maxscore.get(
+                            str(feature.layer), index.max_score)
+                        lo_, hi_ = rng_[0] * ms, rng_[1] * ms
                         if lo_ <= float(feature.score) <= hi_:
                             ok = True
                             break
@@ -2275,6 +2530,10 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
     # per candidate was ~30% of verify time at 10× corpus scale
     for rank, r in enumerate(results):
         r["rank"] = rank
+        # output clamp AFTER the sort (verifymatch.js:295,312): a
+        # squishy-nudged 1.01 outranks 1.0 but displays as 1
+        if r["relevance"] > 1.0:
+            r["relevance"] = 1.0
         attach_cells(r)
     return results
 
@@ -2301,14 +2560,35 @@ def reverse_multi(index: IndexData, lon: float, lat: float, limit: int,
     result. (Features multityped INTO the requested type via
     carmen:types are out of scope here, as in the reference's
     bytype-driven nearest.)"""
+    sub = None
     if types:
         wanted = types[0]
+        if "." in wanted:
+            # 'poi.landmark': base type selects the layers, the subtype
+            # imposes each source's score range (context.js:104-113)
+            wanted, sub = wanted.split(".", 1)
     else:
         last = index.layers[-1] if index.layers else ""
         wanted = index.layer_type.get(last, last)
+    from ..util.bbox import am_inside as _am_inside
+
+    # a source participates in nearest only when the query point falls
+    # inside its bounds (context.js:279-281) — a far-away index never
+    # backfills the kNN page
     cand_layers = [l for l in index.layers
                    if index.layer_type.get(l, l) == wanted
-                   and _layer_in_worldview(index, l, worldview)]
+                   and _layer_in_worldview(index, l, worldview)
+                   and (l not in index.layer_bounds
+                        or _am_inside((lon, lat),
+                                      list(index.layer_bounds[l])))]
+    layer_ranges: dict[str, tuple[float, float] | None] = {}
+    for l in cand_layers:
+        rng = index.layer_scoreranges.get(l, {}).get(sub) if sub else None
+        if rng is not None:
+            ms = index.layer_maxscore.get(l, index.max_score)
+            layer_ranges[l] = (rng[0] * ms, rng[1] * ms)
+        else:
+            layer_ranges[l] = None
     layer_set = (np.concatenate([index.layer_rows[l] for l in cand_layers])
                  if cand_layers else np.array([], dtype=np.int64))
     f = index._f
@@ -2333,6 +2613,11 @@ def reverse_multi(index: IndexData, lon: float, lat: float, limit: int,
             if r in seen_rows or r not in layer_mask_set:
                 continue
             seen_rows.add(r)
+            if sub is not None:
+                srange = layer_ranges.get(str(f["layer"][r]))
+                if srange is not None and not (
+                        srange[0] <= float(f["score"][r]) <= srange[1]):
+                    continue
             geom = index.geometry_at(r)
             d = dist_point_to_geom_miles(lon, lat, geom)
             ds_ = float(prox.distscore(d * 1609.344, max(float(f["score"][r]), 0.1)))
@@ -2375,7 +2660,8 @@ def reverse_multi(index: IndexData, lon: float, lat: float, limit: int,
         tx, ty = lonlat_to_tile(flon, flat, zoom)
         display, matched_lang = _display_text(feature, language)
         out.append({
-            "feature_id": feature.doc_id,
+            "feature_id": _extid(index, feature, index.layer_type.get(
+                str(feature.layer), str(feature.layer))),
             "relevance": 1.0,
             "language": matched_lang,
             "place_name": name_prefix + ", ".join(
@@ -2399,7 +2685,8 @@ def reverse_one(index: IndexData, lon: float, lat: float, limit: int = 1,
                 worldview: str | None = None,
                 reverse_mode: str = "distance",
                 language: str | None = None,
-                language_mode: str | None = None) -> list[dict]:
+                language_mode: str | None = None,
+                split_context: bool = False) -> list[dict]:
     """Reverse geocode: PIP + nearest per layer, stacked fine→coarse
     (context.js:31-136, nearest :269-304). Multi-result reverse requires
     an explicit single type (geocode.js:216-220); without one the limit
@@ -2411,11 +2698,36 @@ def reverse_one(index: IndexData, lon: float, lat: float, limit: int = 1,
 
         if not has_language(language):
             raise ValueError(f"'{language}' is not a valid language code")
+    if types is not None:
+        types = _validate_types(index, types)
     worldview = _resolve_worldview(index, worldview)
     if limit > 1 and types and len(types) == 1:
         return reverse_multi(index, lon, lat, limit, types,
                              language=language, language_mode=language_mode,
                              worldview=worldview)
+    # getSubtypeLookup (context.js:148-167): base type → True (whole
+    # type wanted) or the subtype name ('poi.landmark' → {'poi':
+    # 'landmark'}); a plain entry for the same base overrides the
+    # subtype (union semantics)
+    subtype_of: dict[str, object] = {}
+    allowed_layers: set | None = None
+    if types:
+        for t in types:
+            parts = t.split(".", 1)
+            if len(parts) == 2 and parts[0] not in subtype_of:
+                subtype_of[parts[0]] = parts[1]
+            else:
+                subtype_of[parts[0]] = True
+        # maxidx gating (geocode.js:232-242): context i/o runs over the
+        # requested parent types AND every coarser index — coarser
+        # layers still stack as context ('country,place' keeps region
+        # inside place's context) even though they can't be the result
+        parent = set(subtype_of)
+        max_pos = -1
+        for pos, l in enumerate(index.layers):
+            if parent & set(index.layer_decl_types(l)):
+                max_pos = pos
+        allowed_layers = set(index.layers[: max_pos + 1])
     hits = []
     RADIUS_MILES = 1000.0 / 1609.344  # vtquery radius 1000 m
     f = index._f
@@ -2437,16 +2749,30 @@ def reverse_one(index: IndexData, lon: float, lat: float, limit: int = 1,
         # scanned (carmen queries every worldview index and filters per
         # feature in stackFeatures, context.js:186-207); otherwise the
         # legacy fast skip by type name stands
-        if types and not index.has_feature_types \
-                and index.layer_type.get(layer, layer) not in types:
+        ltype = index.layer_type.get(layer, layer)
+        if allowed_layers is not None and not index.has_feature_types \
+                and layer not in allowed_layers:
             continue
         if not _layer_in_worldview(index, layer, worldview):
             continue
+        # subtype score range (context.js:104-113): filtering on the
+        # parent type with a scoreranges entry on this source restricts
+        # candidates to that range of the SOURCE's maxscore
+        srange = None
+        sub = subtype_of.get(ltype)
+        if isinstance(sub, str):
+            rng = index.layer_scoreranges.get(layer, {}).get(sub)
+            if rng is not None:
+                ms = index.layer_maxscore.get(layer, index.max_score)
+                srange = (rng[0] * ms, rng[1] * ms)
         cand = near[near_layers == layer]
         if len(cand) == 0:
             continue
         cands = []
         for r in cand:
+            if srange is not None and not (
+                    srange[0] <= float(f["score"][r]) <= srange[1]):
+                continue
             geom = index.geometry_at(int(r))
             is_poly = geom["type"] in ("Polygon", "MultiPolygon", "GeometryCollection")
             if is_poly and point_in_geom(lon, lat, geom):
@@ -2455,7 +2781,12 @@ def reverse_one(index: IndexData, lon: float, lat: float, limit: int = 1,
                 d = dist_point_to_geom_miles(lon, lat, geom)
                 if d > RADIUS_MILES:
                     continue
-            cands.append((d, float(f["score"][r]), int(r), is_poly))
+            # centroid distance: overlapping same-layer polygons both
+            # contain the point at d=0 — the closer CENTROID wins
+            # (geocode-unit.geocoder_type 'Overlapping places')
+            cd = float(prox.haversine_miles(
+                lon, lat, float(f["center_lon"][r]), float(f["center_lat"][r])))
+            cands.append((d, float(f["score"][r]), int(r), is_poly, cd))
         if not cands:
             continue
         best = None
@@ -2469,7 +2800,7 @@ def reverse_one(index: IndexData, lon: float, lat: float, limit: int = 1,
                 -float(prox.distscore(c[0] * 1609.344, max(c[1], 0.1))),
                 c[0], c[2]))
             memo = cands[0]
-            for d, score, r, is_poly in cands[1:]:
+            for d, score, r, is_poly, cd in cands[1:]:
                 if is_poly:  # a polygon never bumps a stacked pick
                     continue
                 if not score > 0 and memo[1] > 0:
@@ -2478,41 +2809,57 @@ def reverse_one(index: IndexData, lon: float, lat: float, limit: int = 1,
                     continue
                 if d >= memo[0]:
                     continue
-                memo = (d, score, r, is_poly)
+                memo = (d, score, r, is_poly, cd)
             best = memo
         else:
             # distance mode (context.js:595-608): ghosts are excluded by
-            # the basic score>=0 filter; nearest wins, PIP hits at d=0,
-            # ties broken by row for stable behavior
+            # the basic score>=0 filter; nearest wins, PIP hits at d=0
+            # tie-broken by CENTROID distance (overlapping polygons both
+            # contain the point), then row for stability
             scored = [c for c in cands if c[1] >= 0]
             if not scored:
                 continue
-            scored.sort(key=lambda c: (c[0], c[2]))
+            scored.sort(key=lambda c: (c[0], c[4], c[2]))
             best = scored[0]
         if best is not None:
-            hits.append(index.feature_at(best[2]))
+            hits.append((index.feature_at(best[2]), float(best[0]),
+                         bool(best[3])))
 
     # languageMode=strict drops chain entries without the language
     # (filter-sources featureMatchesLanguage; reverse geocode-unit
     # languageMode fixtures)
     if language_mode == "strict" and language:
         hits = [h for h in hits
-                if _lang_allows(h, language, language_mode, index)]
+                if _lang_allows(h[0], language, language_mode, index)]
     if not hits:
         return []
-    hits.sort(key=lambda r: -int(r.idx))  # finest first
+    hits.sort(key=lambda r: -int(r[0].idx))  # finest first
     # stackFeatures (context.js:175-255): one feature per TYPE, the
     # requested-types filter applies only before the first kept feature
     # (multityped features pass via ANY wanted carmen:type and take a
-    # type-shifted extid — geocode-unit.multitype-reverse)
-    chain = _stack_chain(index, hits, types=types)
+    # type-shifted extid — geocode-unit.multitype-reverse); same-name
+    # different-type sources conflict, closest non-polygon wins
+    chain = _stack_chain(index, [h[0] for h in hits], types=types,
+                         dists=[h[1] for h in hits],
+                         polys=[h[2] for h in hits],
+                         reverse_mode=reverse_mode)
     if not chain:
         return []
     out = []
-    for i in range(min(limit, 1)):
-        top, top_type = chain[0]
-        ctx_rows = [f for f, _ in chain[1:]]
-        ctx_ids = [_extid(index, f, t) for f, t in chain[1:]]
+    # split_context=True is the reference response shape
+    # (geocode.js:299-309): the chain explodes into one feature per
+    # element, each with the coarser tail as its context, filtered by
+    # featureAllowed; the default single-row form is the engine's batch
+    # contract (constant row count per query; chain in the context col)
+    tops = range(len(chain)) if split_context else range(min(limit, 1))
+    for i in tops:
+        top, top_type = chain[i]
+        if split_context and types and not _feature_allowed_types(
+                index, top, types):
+            # featureAllowed on each split's top (format-features.js:260)
+            continue
+        ctx_rows = [f for f, _ in chain[i + 1:]]
+        ctx_ids = [_extid(index, f, t) for f, t in chain[i + 1:]]
         # reverse address snap (context.js:694-716): the top hit of an
         # address feature resolves to the snapped cluster/ITP point
         snapped = reverse_address_snap(top, lon, lat)
@@ -2541,7 +2888,7 @@ def reverse_one(index: IndexData, lon: float, lat: float, limit: int = 1,
             "context": ctx_ids,
             "score": float(top.score),
             "scoredist": 0.0,
-            "rank": 0,
+            "rank": len(out),
             "address": address,
             "language": matched_lang,
         })

@@ -1242,7 +1242,9 @@ def assemble_shard(shard_group: pa.Table) -> pa.Table:
             for rank, i in enumerate(deduped[:lim]):
                 out = {
                     "feature_id": d["feature_id"][i],
-                    "relevance": rel_l[i],
+                    # output clamp AFTER the sort (verifymatch.js:295):
+                    # a squishy 1.01 outranks 1.0 but displays as 1
+                    "relevance": min(rel_l[i], 1.0),
                     "place_name": name_l[i],
                     "center_lon": d["center_lon"][i],
                     "center_lat": d["center_lat"][i],

@@ -104,9 +104,11 @@ def test_bbox_filter(kansas_index):
     # box around the eastern city only
     res = forward_one(_index(kansas_index), "kansas", bbox=[-76, 38, -74, 40])
     assert res and all(r["feature_id"] == "place.1" for r in res)
-    # AM-crossing box that contains neither
-    res2 = forward_one(_index(kansas_index), "kansas", bbox=[170, -10, -170, 10])
-    assert res2 == []
+    # AM-crossing boxes are EINVALID in the reference (geocode.js:139
+    # minX > maxX; pinned by geocode-unit.bbox.test.js)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        forward_one(_index(kansas_index), "kansas", bbox=[170, -10, -170, 10])
 
 
 def test_prox_match_pre_cutoff_sort(ray_session):
