@@ -83,6 +83,12 @@ class LayerConfig:
     geocoder_stack: list[str] = field(default_factory=list)
     geocoder_languages: list[str] = field(default_factory=list)
     geocoder_inherit_score: bool = False
+    # geocoder_grant_score (index.js:210, verifymatch.js:796,822): may
+    # this layer's features GRANT their score to an identically-named
+    # inheriting child. The reference defaults every source to True;
+    # here None keeps the engine's built-in hierarchy defaults
+    # (region/country), True/False adds/removes this layer explicitly.
+    geocoder_grant_score: bool | None = None
     geocoder_universal_text: bool = False
     reverse_only: bool = False
     # geocoder_categories (phrasematch.js:348-353): query phrases in

@@ -14,6 +14,13 @@ SPATIALMATCH_STACK_LIMIT = 40
 VERIFYMATCH_STACK_LIMIT = 20
 VERIFYMATCH_MAX_FEATURES_LIMIT = 50
 MAX_CONTEXTS_LIMIT = 20
+# carmen-core's cross-language grid penalty: a grid whose language set
+# misses the requested (or default) language bit keeps ×0.96 of its
+# relev (phrasematch.js:298-310 picks the single wanted bit; the
+# promote-language acceptance's 0.982963 pin decomposes to exactly one
+# 0.96-penalized cover through rebalance, and localtext pins ≤.96 for
+# an out-of-language full match)
+LANGUAGE_PENALTY = 0.96
 
 # --- sharded-index layout knobs (ours, not the reference's) ---
 # feature-shard modulus: features parquet is hive-partitioned by

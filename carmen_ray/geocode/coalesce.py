@@ -132,6 +132,10 @@ def _aligned(ax: int, ay: int, az: int, bx: int, by: int, bz: int) -> bool:
 
 MAX_GRIDS_PER_PM = 64     # stacking considers the top grids per phrasematch
 _MAX_PARTIALS = constants.STACKABLE_LIMIT * 8
+# DFS visit budget: bounds enumeration WORK now that _MAX_PARTIALS
+# counts distinct feature chains instead of cell variants (whale
+# phrases can visit many aligned cells per kept chain)
+_MAX_VISITS = 50000
 
 
 def non_overlap_from_bits(stack_bits: dict[int, int]) -> dict[int, frozenset[int]]:
@@ -186,8 +190,28 @@ def stack_and_coalesce(
             grids = [g for g in order if g.tmpid in kept]
         pm_grids[i] = grids
 
-    partials: list[Stack] = []
+    # partials keyed by (mask, tmpid chain): carmen-core's coalesce
+    # keeps ONE context per feature chain (the best cell variant by
+    # relev, then the finest cover's scoredist) no matter how many
+    # cells a polygon feature covers. Enumerating a Stack per CELL and
+    # capping the flat list starved high-idx pms behind big polygons —
+    # a z6 region + two z12 polygon layers burned the whole budget on
+    # cell variants before the address pm was ever visited
+    # (geocode-unit.near-alignment). The cap now bounds DISTINCT
+    # chains; a separate visit budget bounds DFS work on whale corpora.
+    partials: dict = {}
+    visits = [0]
     n_pms = len(pms)
+
+    def _keep(ns: Stack) -> None:
+        key = (ns.mask, tuple(e.grid.tmpid for e in ns.entries))
+        prev = partials.get(key)
+        if prev is None:
+            partials[key] = ns
+        elif (ns.relev, ns.entries[-1].grid.scoredist) > (
+                prev.relev, prev.entries[-1].grid.scoredist):
+            # chains build idx-ascending, so entries[-1] IS covers()[0]
+            partials[key] = ns
 
     def try_extend(base: Stack, start_i: int) -> None:
         base_entries = base.entries
@@ -196,7 +220,7 @@ def stack_and_coalesce(
         fzx, fzy, fzz = base.fzx, base.fzy, base.fzz
         last_idx = base_entries[-1].pm.idx if base_entries else -1
         for i in range(start_i, n_pms):
-            if len(partials) >= _MAX_PARTIALS:
+            if len(partials) >= _MAX_PARTIALS or visits[0] >= _MAX_VISITS:
                 return
             pm = pms[i]
             pmask = pm.mask
@@ -242,12 +266,14 @@ def stack_and_coalesce(
                     ns.fzx, ns.fzy, ns.fzz = grid.x, grid.y, pz
                 else:
                     ns.fzx, ns.fzy, ns.fzz = fzx, fzy, fzz
-                partials.append(ns)
-                if len(partials) >= _MAX_PARTIALS:
+                _keep(ns)
+                visits[0] += 1
+                if len(partials) >= _MAX_PARTIALS or visits[0] >= _MAX_VISITS:
                     return
                 try_extend(ns, i + 1)
 
     try_extend(Stack(), 0)
+    partials = list(partials.values())
 
     # STACKABLE_LIMIT pre-scoring cap (constants.js:20-21): only the best
     # raw-relev partials proceed to rebalance — hot duplicate names can
@@ -255,7 +281,24 @@ def stack_and_coalesce(
     if len(partials) > constants.STACKABLE_LIMIT:
         partials.sort(key=lambda s: (
             -s.relev, -s.entries[0].grid.scoredist, s.entries[0].grid.tmpid))
-        partials = partials[: constants.STACKABLE_LIMIT]
+        kept = partials[: constants.STACKABLE_LIMIT]
+        # distinct-feature rescue: carmen-core's coalesce scans EVERY
+        # grid and keeps the best context per tmpid, so a polygon
+        # feature with many covered cells can never crowd a distinct
+        # feature out entirely (geocode-unit.proximity-polygon). The
+        # cap here truncates per-grid partials, so re-admit the best
+        # partial of each unrepresented top-cover tmpid, bounded by the
+        # reference's verify load budget.
+        seen_t = {s.covers()[0].grid.tmpid for s in kept}
+        extra: list[Stack] = []
+        for s in partials[constants.STACKABLE_LIMIT:]:
+            if len(extra) >= constants.VERIFYMATCH_MAX_FEATURES_LIMIT:
+                break
+            t = s.covers()[0].grid.tmpid
+            if t not in seen_t:
+                seen_t.add(t)
+                extra.append(s)
+        partials = kept + extra
 
     # keep only maximal-quality stacks: rebalance + gap penalty. The gap
     # is measured over the DENSE rank of layers present in this index

@@ -44,6 +44,7 @@ from .. import constants
 from ..util import grid as gridmod
 
 _MAX_PARTIALS = constants.STACKABLE_LIMIT * 8
+from .coalesce import _MAX_VISITS  # noqa: E402 — shared DFS visit budget
 
 # 16-bit popcount LUT: query masks are < 2^query_len (≤ 2^20), so two
 # lookups cover them; int64-safe via four.
@@ -110,10 +111,11 @@ def _flat_list_column(col) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _enumerate_query(pm_rows, qidx, qmask, qzoom, IDX_l, X_l, Y_l, GRW_l,
-                     glists, non_overlap):
+                     glists, non_overlap, TMP_a, SD_a):
     """DFS stack enumeration for one query — exact reference order
-    (coalesce.stack_and_coalesce's try_extend) including _MAX_PARTIALS
-    truncation points. `pm_rows` are shard row ids sorted by
+    (coalesce.stack_and_coalesce's try_extend) including the keyed
+    (mask, tmpid-chain) partial reduction and the _MAX_PARTIALS /
+    _MAX_VISITS budgets. `pm_rows` are shard row ids sorted by
     (idx, mask); `qidx/qmask/qzoom/glists` are the matching per-pm
     locals; entries are (row, flat grid id, entry relev)."""
     n_pms = len(pm_rows)
@@ -150,8 +152,21 @@ def _enumerate_query(pm_rows, qidx, qmask, qzoom, IDX_l, X_l, Y_l, GRW_l,
         per[z] = m
         return m.get((tx, ty))
 
-    partials: list = []
-    append = partials.append
+    # keyed best-cell-variant partials, mirroring the object kernel's
+    # _keep exactly (chains build idx-ascending so the last entry is
+    # the finest cover)
+    partials: dict = {}
+    visits = [0]
+
+    def append(p):
+        ne, nmask, nrel = p
+        key = (nmask, tuple(int(TMP_a[e[1]]) for e in ne))
+        prev = partials.get(key)
+        if prev is None:
+            partials[key] = p
+        elif (nrel, SD_a[ne[-1][1]]) > (prev[2], SD_a[prev[0][-1][1]]):
+            partials[key] = p
+        visits[0] += 1
 
     # extension candidates per pm position: j > i with idx_j > idx_i and
     # a mask disjoint from pm i's — exactly the pms the object kernel's
@@ -170,7 +185,7 @@ def _enumerate_query(pm_rows, qidx, qmask, qzoom, IDX_l, X_l, Y_l, GRW_l,
                X_l=X_l, Y_l=Y_l, GRW_l=GRW_l, ext=ext, probe=probe,
                append=append, MAXP=_MAX_PARTIALS):
         for i in cand_pms:
-            if len(partials) >= MAXP:
+            if len(partials) >= MAXP or visits[0] >= _MAX_VISITS:
                 return
             pmask = qmask[i]
             if base_mask & pmask:
@@ -192,7 +207,7 @@ def _enumerate_query(pm_rows, qidx, qmask, qzoom, IDX_l, X_l, Y_l, GRW_l,
                     ne = base_entries + ((r, g, gr),)
                     nrel = base_relev + gr
                     append((ne, nmask, nrel))
-                    if len(partials) >= MAXP:
+                    if len(partials) >= MAXP or visits[0] >= _MAX_VISITS:
                         return
                     if ei:
                         extend(ne, nmask, nrel, X_l[g], Y_l[g], pz, ei)
@@ -209,13 +224,13 @@ def _enumerate_query(pm_rows, qidx, qmask, qzoom, IDX_l, X_l, Y_l, GRW_l,
                     ne = base_entries + ((r, g, gr),)
                     nrel = base_relev + gr
                     append((ne, nmask, nrel))
-                    if len(partials) >= MAXP:
+                    if len(partials) >= MAXP or visits[0] >= _MAX_VISITS:
                         return
                     if ei:
                         extend(ne, nmask, nrel, fzx, fzy, fzz, ei)
 
     for i in range(n_pms):
-        if len(partials) >= _MAX_PARTIALS:
+        if len(partials) >= _MAX_PARTIALS or visits[0] >= _MAX_VISITS:
             break
         pmask = qmask[i]
         pz = qzoom[i]
@@ -225,11 +240,11 @@ def _enumerate_query(pm_rows, qidx, qmask, qzoom, IDX_l, X_l, Y_l, GRW_l,
             gr = GRW_l[g]
             ne = ((r, g, gr),)
             append((ne, pmask, gr))
-            if len(partials) >= _MAX_PARTIALS:
-                return partials
+            if len(partials) >= _MAX_PARTIALS or visits[0] >= _MAX_VISITS:
+                return list(partials.values())
             if ei:
                 extend(ne, pmask, gr, X_l[g], Y_l[g], pz, ei)
-    return partials
+    return list(partials.values())
 
 
 def coalesce_shard_table(shard_group: pa.Table) -> pa.Table:
@@ -266,6 +281,14 @@ def coalesce_shard_table(shard_group: pa.Table) -> pa.Table:
     row_len = np.diff(goffs)
 
     dec = gridmod.decode(gvals)
+    # cross-language grid penalty: the packed score3 field is free at
+    # this boundary (real scores ride the grid_scores column), so its
+    # low bit carries the lang-mismatch flag set by the packed
+    # phrasematch collector (staged.py; constants.LANGUAGE_PENALTY)
+    mism = (dec["score"].astype(np.int64) & 1).astype(bool)
+    if mism.any():
+        dec["relev"] = dec["relev"] * np.where(
+            mism, constants.LANGUAGE_PENALTY, 1.0)
     idx_col = cols["idx"].astype(np.int64)
     zoom_col = cols["zoom"].astype(np.int64)
     weight_col = cols["weight"].astype(np.float64)
@@ -469,7 +492,8 @@ def coalesce_shard_table(shard_group: pa.Table) -> pa.Table:
             non_overlap = non_overlap_from_bits(
                 {int(IDX_l[r]): int(sb_col[r]) for r in pm_rows})
         partials = _enumerate_query(pm_rows, qidx, qmask, qzoom, IDX_l,
-                                    X_l, Y_l, GRW_l, glists, non_overlap)
+                                    X_l, Y_l, GRW_l, glists, non_overlap,
+                                    TMP_a, SD_a)
         if partials:
             # STACKABLE_LIMIT pre-scoring cap (constants.js:20-21): only
             # the best raw-relev partials proceed to rebalance
@@ -479,8 +503,29 @@ def coalesce_shard_table(shard_group: pa.Table) -> pa.Table:
                 rel = np.fromiter((p[2] for p in partials), np.float64,
                                   len(partials))
                 ordc = np.lexsort((TMP_a[g0], -SD_a[g0], -rel))
-                partials = [partials[int(k)] for k in
-                            ordc[: constants.STACKABLE_LIMIT]]
+                # distinct-feature rescue past the cap, identical to the
+                # object kernel (geocode-unit.proximity-polygon): the
+                # best partial of each unrepresented top-cover tmpid is
+                # re-admitted, bounded by the verify load budget
+
+                def _top_tmpid(p):
+                    e = min(p[0],
+                            key=lambda e: (-IDX_l[e[0]], MASK_l[e[0]]))
+                    return int(TMP_a[e[1]])
+
+                kept_k = [int(k) for k in
+                          ordc[: constants.STACKABLE_LIMIT]]
+                seen_t = {_top_tmpid(partials[k]) for k in kept_k}
+                extra_k: list = []
+                for k in ordc[constants.STACKABLE_LIMIT:]:
+                    if len(extra_k) >= \
+                            constants.VERIFYMATCH_MAX_FEATURES_LIMIT:
+                        break
+                    t = _top_tmpid(partials[int(k)])
+                    if t not in seen_t:
+                        seen_t.add(t)
+                        extra_k.append(int(k))
+                partials = [partials[k] for k in kept_k + extra_k]
             all_partials.extend(partials)
         q_pstart.append(len(all_partials))
         if q_has_io[q]:
@@ -599,6 +644,12 @@ def coalesce_shard_table(shard_group: pa.Table) -> pa.Table:
     picked_pos: list = []       # flat partial ids, in output order
     picked_si: list = []
     picked_q: list = []
+    # per query: distinct (tmpid, layer) pairs over every candidate
+    # stack's covers — the strict-map payload the hydrate squishy
+    # checks consume (see CAND_SCHEMA qmatch_* comment)
+    q_pair_t: dict = {}
+    q_pair_l: dict = {}
+    q_pair_m: dict = {}
     for q in range(n_q):
         done_asc: set = set()
         done_desc: set = set()
@@ -622,9 +673,27 @@ def coalesce_shard_table(shard_group: pa.Table) -> pa.Table:
                     picked.append(pos)
             if len(picked) >= max_stacks:
                 break
+        # strict-map pairs from the PRE-verify-cut list (carmen builds
+        # sets over every spatialmatch, verifymatch.js:767)
+        pt: list = []
+        pl: list = []
+        pmk: list = []
+        seen_pairs: set = set()
+        for pos in picked:
+            for j in range(starts[pos], ends[pos]):
+                key = (int(TMP_a[gix_f[j]]), layer_obj[row_f[j]],
+                       int(mask_f[j]))
+                if key not in seen_pairs:
+                    seen_pairs.add(key)
+                    pt.append(key[0])
+                    pl.append(key[1])
+                    pmk.append(key[2])
         picked = picked[: constants.VERIFYMATCH_MAX_FEATURES_LIMIT]
         if not picked:
             continue
+        q_pair_t[q] = pt
+        q_pair_l[q] = pl
+        q_pair_m[q] = pmk
         if not any(part_l[pos] for pos in picked):
             # pre-exchange chunk-protocol prune: verification can only
             # fail for partial-number candidates (prefix-miss
@@ -743,6 +812,15 @@ def coalesce_shard_table(shard_group: pa.Table) -> pa.Table:
              for k in range(n_out)], type=pa.string()),
         "top_phash": pa.array(PH_a[top_gids], type=pa.int64()),
         "cover_tmpids": _lst(cov_tmpids, pa.int64()),
+        "qmatch_tmpids": pa.array(
+            [q_pair_t.get(int(q), []) for q in q_a],
+            type=pa.list_(pa.int64())),
+        "qmatch_layers": pa.array(
+            [q_pair_l.get(int(q), []) for q in q_a],
+            type=pa.list_(pa.string())),
+        "qmatch_masks": pa.array(
+            [q_pair_m.get(int(q), []) for q in q_a],
+            type=pa.list_(pa.int64())),
         "cover_idxs": _lst(idx_col[cov_rows].astype(np.int32), pa.int32()),
         "cover_zooms": _lst(zoom_col[cov_rows].astype(np.int32), pa.int32()),
         "cover_sublens": _lst(

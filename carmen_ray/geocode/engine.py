@@ -54,6 +54,7 @@ from .coalesce import (
 )
 
 TMPID_SHIFT = 1 << 25  # tmpid = idx * 2^25 + fid (context.js:2,423,501)
+_LANG_LO_MASK64 = (1 << 64) - 1
 
 
 class Feature:
@@ -133,6 +134,21 @@ class IndexData:
         # distscore-ranked reverse candidate picks under
         # reverseMode='score'
         self.reverse_mode_layers: set[str] = set()
+        self._lang_map_cache: dict[str, int] | None = None
+        # squishy score flow (verifymatch.js:761,796,822). With a layer
+        # config, carmen's defaults apply exactly: inherit_score FALSE
+        # unless authored, grant_score TRUE unless authored false
+        # (index.js:209-210; the types acceptance pins that an
+        # unflagged place does NOT inherit, promote-on-identical-name
+        # pins that a flagged one does). Configless corpora keep the
+        # engine's built-in hierarchy sets for convenience.
+        if config is not None and getattr(config, "layers", None):
+            self.inherit_score_layers: set[str] = set()
+            self.grant_score_layers: set[str] = {
+                str(n) for n in config.layers}
+        else:
+            self.inherit_score_layers = set(INHERIT_SCORE_LAYERS)
+            self.grant_score_layers = set(GRANT_SCORE_LAYERS)
         # geocoder_expected_number_order (phrasematch.js:356-369)
         self.layer_expected_number_order: dict[str, str] = {}
         # intersection joining tokens (geocoder_intersection_token);
@@ -188,6 +204,13 @@ class IndexData:
                 it = getattr(lc, "geocoder_intersection_token", None)
                 if it:
                     self.intersection_tokens.add(str(it))
+                if getattr(lc, "geocoder_inherit_score", False):
+                    self.inherit_score_layers.add(lname)
+                gs = getattr(lc, "geocoder_grant_score", None)
+                if gs is True:
+                    self.grant_score_layers.add(lname)
+                elif gs is False:
+                    self.grant_score_layers.discard(lname)
                 cats = getattr(lc, "geocoder_categories", None)
                 if cats:
                     # index.js:230-246: each category enters the set
@@ -479,6 +502,44 @@ class IndexData:
 
     def feature_at(self, row: int) -> Feature:
         return Feature(self._f, row)
+
+    def _lang_map(self) -> dict[str, int]:
+        """Reconstruct the build-time lang_map (build_lang_map: sorted
+        distinct authored codes → sequential slots) from the feature
+        table. Lazy + cached — only language-flagged requests need it,
+        and the flagship/batch pipelines are language-less."""
+        if self._lang_map_cache is None:
+            langs: set[str] = set()
+            if self._f is not None:
+                for lj in self._f["langs_json"]:
+                    if lj:
+                        langs.update(json.loads(lj).keys())
+            self._lang_map_cache = {l: i for i, l in enumerate(sorted(langs))}
+        return self._lang_map_cache
+
+    def lang_want_masks(self, language: str | None) -> tuple[int, int]:
+        """carmen-core's wanted-language bit (phrasematch.js:298-310):
+        the single bit of the requested language's closest indexed
+        label (or 'default' without a flag, or the unmatched slot), plus
+        the universal bit — grids whose lang set misses both take the
+        ×LANGUAGE_PENALTY relev cut. → (lo64, hi64) masks."""
+        from ..index.build import LANG_BITS, UNMATCHED_LANG_BIT, lang_bit
+        from ..text.closest_lang import closest_lang_label
+
+        if not language:
+            b = LANG_BITS["default"]
+        else:
+            code = str(language).replace("-", "_")
+            lm = self._lang_map()
+            if code in LANG_BITS:
+                b = LANG_BITS[code]
+            elif code in lm:
+                b = lang_bit(code, lm)
+            else:
+                label = closest_lang_label(code, list(lm))
+                b = lang_bit(label, lm) if label else UNMATCHED_LANG_BIT
+        full = (1 << b) | (1 << LANG_BITS["all"])
+        return full & _LANG_LO_MASK64, full >> 64
 
     def layer_decl_types(self, layer: str) -> list[str]:
         """source.types (index.js:123): geocoder_types, defaulting to
@@ -772,6 +833,22 @@ def query_hypotheses(index: IndexData, tokens: list[str], fuzzy: bool = True) ->
     return hyps
 
 
+def _lang_penalties(c, rel, lang_want):
+    """Per-row relev multiplier: ×LANGUAGE_PENALTY when a grid's
+    128-bit lang set misses the wanted bit AND the universal bit
+    (carmen-core's cross-language penalty). lang_want=None → no
+    language opinion (legacy callers, e.g. the intersections emit)."""
+    if lang_want is None:
+        return np.ones(len(rel))
+    lo, hi = lang_want
+    ls = c["lang_set"][rel].astype(np.uint64)
+    lhc = c.get("lang_set_hi")
+    lh = (lhc[rel].astype(np.uint64) if lhc is not None
+          else np.zeros(len(rel), dtype=np.uint64))
+    ok = ((ls & np.uint64(lo)) | (lh & np.uint64(hi))) != 0
+    return np.where(ok, 1.0, constants.LANGUAGE_PENALTY)
+
+
 class PhrasematchCollector:
     """Default collector: builds Phrasematch + Grid objects (the fused
     path's stacking inputs). The staged PhrasematchStage swaps in a
@@ -784,18 +861,21 @@ class PhrasematchCollector:
 
     def emit(self, index: "IndexData", idx: int, rel: np.ndarray, mask: int,
              weight: float, joined: str, use_prefix: bool,
-             address: str | None, edit_distance: int) -> None:
+             address: str | None, edit_distance: int,
+             lang_want: tuple[int, int] | None = None) -> None:
         c = index.pg_cols
         phashes = c.get("phash")
+        pen = _lang_penalties(c, rel, lang_want)
         grids = [
             Grid(
                 x=int(c["x"][i]), y=int(c["y"][i]),
-                relev=float(c["relev"][i]), score=float(c["score"][i]),
+                relev=float(c["relev"][i]) * pen[k],
+                score=float(c["score"][i]),
                 fid=int(c["fid"][i]),
                 tmpid=int(idx) * TMPID_SHIFT + int(c["fid"][i]),
                 phash=int(phashes[i]) if phashes is not None else 0,
             )
-            for i in rel
+            for k, i in enumerate(rel)
         ]
         layer = str(c["layer"][rel[0]])
         self.out.append(Phrasematch(
@@ -814,7 +894,8 @@ def _emit_phrase_rows(index: IndexData, lo: int, hi: int, mask: int,
                       weight: float, joined: str, use_prefix: bool,
                       address: str | None, collector,
                       edit_distance: int = 0,
-                      number_order: str | None = None) -> None:
+                      number_order: str | None = None,
+                      lang_want: tuple[int, int] | None = None) -> None:
     """Group rows [lo, hi) by source index and hand each group to the
     collector. number_order ('first'/'last'/None) is the subquery's
     house-number position — sources with a geocoder_expected_number_order
@@ -829,7 +910,8 @@ def _emit_phrase_rows(index: IndexData, lo: int, hi: int, mask: int,
             if expected and expected != number_order:
                 w = weight * 0.99
         collector.emit(index, int(idx), rel, mask, w, joined,
-                       use_prefix, address, edit_distance)
+                       use_prefix, address, edit_distance,
+                       lang_want=lang_want)
 
 
 def phrasematch_query(index: IndexData, tokens: list[str], autocomplete: bool = True,
@@ -864,6 +946,9 @@ def phrasematch_query(index: IndexData, tokens: list[str], autocomplete: bool = 
     if n == 0:
         return []
     wn = weight_n if weight_n is not None else n
+    # the single wanted language bit for the grid-level penalty
+    # (phrasematch.js:298-310; 'default' without a flag)
+    lang_want = index.lang_want_masks(languages[0] if languages else None)
     if collector is None:
         collector = PhrasematchCollector()
     out = collector
@@ -895,7 +980,8 @@ def phrasematch_query(index: IndexData, tokens: list[str], autocomplete: bool = 
                 _emit_phrase_rows(index, lo, hi, omask, weight, joined,
                                   use_prefix, address, out,
                                   edit_distance=initial_distance,
-                                  number_order=number_order)
+                                  number_order=number_order,
+                                  lang_want=lang_want)
         if fuzzy_max_distance > 0:
             for cand, d in index.fuzzy_phrase_lookup(joined):
                 if (cand, "fz") in seen:
@@ -917,7 +1003,8 @@ def phrasematch_query(index: IndexData, tokens: list[str], autocomplete: bool = 
                 weight = (bin(omask).count("1") / wn) * weight_multiplier * penalty
                 _emit_phrase_rows(index, lo, hi, omask, weight, cand,
                                   False, address, out, edit_distance=d,
-                                  number_order=number_order)
+                                  number_order=number_order,
+                                  lang_want=lang_want)
             if autocomplete and ender:
                 # fuzzy + prefix combined endings (phrasematch.js:106-131):
                 # a misspelled FINAL token still autocompletes
@@ -939,7 +1026,8 @@ def phrasematch_query(index: IndexData, tokens: list[str], autocomplete: bool = 
                     weight = (bin(omask).count("1") / wn) * weight_multiplier * penalty
                     _emit_phrase_rows(index, lo, hi, omask, weight, cand,
                                       True, address, out, edit_distance=d,
-                                      number_order=number_order)
+                                      number_order=number_order,
+                                      lang_want=lang_want)
     return getattr(collector, "out", [])
 
 
@@ -1701,7 +1789,8 @@ def _direction_effects(covers, relevance: float,
 
 
 def close_but_no_cigar_adj(tmpids, idxs, zooms, sublens, masks, relevs,
-                           feature_tmpid: int, ctx) -> float:
+                           feature_tmpid: int, ctx,
+                           ctx_strict_masks: dict | None = None) -> float:
     """verifymatch.js:781-793, 903-930: covers whose feature is NOT in
     the result's context chain get half credit when the chain holds a
     different feature of the same index (nearby same-layer match) and
@@ -1731,6 +1820,22 @@ def close_but_no_cigar_adj(tmpids, idxs, zooms, sublens, masks, relevs,
     for t, ix, z, sl, m, rv in zip(tmpids, idxs, zooms, sublens, masks, relevs):
         if t in chain_tmpids:
             continue
+        if ctx_strict_masks:
+            # the reference's walk recomputes relevance from the RESULT
+            # CONTEXT against the query-wide strict cover map
+            # (verifymatch.js:776): when an in-context feature claimed
+            # the SAME subquery mask in any stack, that aligned claim
+            # takes the credit at full value — 'xeorxia' doubling as an
+            # aligned region synonym and a near-miss place synonym stays
+            # at relevance 1 (geocode-unit.near-alignment:179-192)
+            claimed = False
+            for ct in chain_tmpids:
+                mm = ctx_strict_masks.get(ct)
+                if mm and m in mm:
+                    claimed = True
+                    break
+            if claimed:
+                continue  # keep full credit for this token
         if ix in chain_idxs and z > 8 and sl > 3:
             adj -= rv                 # remove full credit...
             close_credit += 0.5 * rv  # ...maybe restore half
@@ -1742,24 +1847,25 @@ def close_but_no_cigar_adj(tmpids, idxs, zooms, sublens, masks, relevs,
     return adj
 
 
-def _close_but_no_cigar(covers, feature_tmpid: int, ctx) -> float:
+def _close_but_no_cigar(covers, feature_tmpid: int, ctx,
+                        ctx_strict_masks: dict | None = None) -> float:
     return close_but_no_cigar_adj(
         [e.grid.tmpid for e in covers], [e.pm.idx for e in covers],
         [e.pm.zoom for e in covers], [len(e.pm.subquery) for e in covers],
         [e.pm.mask for e in covers], [e.relev for e in covers],
-        feature_tmpid, ctx)
+        feature_tmpid, ctx, ctx_strict_masks=ctx_strict_masks)
 
 
 def _squishy_boost(index: IndexData, feature, ctx, matched_tmpids: set) -> float:
     """Score inheritance for nested identically-named features
     ("new york, new york" — verifymatch.js:813-821, 938-965).
     matched_tmpids: grid tmpids of the stack's covers."""
-    if feature.layer not in INHERIT_SCORE_LAYERS:
+    if feature.layer not in index.inherit_score_layers:
         return 0.0
     target = feature.text.lower()
     boost = 0.0
     for parent in ctx:
-        if parent.layer not in GRANT_SCORE_LAYERS:
+        if parent.layer not in index.grant_score_layers:
             continue
         # parents carry idx/fid/score directly (Feature or a denormalized
         # context row) — no feature-store lookup, so hash(fid)-sharded
@@ -1819,10 +1925,11 @@ def _result_sort_key(r: dict):
     omitted-geometry demotion (sortContext's omittedDifference),
     scoredist, the cluster-over-interpolation preference
     (verifymatch.js:1036-1046; the cluster-vs-range acceptance), then
-    the deterministic idx/fid tail."""
+    then carmen:position (the verify stack ordinal,
+    verifymatch.js:1048-1050) and the deterministic idx/fid tail."""
     return (-r["relevance"], -r["composite"], r.get("omitted", False),
             -r["scoredist"], r.get("interpolated", False),
-            r["idx"], r["fid"])
+            r["idx"], r.get("position", 0), r["fid"])
 
 
 def _addr_dedupe_key(index: IndexData, feature, covers, ctx) -> str | None:
@@ -1879,13 +1986,27 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
     if language_mode is not None and language_mode != "strict":
         # geocode.js option validation (geocode-unit.languageMode)
         raise ValueError(f"'{language_mode}' is not a valid language mode")
+    languages: list[str] = []
     if language:
         from ..text.closest_lang import has_language
 
         # geocode.js language validation (the language-flag acceptance:
-        # 'fake' errors, 'bg-nonexistent' falls back)
-        if not has_language(language):
-            raise ValueError(f"'{language}' is not a valid language code")
+        # 'fake' errors, 'bg-nonexistent' falls back). A comma list
+        # requests MULTI-LANGUAGE output (geocode.js:103-117 +
+        # format-features.js toFeature: text_{lc} / place_name_{lc} /
+        # language_{lc} per requested code, unsuffixed = first;
+        # the multilanguage acceptance)
+        languages = [l.strip() for l in str(language).split(",")]
+        if len(languages) > 20:
+            raise ValueError("options.language should be a list of no "
+                             "more than 20 languages")
+        if len(set(languages)) != len(languages):
+            raise ValueError("options.language should be a list of "
+                             "unique language codes")
+        for lc in languages:
+            if not has_language(lc):
+                raise ValueError(f"'{lc}' is not a valid language code")
+        language = languages[0]
     if bbox is not None:
         # geocode.js:126-142 bbox validation (EINVALID); the acceptance
         # (geocode-unit.bbox) passes length-3, non-numeric and
@@ -1949,7 +2070,8 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
         pms.extend(phrasematch_query(index, hyp_tokens, autocomplete=autocomplete,
                                      word_boundary=word_boundary,
                                      weight_multiplier=penalty, seen=tried,
-                                     fuzzy_max_distance=fz))
+                                     fuzzy_max_distance=fz,
+                                     languages=languages))
 
     # intersection queries (R7, termops.js:872-902)
     col_i = PhrasematchCollector()
@@ -1967,7 +2089,7 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
         pms.extend(phrasematch_query(index, var_tokens, autocomplete=autocomplete,
                                      word_boundary=word_boundary,
                                      seen=tried, address=addr["number"],
-                                     fuzzy_max_distance=fz,
+                                     fuzzy_max_distance=fz, languages=languages,
                                      number_order=number_order_of(var_tokens, addr)))
         if addr["position"] > 0:
             swapped = [var_tokens[addr["position"]]] + [
@@ -1977,6 +2099,7 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
                                          weight_multiplier=0.99, seen=tried,
                                          address=addr["number"],
                                          fuzzy_max_distance=fz,
+                                         languages=languages,
                                          number_order="first"))
     # whitespace correction (M17 — whitespace.js:6-28 via
     # phrasematch.js:61-77): address sources only, and only with fuzzy
@@ -1994,13 +2117,14 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
             phrasematch_query(index, ws_tokens, autocomplete=autocomplete,
                               word_boundary=word_boundary, seen=tried,
                               mask_map=ws_map, weight_n=len(tokens),
-                              initial_distance=1, collector=col_w)
+                              initial_distance=1, collector=col_w,
+                              languages=languages)
             for var_tokens, addr in num_tokenize(ws_tokens):
                 phrasematch_query(index, var_tokens, autocomplete=autocomplete,
                                   word_boundary=word_boundary, seen=tried,
                                   address=addr["number"], mask_map=ws_map,
                                   weight_n=len(tokens), initial_distance=1,
-                                  collector=col_w,
+                                  collector=col_w, languages=languages,
                                   number_order=number_order_of(var_tokens, addr))
             pms.extend(p for p in col_w.out
                        if p.layer in index.address_layers)
@@ -2026,7 +2150,8 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
             for var in num_tokenize_prefix(tokens):
                 partial_pms = phrasematch_query(index, var, autocomplete=True,
                                                 word_boundary=word_boundary,
-                                                seen=tried, address=tokens[0])
+                                                seen=tried, address=tokens[0],
+                                                languages=languages)
                 for pm in partial_pms:
                     pm.partial_number = True
                 pms.extend(p for p in partial_pms if p.layer in prox_layers)
@@ -2047,7 +2172,8 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
                 continue
             pms = phrasematch_query(index, hyp_tokens, autocomplete=autocomplete,
                                      word_boundary=word_boundary,
-                                    weight_multiplier=penalty)
+                                    weight_multiplier=penalty,
+                                    languages=languages)
             if pms:
                 query_len = len(hyp_tokens)
                 tokens = hyp_tokens
@@ -2154,16 +2280,38 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
     # (verifymatch.js loads all contexts, then sorts).
     best_by_tmpid: dict[int, dict] = {}
 
-    def _verify_stack(st) -> bool:
+    # query-wide matched-tmpid set over the squishy-relevant layers —
+    # carmen's strict/loose maps span ALL candidate stacks
+    # (verifymatch.js:767-769), so 'new york usa' grants the region's
+    # score to the place even though the region cover sits in a
+    # DIFFERENT stack (promote-on-identical-name acceptance)
+    q_matched_tmpids: set[int] = {
+        e.grid.tmpid for s_ in cand_stacks for e in s_.entries
+        if e.pm.layer in index.grant_score_layers
+        or e.pm.layer in index.inherit_score_layers}
+    # query-wide tmpid → {cover masks} over every candidate stack (all
+    # layers) — the strict map the context-walk recompute consults
+    q_cover_masks: dict[int, set] = {}
+    for s_ in cand_stacks:
+        for e in s_.entries:
+            q_cover_masks.setdefault(e.grid.tmpid, set()).add(e.pm.mask)
+
+    def _verify_stack(st, si: int = 0) -> bool:
         """One candidate stack through hydrate → filters → scoring;
         False when the reference's verifyFeatures would have dropped it
-        (the chunk protocol counts only successes as verified)."""
+        (the chunk protocol counts only successes as verified). `si` is
+        the stack ordinal — carmen:position, the sortContext tie-break
+        before the id tail (verifymatch.js:1048-1053)."""
         covers = st.covers()
         top = covers[0]
         frow = index.row_by_tmpid(top.grid.tmpid)
         if frow is None:
             return False
         feature = index.feature_at(frow)
+        if getattr(feature, "reverse_only", False):
+            # carmen:reverse_only features never become forward results
+            # (verifymatch.js:472); they still serve context and reverse
+            return False
 
         ctx = _context_for(index, frow, int(feature.idx), worldview=worldview)
 
@@ -2312,26 +2460,68 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
             index, feature, covers[0].grid.phash, language,
             covers[0].pm.subquery, matched_lang, display)
 
+        def _render_name(disp_i, ctx_names_i, ml_i):
+            if index.config is not None and (index.config.place_format
+                                             or index.config.place_formats):
+                return index.config.render_place_name(
+                    disp_i, ctx_names_i, matched_address, language=ml_i)
+            pre = f"{matched_address} " if matched_address else ""
+            return pre + ", ".join([disp_i] + ctx_names_i)
+
+        # matching_place_name (format-features.js:428-439 toFeature):
+        # the primary place name re-rendered with the matched synonym
+        # as the display element
+        matching_place_name = None
+        if matching_text:
+            matching_place_name = _render_name(
+                matching_text, ctx_names, matched_lang)
+
+        # multi-language output (toFeature's languages.reduce,
+        # format-features.js:~200): text_{lc} / language_{lc} /
+        # place_name_{lc} per requested code; unsuffixed fields carry
+        # the first language (the multilanguage acceptance). A fused
+        # per-call surface — the staged batch pipeline's output schema
+        # is fixed and language-less.
+        lang_fields: dict = {}
+        for i_l, lc in enumerate(languages):
+            if i_l == 0:
+                disp_i, ml_i, pn_i = display, matched_lang, place_name
+            else:
+                disp_i, ml_i = _display_text(feature, lc)
+                ctx_names_i = []
+                for c in render_ctx:
+                    if c.layer in overrides \
+                            and str(c.text) != overrides[c.layer]:
+                        ctx_names_i.append(overrides[c.layer])
+                    else:
+                        ctx_names_i.append(_display_text(c, lc)[0])
+                pn_i = _render_name(disp_i, ctx_names_i, ml_i)
+            lang_fields[f"text_{lc}"] = disp_i
+            if ml_i:
+                lang_fields[f"language_{lc}"] = ml_i.replace("_", "-")
+            lang_fields[f"place_name_{lc}"] = pn_i
+
         ghost = float(feature.score) < 0
         relevance = _direction_effects(
             covers, st.relev, frozenset(index.ignore_order_layers))
         # near-miss covers (same index, different feature) → half credit;
         # fully unmatched covers → none (verifymatch context-walk)
-        relevance += _close_but_no_cigar(covers, top.grid.tmpid, ctx)
+        relevance += _close_but_no_cigar(covers, top.grid.tmpid, ctx,
+                                         ctx_strict_masks=q_cover_masks)
         # context squishy (+0.01, verifymatch.js:966-975): an unmatched
         # context element doubling the name of a matched inherit-score
         # context element ("main st new york new york") nudges relevance
-        matched_tmpids = {e.grid.tmpid for e in covers}
+        matched_tmpids = q_matched_tmpids
         squishy_ctx_target = None
         for c in ctx:
             ctmp = int(c.idx) * TMPID_SHIFT + int(c.fid)
-            if ctmp in matched_tmpids and c.layer in INHERIT_SCORE_LAYERS:
+            if ctmp in matched_tmpids and c.layer in index.inherit_score_layers:
                 squishy_ctx_target = str(c.text).lower()
                 break
         if squishy_ctx_target is not None:
             for c in ctx:
                 ctmp = int(c.idx) * TMPID_SHIFT + int(c.fid)
-                if ctmp not in matched_tmpids and c.layer in GRANT_SCORE_LAYERS                         and str(c.text).lower() == squishy_ctx_target:
+                if ctmp not in matched_tmpids and c.layer in index.grant_score_layers                         and str(c.text).lower() == squishy_ctx_target:
                     relevance += 0.01
                     break
         if addr_state is False:
@@ -2411,7 +2601,10 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
             "routable_lat": routable[1] if routable else None,
             "matching_text": matching_text,
             "matching_language": matching_language,
+            "matching_place_name": matching_place_name,
             "language": matched_lang,
+            "text": display,  # toFeature memo.text (first language)
+            **lang_fields,
             "place_name": place_name,
             # omitted/interpolated feed the final sort demotion and the
             # dedupe non-omitted/non-interpolated preference
@@ -2420,6 +2613,7 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
                         else bool(getattr(feature, "omitted", False))),
             "interpolated": bool(resolved and resolved.get("line") is not None),
             "addr_key": _addr_dedupe_key(index, feature, covers, ctx),
+            "position": si,
         }
         fbbox = index.feature_bbox_am(frow, feature)
         candidate["bbox_w"], candidate["bbox_s"], candidate["bbox_e"], \
@@ -2475,7 +2669,7 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
         ci = planner.next_candidate()
         if ci is None:
             break
-        planner.record(_verify_stack(ledger[ci]))
+        planner.record(_verify_stack(ledger[ci], ci))
     if _stats is not None:
         _stats["candidates_total"] = len(ledger)
         _stats["candidates_verified"] = planner.seen
@@ -2691,6 +2885,11 @@ def reverse_one(index: IndexData, lon: float, lat: float, limit: int = 1,
     (context.js:31-136, nearest :269-304). Multi-result reverse requires
     an explicit single type (geocode.js:216-220); without one the limit
     clamps to 1 like the reference."""
+    if reverse_mode not in ("distance", "score"):
+        # geocode.js reverseMode validation (the reverse-scoredist
+        # acceptance pins the message shape)
+        raise ValueError(f"{reverse_mode} is not a valid reverseMode. "
+                         "Must be one of: score, distance")
     if language_mode is not None and language_mode != "strict":
         raise ValueError(f"'{language_mode}' is not a valid language mode")
     if language:

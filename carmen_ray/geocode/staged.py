@@ -123,6 +123,15 @@ CAND_SCHEMA = pa.schema([
                                     # dedupe key's text half
     ("top_phash", pa.int64()),      # source text hash of top cover
     ("cover_tmpids", pa.list_(pa.int64())),
+    # query-wide distinct (tmpid, layer) cover pairs across ALL of this
+    # query's candidate stacks — carmen's strict map
+    # (verifymatch.js:767-776) spans every spatialmatch, so the squishy
+    # grant/inherit checks in VerifyHydrate need more than this row's
+    # own covers (promote-on-identical-name). Replicated per candidate;
+    # hydrate filters by the config's grant/inherit layer sets.
+    ("qmatch_tmpids", pa.list_(pa.int64())),
+    ("qmatch_layers", pa.list_(pa.string())),
+    ("qmatch_masks", pa.list_(pa.int64())),
     ("cover_idxs", pa.list_(pa.int32())),
     ("cover_zooms", pa.list_(pa.int32())),
     ("cover_sublens", pa.list_(pa.int32())),
@@ -220,11 +229,18 @@ class PackedCollector:
         self.entries: list[_PackedRow] = []
 
     def emit(self, index, idx, rel, mask, weight, joined, use_prefix,
-             address, edit_distance):
+             address, edit_distance, lang_want=None):
+        from .engine import _lang_penalties
+
         c = index.pg_cols
+        # score3 is re-derived at verify, so its low bit carries the
+        # cross-language mismatch flag instead — the exchange's 2-bit
+        # relev bucket can't hold a ×0.96 float, so the penalty is
+        # re-applied after decode (coalesce_fast / the pm prune)
+        pen = _lang_penalties(c, rel, lang_want)
         packed = gridmod.encode(
             c["x"][rel], c["y"][rel], c["relev"][rel],
-            np.zeros(len(rel), dtype=np.int64),  # score3 re-derived at verify
+            (pen < 1.0).astype(np.int64),
             c["fid"][rel],
         )
         phashes = c.get("phash")
@@ -528,7 +544,11 @@ class PhrasematchStage:
                     dropped.add(k)  # coalesce_group would drop the pm too
                     continue
             if keep.size > MAX_GRIDS_PER_PM:
-                relev = dec["relev"][keep]
+                # same language-penalized relev the coalesce kernel
+                # orders by (score3 bit0 = mismatch flag)
+                relev = dec["relev"][keep] * np.where(
+                    (dec["score"][keep].astype(np.int64) & 1).astype(bool),
+                    constants.LANGUAGE_PENALTY, 1.0)
                 sdk = sd[keep]
                 tmpid = pm.idx * (1 << 25) + dec["id"][keep]
                 # stable ascending by (-relev, -scoredist, tmpid) ==
@@ -813,8 +833,6 @@ class VerifyHydrate:
         from ..geom.ops import nearest_point_on_multiline
         from ..util import proximity as prox
         from .engine import (
-            GRANT_SCORE_LAYERS,
-            INHERIT_SCORE_LAYERS,
             TMPID_SHIFT,
             _display_text,
             _squishy_boost,
@@ -918,6 +936,11 @@ class VerifyHydrate:
                 _hyd_tombstone(rows, d, ri)
                 continue
             feature = self._feat(frow)
+            if getattr(feature, "reverse_only", False):
+                # carmen:reverse_only drop, same as the fused path
+                # (verifymatch.js:472)
+                _hyd_tombstone(rows, d, ri)
+                continue
             ctx = self._ctx(frow, feature)
             addr_number = addr_l[ri]
             partial = bool(d["partial_number"][ri]) if "partial_number" in d else False
@@ -1003,22 +1026,37 @@ class VerifyHydrate:
 
             ghost = float(feature.score) < 0
             relevance = float(d["relev"][ri])
+            # query-wide tmpid → {masks} strict map (same structure the
+            # fused path builds from cand_stacks)
+            q_cover_masks: dict = {}
+            for t_, m_ in zip(d["qmatch_tmpids"][ri],
+                              d["qmatch_masks"][ri]):
+                q_cover_masks.setdefault(int(t_), set()).add(int(m_))
             relevance += close_but_no_cigar_adj(
                 d["cover_tmpids"][ri], d["cover_idxs"][ri],
                 d["cover_zooms"][ri], d["cover_sublens"][ri],
                 d["cover_masks"][ri], d["cover_relevs"][ri],
-                tmpid, ctx)
-            covers_tmp = set(d["cover_tmpids"][ri])
+                tmpid, ctx, ctx_strict_masks=q_cover_masks)
+            # query-wide strict set over the squishy layers (carmen's
+            # strict map spans every spatialmatch — see CAND_SCHEMA
+            # qmatch_* comment), filtered by the config's layer sets
+            qmatched = {
+                int(t) for t, l in zip(d["qmatch_tmpids"][ri],
+                                       d["qmatch_layers"][ri])
+                if l in self.index.grant_score_layers
+                or l in self.index.inherit_score_layers}
             squishy_ctx_target = None
             for c in ctx:
                 ctmp = int(c.idx) * TMPID_SHIFT + int(c.fid)
-                if ctmp in covers_tmp and c.layer in INHERIT_SCORE_LAYERS:
+                if ctmp in qmatched \
+                        and c.layer in self.index.inherit_score_layers:
                     squishy_ctx_target = str(c.text).lower()
                     break
             if squishy_ctx_target is not None:
                 for c in ctx:
                     ctmp = int(c.idx) * TMPID_SHIFT + int(c.fid)
-                    if ctmp not in covers_tmp and c.layer in GRANT_SCORE_LAYERS \
+                    if ctmp not in qmatched \
+                            and c.layer in self.index.grant_score_layers \
                             and str(c.text).lower() == squishy_ctx_target:
                         relevance += 0.01
                         break
@@ -1034,7 +1072,7 @@ class VerifyHydrate:
                     float(feature.score), self.index.min_score,
                     self.index.max_score, dist, int(feature.zoom),
                     radius=feat_radius))
-            squishy = _squishy_boost(self.index, feature, ctx, covers_tmp)
+            squishy = _squishy_boost(self.index, feature, ctx, qmatched)
             if squishy > 0:
                 boosted = min(float(feature.score) + squishy, self.index.max_score)
                 if has_prox:
@@ -1204,7 +1242,8 @@ def assemble_shard(shard_group: pa.Table) -> pa.Table:
             seen_keys: dict[str, int] = {}
             for i in sorted(best.values(), key=lambda i: (
                     -rel_l[i], -comp_l[i], bool(om_l[i]),
-                    -sd_l[i], bool(itp_l[i]), idx_l[i], fid_l[i])):
+                    -sd_l[i], bool(itp_l[i]), idx_l[i], si_l[i],
+                    fid_l[i])):
                 keys = [name_l[i]]
                 if ak_l[i]:
                     keys.append(ak_l[i])
@@ -1238,7 +1277,7 @@ def assemble_shard(shard_group: pa.Table) -> pa.Table:
             # like the fused path's final sort
             deduped.sort(key=lambda i: (
                 -rel_l[i], -comp_l[i], bool(om_l[i]),
-                -sd_l[i], bool(itp_l[i]), idx_l[i], fid_l[i]))
+                -sd_l[i], bool(itp_l[i]), idx_l[i], si_l[i], fid_l[i]))
             for rank, i in enumerate(deduped[:lim]):
                 out = {
                     "feature_id": d["feature_id"][i],

@@ -46,7 +46,12 @@ from ..util.hashing import fnv1a_64, phrase_hash
 
 MAX_COVERS = 10000  # indexdocs.js:346-358 cap
 
-LANG_BITS = {"default": 0, "all": 127}  # bit 127 = universal
+# bit 0 = the default (untranslated) text; bit 127 = 'all'/universal —
+# text that matches EVERY requested language (geocoder_universal_text
+# layers and carmen:text_universal). Default text does NOT carry the
+# universal bit: with a language flag it takes the cross-language
+# penalty like any other mismatch (promote-language acceptance).
+LANG_BITS = {"default": 0, "all": 127, "universal": 127}
 UNMATCHED_LANG_BIT = 126  # languages past the 125-slot map
 _LANG_LO_MASK = (1 << 64) - 1
 
@@ -126,6 +131,7 @@ def parse_docs_batch(batch: pa.Table, layer_meta: dict | None = None) -> pa.Tabl
         "addr_numbers_json": [], "addr_range_json": [],
         "intersections_json": [], "proximity_radius": [], "overrides_json": [],
         "addr_style": [], "stack": [], "types_json": [], "omitted": [],
+        "reverse_only": [],
     }
 
     for doc_id, spans in zip(doc_ids, spans_col):
@@ -146,6 +152,7 @@ def parse_docs_batch(batch: pa.Table, layer_meta: dict | None = None) -> pa.Tabl
         geom, center = None, None
         addr_numbers, addr_range = None, None
         addr_style = "standard"
+        reverse_only = False
         intersections = []
         prox_radius = 0.0
         overrides = {}
@@ -158,7 +165,15 @@ def parse_docs_batch(batch: pa.Table, layer_meta: dict | None = None) -> pa.Tabl
             elif k == "synonym":
                 synonyms.append(s["text"])
             elif k.startswith("lang:"):
-                langs[k[5:]] = s["text"]
+                # carmen:text_{lc} language codes are validated at index
+                # time (indexdocs; the localtext acceptance pins
+                # "fake is an invalid language code")
+                from ..text.closest_lang import has_language
+
+                lc_ = k[5:]
+                if not has_language(lc_):
+                    raise ValueError(f"{lc_} is an invalid language code")
+                langs[lc_] = s["text"]
             elif k == "geom":
                 try:
                     geom = json.loads(s["text"])
@@ -194,6 +209,10 @@ def parse_docs_batch(batch: pa.Table, layer_meta: dict | None = None) -> pa.Tabl
             elif k == "types":
                 # carmen:types multi-typing (comma-separated)
                 ftypes = [t for t in s["text"].split(",") if t]
+            elif k == "reverse_only":
+                # carmen:reverse_only — indexed normally but never a
+                # forward result (verifymatch.js:472 skips at hydrate)
+                reverse_only = s["text"].lower() not in ("", "0", "false")
             elif k.startswith("override:"):
                 overrides[k[len("override:"):]] = s["text"]
 
@@ -252,6 +271,7 @@ def parse_docs_batch(batch: pa.Table, layer_meta: dict | None = None) -> pa.Tabl
         # bool column keeps the sort path off the JSON parser
         out["omitted"].append(bool(isinstance(geom, dict)
                                    and geom.get("omitted")))
+        out["reverse_only"].append(reverse_only)
 
     schema_overrides = {
         "idx": pa.int32(), "zoom": pa.int32(), "fid": pa.int64(),
@@ -346,6 +366,13 @@ class PhraseGen:
             self.simple, self.complex_rules, self.global_rules = config.build_replacers()
         else:
             self.simple, self.complex_rules, self.global_rules = None, [], []
+        # geocoder_universal_text layers: every text counts as every
+        # language (bit 127 — the 'universal' label, filter-sources)
+        self.universal_layers: set[str] = set()
+        if config is not None:
+            self.universal_layers = {
+                str(n) for n, lc in getattr(config, "layers", {}).items()
+                if getattr(lc, "geocoder_universal_text", False)}
 
     def _token_variants(self, text: str) -> list[tuple[list[str], bool]]:
         """Apply global → complex (variant enumeration) → simple replacers
@@ -387,14 +414,23 @@ class PhraseGen:
         }
         for r in range(batch.num_rows):
             texts: list[tuple[str, int]] = []
-            default_mask = (1 << lang_bit("default")) | (1 << lang_bit("all"))  # 128-bit int
+            # default text = bit 0 ONLY (no universal bit): language-
+            # flagged requests penalize untranslated matches, and the
+            # default request penalizes translations (LANGUAGE_PENALTY;
+            # promote-language / localtext acceptance)
+            default_mask = 1 << lang_bit("default")
+            if cols["layer"][r] in self.universal_layers:
+                default_mask |= 1 << lang_bit("all")
             main = cols["text"][r]
             if main:
                 texts.append((main, default_mask))
             for syn in cols["synonyms"][r] or []:
                 texts.append((syn, default_mask))
             for lc, alt in json.loads(cols["langs_json"][r]).items():
-                texts.append((alt, 1 << lang_bit(lc, self.lang_map)))
+                lmask = 1 << lang_bit(lc, self.lang_map)
+                if cols["layer"][r] in self.universal_layers:
+                    lmask |= 1 << lang_bit("all")
+                texts.append((alt, lmask))
 
             score = cols["score"][r]
             score3 = encode_3bit_log(max(score, 0), self.max_score)
@@ -687,7 +723,7 @@ def build_index(docs_ds, freq_min_count: int = 1, config=None) -> CarmenIndex:
         "bbox_w", "bbox_s", "bbox_e", "bbox_n", "spans",
         "addr_numbers_json", "addr_range_json", "intersections_json",
         "proximity_radius", "overrides_json", "addr_style",
-        "stack", "types_json", "omitted",
+        "stack", "types_json", "omitted", "reverse_only",
     ]
     feat_tbl = feat_tbl.select(feature_cols)
     # canonical feature order: context/reverse tie-breaks are
@@ -802,7 +838,7 @@ def build_index_streaming(docs_ds, out_dir: str, freq_min_count: int = 1,
         "bbox_w", "bbox_s", "bbox_e", "bbox_n", "spans",
         "addr_numbers_json", "addr_range_json", "intersections_json",
         "proximity_radius", "overrides_json", "addr_style",
-        "stack", "types_json", "omitted",
+        "stack", "types_json", "omitted", "reverse_only",
     ]
     os.makedirs(out_dir, exist_ok=True)
     # table-granular resume: a killed `ray job submit` run skips tables

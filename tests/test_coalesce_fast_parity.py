@@ -55,6 +55,11 @@ def _reference_coalesce_group(col: dict, rows) -> None:
     decoded = []
     for i in range(n_rows):
         dec = gridmod.decode(np.asarray(col["grids"][i], dtype=np.uint64))
+        # score3 bit0 = the cross-language mismatch flag (staged packed
+        # collector); re-apply the penalty like coalesce_fast does
+        dec["relev"] = dec["relev"] * np.where(
+            (dec["score"].astype(np.int64) & 1).astype(bool),
+            constants.LANGUAGE_PENALTY, 1.0)
         decoded.append((i, dec,
                         np.asarray(col["grid_scores"][i], dtype=np.float64)))
 
@@ -133,11 +138,22 @@ def _reference_coalesce_group(col: dict, rows) -> None:
     if "stack_bits" in col and col["stack_bits"].any():
         non_overlap = non_overlap_from_bits(
             {int(i): int(b) for i, b in zip(col["idx"], col["stack_bits"])})
-    stacks = stack_and_coalesce(
-        pms, qlen, idx_rank=idx_rank,
-        non_overlap=non_overlap)[: constants.VERIFYMATCH_MAX_FEATURES_LIMIT]
+    pre_cut = stack_and_coalesce(pms, qlen, idx_rank=idx_rank,
+                                 non_overlap=non_overlap)
+    stacks = pre_cut[: constants.VERIFYMATCH_MAX_FEATURES_LIMIT]
     if not stacks:
         return
+    # query-wide distinct (tmpid, layer) pairs over the PRE-cut list
+    # (the strict-map payload; CAND_SCHEMA qmatch_* comment)
+    qm_t, qm_l, qm_m, seen_pairs = [], [], [], set()
+    for st_ in pre_cut:
+        for e in st_.entries:
+            key = (e.grid.tmpid, e.pm.layer, e.pm.mask)
+            if key not in seen_pairs:
+                seen_pairs.add(key)
+                qm_t.append(key[0])
+                qm_l.append(key[1])
+                qm_m.append(key[2])
     covers_list = [st.covers() for st in stacks]
     partial_flags = [
         any(getattr(e.pm, "partial_number", False) for e in cv)
@@ -168,6 +184,9 @@ def _reference_coalesce_group(col: dict, rows) -> None:
         rows["cover_text"].append(" ".join(e.pm.subquery for e in covers))
         rows["top_phash"].append(covers[0].grid.phash)
         rows["cover_tmpids"].append([e.grid.tmpid for e in covers])
+        rows["qmatch_tmpids"].append(qm_t)
+        rows["qmatch_layers"].append(qm_l)
+        rows["qmatch_masks"].append(qm_m)
         rows["cover_idxs"].append([e.pm.idx for e in covers])
         rows["cover_zooms"].append([e.pm.zoom for e in covers])
         rows["cover_sublens"].append([len(e.pm.subquery) for e in covers])

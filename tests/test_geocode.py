@@ -260,11 +260,16 @@ def test_phrasegen_synonym_language_phrases(ray_session):
         for p, lo, hi in zip(pg["phrase"], pg["lang_set"], pg["lang_set_hi"])
     }
     lang_map = {"es": 0}
-    default_bits = (1 << lang_bit("default")) | (1 << lang_bit("all"))
+    # default text = bit 0 only; 'all' (bit 127) is reserved for
+    # universal text so the cross-language penalty can tell default
+    # from universal (promote-language acceptance)
+    default_bit = 1 << lang_bit("default")
+    all_bit = 1 << lang_bit("all")
     es_bit = 1 << lang_bit("es", lang_map)
-    assert combined["main street"] & default_bits == default_bits
+    assert combined["main street"] & default_bit == default_bit
+    assert combined["main street"] & all_bit == 0
     assert combined["calle mayor"] & es_bit == es_bit
-    assert combined["calle mayor"] & default_bits == 0
+    assert combined["calle mayor"] & (default_bit | all_bit) == 0
 
 
 def test_lang_set_no_collisions_many_languages(ray_session):
@@ -277,7 +282,12 @@ def test_lang_set_no_collisions_many_languages(ray_session):
     from carmen_ray.index.build import build_index, build_lang_map, lang_bit
     from carmen_ray.sources.synth import SPAN_TYPE, _mk_spans
 
-    langs = [f"l{i:03d}" for i in range(100)]
+    # 100 distinct VALID codes (the build now rejects invalid language
+    # codes, localtext acceptance): aa, ab, ... two-letter base tags
+    import string
+
+    langs = ["".join(p) for p in __import__("itertools").product(
+        string.ascii_lowercase, repeat=2)][:100]
     spans = _mk_spans(
         [("text", "multi town", "")]
         + [(f"lang:{lc}", f"town {lc}", "") for lc in langs]
