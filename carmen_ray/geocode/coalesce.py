@@ -204,7 +204,11 @@ def stack_and_coalesce(
     n_pms = len(pms)
 
     def _keep(ns: Stack) -> None:
-        key = (ns.mask, tuple(e.grid.tmpid for e in ns.entries))
+        # per-entry masks in the key: two mask-ASSIGNMENT variants of
+        # the same feature chain ('new york new york' asc/desc) are
+        # distinct stacks with different direction semantics
+        key = (ns.mask,
+               tuple((e.pm.mask, e.grid.tmpid) for e in ns.entries))
         prev = partials.get(key)
         if prev is None:
             partials[key] = ns

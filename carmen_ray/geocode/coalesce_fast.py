@@ -111,7 +111,7 @@ def _flat_list_column(col) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _enumerate_query(pm_rows, qidx, qmask, qzoom, IDX_l, X_l, Y_l, GRW_l,
-                     glists, non_overlap, TMP_a, SD_a):
+                     glists, non_overlap, TMP_a, SD_a, MASK_l):
     """DFS stack enumeration for one query — exact reference order
     (coalesce.stack_and_coalesce's try_extend) including the keyed
     (mask, tmpid-chain) partial reduction and the _MAX_PARTIALS /
@@ -160,7 +160,9 @@ def _enumerate_query(pm_rows, qidx, qmask, qzoom, IDX_l, X_l, Y_l, GRW_l,
 
     def append(p):
         ne, nmask, nrel = p
-        key = (nmask, tuple(int(TMP_a[e[1]]) for e in ne))
+        # per-entry masks in the key (see the object kernel's _keep)
+        key = (nmask, tuple((int(MASK_l[e[0]]), int(TMP_a[e[1]]))
+                            for e in ne))
         prev = partials.get(key)
         if prev is None:
             partials[key] = p
@@ -493,7 +495,7 @@ def coalesce_shard_table(shard_group: pa.Table) -> pa.Table:
                 {int(IDX_l[r]): int(sb_col[r]) for r in pm_rows})
         partials = _enumerate_query(pm_rows, qidx, qmask, qzoom, IDX_l,
                                     X_l, Y_l, GRW_l, glists, non_overlap,
-                                    TMP_a, SD_a)
+                                    TMP_a, SD_a, mask_col)
         if partials:
             # STACKABLE_LIMIT pre-scoring cap (constants.js:20-21): only
             # the best raw-relev partials proceed to rebalance

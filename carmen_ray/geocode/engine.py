@@ -833,12 +833,17 @@ def query_hypotheses(index: IndexData, tokens: list[str], fuzzy: bool = True) ->
     return hyps
 
 
-def _lang_penalties(c, rel, lang_want):
+def _lang_penalties(index, c, rel, lang_want):
     """Per-row relev multiplier: ×LANGUAGE_PENALTY when a grid's
     128-bit lang set misses the wanted bit AND the universal bit
     (carmen-core's cross-language penalty). lang_want=None → no
-    language opinion (legacy callers, e.g. the intersections emit)."""
+    language opinion (legacy callers, e.g. the intersections emit).
+    geocoder_universal_text layers are exempt at query time too — the
+    flag is source META that may be configured on an index built
+    without it (filter-sources passes 'universal' labels)."""
     if lang_want is None:
+        return np.ones(len(rel))
+    if index is not None and             str(c["layer"][rel[0]]) in index.universal_text_layers:
         return np.ones(len(rel))
     lo, hi = lang_want
     ls = c["lang_set"][rel].astype(np.uint64)
@@ -865,7 +870,7 @@ class PhrasematchCollector:
              lang_want: tuple[int, int] | None = None) -> None:
         c = index.pg_cols
         phashes = c.get("phash")
-        pen = _lang_penalties(c, rel, lang_want)
+        pen = _lang_penalties(index, c, rel, lang_want)
         grids = [
             Grid(
                 x=int(c["x"][i]), y=int(c["y"][i]),

@@ -237,7 +237,7 @@ class PackedCollector:
         # cross-language mismatch flag instead — the exchange's 2-bit
         # relev bucket can't hold a ×0.96 float, so the penalty is
         # re-applied after decode (coalesce_fast / the pm prune)
-        pen = _lang_penalties(c, rel, lang_want)
+        pen = _lang_penalties(index, c, rel, lang_want)
         packed = gridmod.encode(
             c["x"][rel], c["y"][rel], c["relev"][rel],
             (pen < 1.0).astype(np.int64),
