@@ -1924,6 +1924,47 @@ def attach_proximity(index: IndexData, pms, proximity) -> None:
 _SHORT_ADDR_RE = re.compile(r"^[\d#]+\s*\S{0,2}$")
 
 
+_FMT_PLACEHOLDER = re.compile(r"\{\{(\w+)\.(\w+)\}\}")
+
+
+def render_feature_format(index, feature, display, ctx, ctx_names,
+                          matched_address, language) -> str | None:
+    """Per-feature carmen:format / carmen:format_{lang} templates
+    (format-features.js getPlaceName:53-63 pick the feature template
+    over the source format; :80-112 is the templated render): layer-
+    typed {{type.name}} / {{type.number}} placeholders filled from the
+    result chain, then the reference's artifact cleanup. None when the
+    feature authors no format (callers fall back to the config/source
+    format path)."""
+    fj = getattr(feature, "formats_json", "") or ""
+    if not fj:
+        return None
+    fmts = json.loads(fj)
+    tmpl = None
+    if language:
+        lbl = closest_lang_label(str(language).replace("-", "_"),
+                                 [k for k in fmts if k != "default"])
+        if lbl:
+            tmpl = fmts.get(lbl)
+    if tmpl is None:
+        tmpl = fmts.get("default")
+    if not tmpl:
+        return None
+    ftype = index.layer_type.get(str(feature.layer), str(feature.layer))
+    vals = {ftype: {"name": display, "number": str(matched_address or "")}}
+    for c, nm in zip(ctx, ctx_names):
+        t = index.layer_type.get(str(c.layer), str(c.layer))
+        vals.setdefault(t, {"name": nm, "number": ""})
+    out = _FMT_PLACEHOLDER.sub(
+        lambda m: str(vals.get(m.group(1), {}).get(m.group(2), "")), tmpl)
+    # unresolved-context cleanup chain (format-features.js:112)
+    out = re.sub(r"\{.+?\}", "", out)
+    out = re.sub(r",\s*$", "", out)
+    out = out.replace(" , ", ", ").replace("  ", " ")
+    out = out.replace(", ,", ",").replace(",,", ",")
+    return out.strip().strip(",").strip()
+
+
 def _result_sort_key(r: dict):
     """Forward result total order (verifymatch.js:1003-1053
     sortContext shape): relevance, proximity composite, the
@@ -2449,8 +2490,13 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
                 ctx_names.append(overrides[c.layer])
             else:
                 ctx_names.append(_display_text(c, language)[0])
-        if index.config is not None and (index.config.place_format
-                                         or index.config.place_formats):
+        _ffmt = render_feature_format(
+            index, feature, display, render_ctx, ctx_names,
+            matched_address, matched_lang or language)
+        if _ffmt is not None:
+            place_name = _ffmt
+        elif index.config is not None and (index.config.place_format
+                                           or index.config.place_formats):
             place_name = index.config.render_place_name(
                 display, ctx_names, matched_address, language=matched_lang)
         else:
@@ -2466,6 +2512,11 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
             covers[0].pm.subquery, matched_lang, display)
 
         def _render_name(disp_i, ctx_names_i, ml_i):
+            ffmt = render_feature_format(
+                index, feature, disp_i, render_ctx, ctx_names_i,
+                matched_address, ml_i or language)
+            if ffmt is not None:
+                return ffmt
             if index.config is not None and (index.config.place_format
                                              or index.config.place_formats):
                 return index.config.render_place_name(

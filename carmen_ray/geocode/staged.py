@@ -1014,7 +1014,15 @@ class VerifyHydrate:
                 self._disp_cache[frow] = disp
             else:
                 display, matched_lang, ctx_names = disp
-            if self.index.config is not None and self.index.config.place_format:
+            from .engine import render_feature_format
+
+            _ffmt = render_feature_format(
+                self.index, feature, display, ctx, ctx_names,
+                matched_address, matched_lang)
+            if _ffmt is not None:
+                place_name = _ffmt
+            elif self.index.config is not None \
+                    and self.index.config.place_format:
                 place_name = self.index.config.render_place_name(
                     display, ctx_names, matched_address, language=matched_lang)
             else:

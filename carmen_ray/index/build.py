@@ -131,7 +131,7 @@ def parse_docs_batch(batch: pa.Table, layer_meta: dict | None = None) -> pa.Tabl
         "addr_numbers_json": [], "addr_range_json": [],
         "intersections_json": [], "proximity_radius": [], "overrides_json": [],
         "addr_style": [], "stack": [], "types_json": [], "omitted": [],
-        "reverse_only": [],
+        "reverse_only": [], "formats_json": [],
     }
 
     for doc_id, spans in zip(doc_ids, spans_col):
@@ -153,6 +153,7 @@ def parse_docs_batch(batch: pa.Table, layer_meta: dict | None = None) -> pa.Tabl
         addr_numbers, addr_range = None, None
         addr_style = "standard"
         reverse_only = False
+        formats: dict = {}
         intersections = []
         prox_radius = 0.0
         overrides = {}
@@ -209,6 +210,12 @@ def parse_docs_batch(batch: pa.Table, layer_meta: dict | None = None) -> pa.Tabl
             elif k == "types":
                 # carmen:types multi-typing (comma-separated)
                 ftypes = [t for t in s["text"].split(",") if t]
+            elif k == "format" or k.startswith("format:"):
+                # carmen:format / carmen:format_{lang} — per-feature
+                # place_name templates (format-features.js:53-63
+                # override the source format at render)
+                fkey = "default" if k == "format" else k.split(":", 1)[1]
+                formats[fkey] = s["text"]
             elif k == "reverse_only":
                 # carmen:reverse_only — indexed normally but never a
                 # forward result (verifymatch.js:472 skips at hydrate)
@@ -272,6 +279,8 @@ def parse_docs_batch(batch: pa.Table, layer_meta: dict | None = None) -> pa.Tabl
         out["omitted"].append(bool(isinstance(geom, dict)
                                    and geom.get("omitted")))
         out["reverse_only"].append(reverse_only)
+        out["formats_json"].append(
+            json.dumps(formats, sort_keys=True) if formats else "")
 
     schema_overrides = {
         "idx": pa.int32(), "zoom": pa.int32(), "fid": pa.int64(),
@@ -724,6 +733,7 @@ def build_index(docs_ds, freq_min_count: int = 1, config=None) -> CarmenIndex:
         "addr_numbers_json", "addr_range_json", "intersections_json",
         "proximity_radius", "overrides_json", "addr_style",
         "stack", "types_json", "omitted", "reverse_only",
+        "formats_json",
     ]
     feat_tbl = feat_tbl.select(feature_cols)
     # canonical feature order: context/reverse tie-breaks are
@@ -839,6 +849,7 @@ def build_index_streaming(docs_ds, out_dir: str, freq_min_count: int = 1,
         "addr_numbers_json", "addr_range_json", "intersections_json",
         "proximity_radius", "overrides_json", "addr_style",
         "stack", "types_json", "omitted", "reverse_only",
+        "formats_json",
     ]
     os.makedirs(out_dir, exist_ok=True)
     # table-granular resume: a killed `ray job submit` run skips tables
