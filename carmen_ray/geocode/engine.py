@@ -88,9 +88,15 @@ class IndexData:
 
         self.config = config
         if config is not None:
-            self.simple, _, self.global_rules = config.build_replacers()
+            self.simple, _cplx, self.global_rules = config.build_replacers()
+            # complex QUERY replacer (phrasematch.js:80 + index.js's
+            # complex_query_replacer): the authored regex/span rules
+            # without the index-side unambiguous inverses
+            self.complex_query_rules = [r for r in _cplx
+                                        if not getattr(r, "inverse", False)]
         else:
             self.simple, self.global_rules = None, []
+            self.complex_query_rules = []
 
         # symspell-style delete-1 map over the indexed token vocabulary
         # (the fuzzy-phrase FST role, ST1): correction candidates for
@@ -987,6 +993,23 @@ def phrasematch_query(index: IndexData, tokens: list[str], autocomplete: bool = 
                                   edit_distance=initial_distance,
                                   number_order=number_order,
                                   lang_want=lang_want)
+        if address is not None and len(sub) > 1 and "#" in sub[-1]:
+            # number-at-back windows match the '#'-PREFIXED indexed
+            # phrase (housenum waffles always prepend, termops.js:
+            # 509-515; carmen-core rearranges address subqueries —
+            # phrasematch.js:177-179 "weird rearrangements"; the
+            # jp-passthrough acceptance's trailing house number)
+            jr = " ".join([sub[-1]] + sub[:-1])
+            if (jr, False) not in seen:
+                seen.add((jr, False))
+                lo, hi = index.lookup(jr, False)
+                if hi > lo:
+                    weight = (bin(omask).count("1") / wn) * weight_multiplier
+                    _emit_phrase_rows(index, lo, hi, omask, weight, jr,
+                                      False, address, out,
+                                      edit_distance=initial_distance,
+                                      number_order=number_order,
+                                      lang_want=lang_want)
         if fuzzy_max_distance > 0:
             for cand, d in index.fuzzy_phrase_lookup(joined):
                 if (cand, "fz") in seen:
@@ -2082,7 +2105,15 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
     worldview = _resolve_worldview(index, worldview)
     if index.global_rules:
         query = replace_global_tokens(index.global_rules, query)
-    tq = normalize_query(tokenize(query))
+    tq0 = tokenize(query)
+    if getattr(index, "complex_query_rules", None):
+        # complex query replacement over the raw token stream
+        # (phrasematch.js:80 token.replaceToken before normalize —
+        # the jp-passthrough acceptance's [8]丁目 → 八丁目 window)
+        from ..text.token_replacer import replace_token
+
+        tq0 = replace_token(index.complex_query_rules, tq0)
+    tq = normalize_query(tq0)
     tokens = tq.tokens[: constants.MAX_QUERY_TOKENS]
     # ending type (phrasematch.js:84-93): a trailing separator or a
     # token-replaced final word restricts autocomplete to whole-word

@@ -348,7 +348,12 @@ class PhrasematchStage:
         for qid, q, lo, la, lim in zip(qids, queries, plon, plat, lims):
             if self.index.global_rules:
                 q = replace_global_tokens(self.index.global_rules, q)
-            tq = normalize_query(tokenize(q))
+            tq0 = tokenize(q)
+            if getattr(self.index, "complex_query_rules", None):
+                from ..text.token_replacer import replace_token
+
+                tq0 = replace_token(self.index.complex_query_rules, tq0)
+            tq = normalize_query(tq0)
             tokens = tq.tokens[: constants.MAX_QUERY_TOKENS]
             # ending type, identical to the fused path: trailing
             # separator / replaced final word → wordBoundaryPrefix
