@@ -120,6 +120,11 @@ class LayerConfig:
     # reverse queries with reverseMode='score' rank this source's
     # candidates by distscore (score/distance) instead of pure distance
     geocoder_reverse_mode: bool = False
+    # geocoder_address_order (verifymatch.js:748,933): the expected
+    # query direction for this ADDRESS source — the ±0.01 direction
+    # refund goes to matches in this order ('ascending' default;
+    # Japanese addresses author 'descending', the jp-order acceptance)
+    geocoder_address_order: str = "ascending"
     # geocoder_expected_number_order (index.js:213, phrasematch.js:
     # 356-369): 'first' | 'last'; address subqueries whose house number
     # sits at the other end take a 0.99 weight penalty

@@ -157,6 +157,8 @@ class IndexData:
             self.grant_score_layers = set(GRANT_SCORE_LAYERS)
         # geocoder_expected_number_order (phrasematch.js:356-369)
         self.layer_expected_number_order: dict[str, str] = {}
+        # geocoder_address_order (verifymatch.js:748,933)
+        self.layer_address_order: dict[str, str] = {}
         # intersection joining tokens (geocoder_intersection_token);
         # the engine keeps "and" as a default so unconfigured corpora
         # still match "X and Y" (the reference generates intersection
@@ -207,6 +209,9 @@ class IndexData:
                 eno = getattr(lc, "geocoder_expected_number_order", None)
                 if eno:
                     self.layer_expected_number_order[lname] = str(eno)
+                ao = getattr(lc, "geocoder_address_order", "ascending")
+                if ao and ao != "ascending":
+                    self.layer_address_order[lname] = str(ao)
                 it = getattr(lc, "geocoder_intersection_token", None)
                 if it:
                     self.intersection_tokens.add(str(it))
@@ -467,6 +472,9 @@ class IndexData:
                         self.cell_index.setdefault((cx, cy), []).append(i)
 
     def _compute_non_overlap(self, idx_layer: dict[int, str]) -> None:
+        # kept for consumers that map cover idxs back to layer names
+        # (the staged hydrate's address-order direction re-derivation)
+        self.idx_layer: dict[int, str] = dict(idx_layer)
         """Per-index geocoder_stack bitsets + the non_overlapping_indexes
         mask (index.js:325-342): two indexes whose geocoder_stacks are
         both non-empty and disjoint can never co-occur in one spatial
@@ -1775,7 +1783,8 @@ GRANT_SCORE_LAYERS = {"region", "country"}
 
 
 def _direction_effects(covers, relevance: float,
-                       ignore_layers: frozenset = frozenset()) -> float:
+                       ignore_layers: frozenset = frozenset(),
+                       address_order: str = "ascending") -> float:
     """Backy ×0.5 + direction bonus (verifymatch.js:847-933):
     walk the matched covers in hierarchy order (fine→coarse); establish
     the typed direction from the first pair of masks; each
@@ -1811,7 +1820,7 @@ def _direction_effects(covers, relevance: float,
     relevance = relevance + adj
     if direction:
         relevance -= 0.01
-        if direction == "ascending":  # default geocoder_address_order
+        if direction == address_order:  # geocoder_address_order
             relevance += 0.01
     return max(relevance, 0.0)
 
@@ -2590,7 +2599,9 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
 
         ghost = float(feature.score) < 0
         relevance = _direction_effects(
-            covers, st.relev, frozenset(index.ignore_order_layers))
+            covers, st.relev, frozenset(index.ignore_order_layers),
+            address_order=index.layer_address_order.get(
+                str(feature.layer), "ascending"))
         # near-miss covers (same index, different feature) → half credit;
         # fully unmatched covers → none (verifymatch context-walk)
         relevance += _close_but_no_cigar(covers, top.grid.tmpid, ctx,

@@ -1039,6 +1039,31 @@ class VerifyHydrate:
 
             ghost = float(feature.score) < 0
             relevance = float(d["relev"][ri])
+            ao = self.index.layer_address_order.get(str(feature.layer))
+            if ao and ao != "ascending":
+                # the coalesce-side direction refund assumed the
+                # ascending default; re-derive the walk's direction
+                # from the shipped covers and move the ±0.01 to the
+                # configured geocoder_address_order (verifymatch.js:
+                # 748,933 — same arithmetic as the fused path)
+                direction = None
+                lastmask = -1
+                lastlayer = None
+                ign = self.index.ignore_order_layers
+                il = getattr(self.index, "idx_layer", {})
+                for k2, (m2, ix2) in enumerate(zip(
+                        d["cover_masks"][ri], d["cover_idxs"][ri])):
+                    l2 = il.get(int(ix2), "")
+                    ignore2 = l2 in ign or (lastlayer is not None
+                                            and lastlayer in ign)
+                    if k2 > 0 and direction is None and not ignore2:
+                        direction = ("ascending" if lastmask < m2
+                                     else "descending")
+                    lastmask, lastlayer = m2, l2
+                if direction == ao:
+                    relevance += 0.01
+                elif direction == "ascending":
+                    relevance -= 0.01
             # query-wide tmpid → {masks} strict map (same structure the
             # fused path builds from cand_stacks)
             q_cover_masks: dict = {}
