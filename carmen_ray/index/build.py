@@ -45,6 +45,7 @@ from ..text.tokenize import normalize_query, tokenize
 from ..util.hashing import fnv1a_64, phrase_hash
 
 MAX_COVERS = 10000  # indexdocs.js:346-358 cap
+_MAX_TEXT_SYNONYMS = 10  # constants.js MAX_TEXT_SYNONYMS (comma split cap)
 
 # bit 0 = the default (untranslated) text; bit 127 = 'all'/universal —
 # text that matches EVERY requested language (geocoder_universal_text
@@ -440,6 +441,20 @@ class PhraseGen:
                 if cols["layer"][r] in self.universal_layers:
                     lmask |= 1 << lang_bit("all")
                 texts.append((alt, lmask))
+            # carmen:text* comma-synonyms: every text value splits on
+            # ',' into up to MAX_TEXT_SYNONYMS independently indexed
+            # names (termops.js getIndexableText; 'Massachusetts, MA'
+            # matches as either — the address-vs-postcode acceptance).
+            # Display keeps the first part (closest-lang.js:324-328).
+            split_texts: list[tuple[str, int]] = []
+            for t_, m_ in texts:
+                if "," in t_:
+                    parts = [p.strip() for p in t_.split(",") if p.strip()]
+                    for p in parts[:_MAX_TEXT_SYNONYMS]:
+                        split_texts.append((p, m_))
+                else:
+                    split_texts.append((t_, m_))
+            texts = split_texts
 
             score = cols["score"][r]
             score3 = encode_3bit_log(max(score, 0), self.max_score)
