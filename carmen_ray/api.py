@@ -75,7 +75,11 @@ class Geocoder:
             return hydrate_one(self._data, row)
         rev = as_reverse(query)
         if rev is not None:
-            return reverse_one(self._data, rev[0], rev[1], limit=limit,
+            # carmen's reverse default is 1; an EXPLICIT limit > 1
+            # without a single type errors inside reverse_one
+            # (geocode.js:216-220)
+            rlimit = int(options["limit"]) if "limit" in options else 1
+            return reverse_one(self._data, rev[0], rev[1], limit=rlimit,
                                types=types,
                                worldview=options.get("worldview"),
                                language=options.get("language"),

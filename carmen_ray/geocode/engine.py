@@ -1311,6 +1311,59 @@ def number_only_subquery(subquery: str) -> bool:
         c.isdigit() or c == "#" for c in subquery)
 
 
+def _addr_lines(geom: dict) -> list:
+    """Range lines of an address geometry: MultiLineString coords,
+    a single LineString, or every line member of a GeometryCollection
+    (the mixed cluster+range shape, geocode-unit.address-misc)."""
+    t = geom.get("type")
+    if t == "MultiLineString":
+        return geom["coordinates"]
+    if t == "LineString":
+        return [geom["coordinates"]]
+    if t == "GeometryCollection":
+        out = []
+        for g in geom.get("geometries", []):
+            out.extend(_addr_lines(g))
+        return out
+    return [geom.get("coordinates", [])]
+
+
+def _addr_cluster_coords(geom: dict) -> list:
+    """Cluster points: MultiPoint coords or the MultiPoint members of
+    a GeometryCollection, in member order."""
+    t = geom.get("type")
+    if t == "MultiPoint":
+        return geom["coordinates"]
+    if t == "GeometryCollection":
+        out = []
+        for g in geom.get("geometries", []):
+            if g.get("type") == "MultiPoint":
+                out.extend(g["coordinates"])
+        return out
+    return []
+
+
+def feature_user_props(feature, pt_index=None) -> dict:
+    """User properties passthrough with carmen:addressprops per-point
+    overrides (feature.js storableProperties +
+    geocode-unit.address-properties): override keys are cluster point
+    indexes; a null override REMOVES the property for that point."""
+    props: dict = {}
+    pj = getattr(feature, "props_json", "") or ""
+    if pj:
+        props = json.loads(pj)
+    apj = getattr(feature, "addressprops_json", "") or ""
+    if apj and pt_index is not None:
+        for k, ov in json.loads(apj).items():
+            key = str(pt_index)
+            if key in ov:
+                if ov[key] is None:
+                    props.pop(k, None)
+                else:
+                    props[k] = ov[key]
+    return props
+
+
 def resolve_address_prefix(feature, number: str, proximity=None) -> dict | None:
     """Partial-number resolution (addresscluster.js forwardPrefix +
     forwardPrefixFiltered): prefix-match the cluster under the feature's
@@ -1340,7 +1393,7 @@ def resolve_address_prefix(feature, number: str, proximity=None) -> dict | None:
     if not hits:
         return None
     geom = json.loads(feature.geometry_json)
-    coords = geom["coordinates"] if geom["type"] == "MultiPoint" else []
+    coords = _addr_cluster_coords(geom)
     hits = [i for i in hits if i < len(coords)]
     if not hits:
         return None
@@ -1395,7 +1448,7 @@ def resolve_address_all(feature, number: str, num: int = 10) -> list[dict]:
                 hits.append(i)
         if hits:
             geom = json.loads(feature.geometry_json)
-            coords = geom["coordinates"] if geom["type"] == "MultiPoint" else []
+            coords = _addr_cluster_coords(geom)
             out = []
             for i in hits:
                 if len(out) >= num:
@@ -1404,7 +1457,7 @@ def resolve_address_all(feature, number: str, num: int = 10) -> list[dict]:
                     pt = coords[i]
                     out.append({"address": str(nums[i]), "lon": float(pt[0]),
                                 "lat": float(pt[1]), "omitted": False,
-                                "line": None})
+                                "line": None, "pt_index": i})
             if out:
                 return out
 
@@ -1426,17 +1479,28 @@ def _resolve_address_itp(feature, number: str) -> dict | None:
         rng = json.loads(arj)
         num = int(number)
         geom = json.loads(feature.geometry_json)
-        lines = geom["coordinates"] if geom["type"] == "MultiLineString" else [geom["coordinates"]]
+        lines = _addr_lines(geom)
         best_fallback = None
         for side in ("l", "r"):
             frs = rng.get(f"{side}fromhn") or []
             tos = rng.get(f"{side}tohn") or []
             pars = rng.get(f"parity{side}") or []
+            li = 0
             for mi, (fr_list, to_list) in enumerate(zip(frs, tos)):
-                line = lines[mi] if mi < len(lines) else lines[0]
-                for fr_s, to_s in zip(fr_list, to_list):
+                par_list = pars[mi] if mi < len(pars) else []
+                for k, (fr_s, to_s) in enumerate(zip(fr_list, to_list)):
+                    # per-LINE range values: the k-th entry of a member
+                    # maps to the k-th flattened line (carmen authors
+                    # lfromhn parallel to the MultiLineString lines —
+                    # geocode-unit.address-misc's Icelandic shape);
+                    # null entries mean the side has no range there
+                    line = lines[li] if li < len(lines) else lines[0]
+                    li += 1
+                    if fr_s is None or to_s is None:
+                        continue
                     fr, to = int(fr_s), int(to_s)
-                    parity = (pars[mi][0] if mi < len(pars) and pars[mi] else "B")
+                    parity = (par_list[k] if k < len(par_list)
+                              and par_list[k] else "B")
                     lo, hi = min(fr, to), max(fr, to)
                     parity_ok = (
                         parity == "B" or
@@ -2061,6 +2125,9 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
                 worldview: str | None = None) -> list[dict]:
     from ..text.token_replacer import replace_global_tokens
 
+    # geocode.js:340 forward limit: default 5, hard cap 10 (the limit
+    # acceptance passes limit=11 and expects 10)
+    limit = min(int(limit), 10) if limit else 5
     if language_mode is not None and language_mode != "strict":
         # geocode.js option validation (geocode-unit.languageMode)
         raise ValueError(f"'{language_mode}' is not a valid language mode")
@@ -2712,6 +2779,8 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
             "interpolated": bool(resolved and resolved.get("line") is not None),
             "addr_key": _addr_dedupe_key(index, feature, covers, ctx),
             "position": si,
+            "properties": feature_user_props(
+                feature, resolved.get("pt_index") if resolved else None),
         }
         fbbox = index.feature_bbox_am(frow, feature)
         candidate["bbox_w"], candidate["bbox_s"], candidate["bbox_e"], \
@@ -2724,6 +2793,8 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
         for rp in resolved_pts[1:]:
             c = dict(candidate)
             c["center_lon"], c["center_lat"] = rp["lon"], rp["lat"]
+            c["properties"] = feature_user_props(
+                feature, rp.get("pt_index"))
             if rp["address"] != matched_address:
                 c["address"] = rp["address"]
             if proximity is not None:
@@ -2966,6 +3037,8 @@ def reverse_multi(index: IndexData, lon: float, lat: float, limit: int,
             "score": float(feature.score), "scoredist": -neg_ds,
             "rank": len(out),
             "address": address, "routable_lon": None, "routable_lat": None,
+            "properties": feature_user_props(
+                feature, snapped.get("pt_index") if snapped else None),
         })
         if len(out) >= limit:
             break
@@ -2998,6 +3071,12 @@ def reverse_one(index: IndexData, lon: float, lat: float, limit: int = 1,
     if types is not None:
         types = _validate_types(index, types)
     worldview = _resolve_worldview(index, worldview)
+    if limit and limit > 1 and not (types and len(types) == 1):
+        # geocode.js:216-220 (the limit acceptance pins the error)
+        raise ValueError("limit must be combined with a single type "
+                         "parameter when reverse geocoding")
+    if limit and types and len(types) == 1:
+        limit = min(int(limit), 5)  # geocode.js:217 reverse clamp
     if limit > 1 and types and len(types) == 1:
         return reverse_multi(index, lon, lat, limit, types,
                              language=language, language_mode=language_mode,
@@ -3188,6 +3267,8 @@ def reverse_one(index: IndexData, lon: float, lat: float, limit: int = 1,
             "rank": len(out),
             "address": address,
             "language": matched_lang,
+            "properties": feature_user_props(
+                top, snapped.get("pt_index") if snapped else None),
         })
     return out
 
@@ -3200,7 +3281,7 @@ def _cluster_reverse(feature, lon: float, lat: float) -> dict | None:
         return None
     nums = json.loads(anj)
     geom = json.loads(feature.geometry_json)
-    coords = geom["coordinates"] if geom["type"] == "MultiPoint" else []
+    coords = _addr_cluster_coords(geom)
     if not coords or not nums:
         return None
     arr = np.asarray(coords, dtype=np.float64)
@@ -3209,7 +3290,8 @@ def _cluster_reverse(feature, lon: float, lat: float) -> dict | None:
     if i >= len(nums):
         return None
     return {"address": str(nums[i]), "lon": float(arr[i, 0]),
-            "lat": float(arr[i, 1]), "distance": float(d[i])}
+            "lat": float(arr[i, 1]), "distance": float(d[i]),
+            "pt_index": i}
 
 
 def _det2d(sx, sy, ex, ey, qx, qy) -> float:
@@ -3226,7 +3308,7 @@ def _itp_reverse(feature, lon: float, lat: float) -> dict | None:
         return None
     rng = json.loads(arj)
     geom = json.loads(feature.geometry_json)
-    lines = geom["coordinates"] if geom["type"] == "MultiLineString" else [geom["coordinates"]]
+    lines = _addr_lines(geom)
 
     best = None  # (dist, line_idx, seg_idx, t, px, py)
     for mi, line in enumerate(lines):
@@ -3433,7 +3515,13 @@ class ForwardGeocoder:
                     raise ValueError(
                         f"{qrvm} is not a valid reverseMode. Must be one "
                         "of: score, distance")
-                results = reverse_one(self.index, rev[0], rev[1], limit=lim,
+                # batch rows default limit=5 for forward; reverse
+                # semantics take 1 unless a single type is given
+                # (geocode.js:216-220 — the explicit-limit error stays
+                # on the direct reverse_one surface)
+                rlim = (lim if qtypes is not None and len(qtypes) == 1
+                        else 1)
+                results = reverse_one(self.index, rev[0], rev[1], limit=rlim,
                                       types=list(qtypes) if qtypes is not None and len(qtypes) else None,
                                       worldview=qwv,
                                       reverse_mode=qrvm or "distance",

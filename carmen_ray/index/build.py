@@ -133,6 +133,7 @@ def parse_docs_batch(batch: pa.Table, layer_meta: dict | None = None) -> pa.Tabl
         "intersections_json": [], "proximity_radius": [], "overrides_json": [],
         "addr_style": [], "stack": [], "types_json": [], "omitted": [],
         "reverse_only": [], "formats_json": [],
+        "props_json": [], "addressprops_json": [],
     }
 
     for doc_id, spans in zip(doc_ids, spans_col):
@@ -155,6 +156,8 @@ def parse_docs_batch(batch: pa.Table, layer_meta: dict | None = None) -> pa.Tabl
         addr_style = "standard"
         reverse_only = False
         formats: dict = {}
+        props_json = ""
+        addressprops_json = ""
         intersections = []
         prox_radius = 0.0
         overrides = {}
@@ -217,6 +220,14 @@ def parse_docs_batch(batch: pa.Table, layer_meta: dict | None = None) -> pa.Tabl
                 # override the source format at render)
                 fkey = "default" if k == "format" else k.split(":", 1)[1]
                 formats[fkey] = s["text"]
+            elif k == "props":
+                # arbitrary user properties (whitelisted passthrough,
+                # feature.js storableProperties)
+                props_json = s["text"]
+            elif k == "addressprops":
+                # carmen:addressprops — per-cluster-point property
+                # overrides keyed by point index (address-properties)
+                addressprops_json = s["text"]
             elif k == "reverse_only":
                 # carmen:reverse_only — indexed normally but never a
                 # forward result (verifymatch.js:472 skips at hydrate)
@@ -282,6 +293,8 @@ def parse_docs_batch(batch: pa.Table, layer_meta: dict | None = None) -> pa.Tabl
         out["reverse_only"].append(reverse_only)
         out["formats_json"].append(
             json.dumps(formats, sort_keys=True) if formats else "")
+        out["props_json"].append(props_json)
+        out["addressprops_json"].append(addressprops_json)
 
     schema_overrides = {
         "idx": pa.int32(), "zoom": pa.int32(), "fid": pa.int64(),
@@ -748,7 +761,7 @@ def build_index(docs_ds, freq_min_count: int = 1, config=None) -> CarmenIndex:
         "addr_numbers_json", "addr_range_json", "intersections_json",
         "proximity_radius", "overrides_json", "addr_style",
         "stack", "types_json", "omitted", "reverse_only",
-        "formats_json",
+        "formats_json", "props_json", "addressprops_json",
     ]
     feat_tbl = feat_tbl.select(feature_cols)
     # canonical feature order: context/reverse tie-breaks are
@@ -864,7 +877,7 @@ def build_index_streaming(docs_ds, out_dir: str, freq_min_count: int = 1,
         "addr_numbers_json", "addr_range_json", "intersections_json",
         "proximity_radius", "overrides_json", "addr_style",
         "stack", "types_json", "omitted", "reverse_only",
-        "formats_json",
+        "formats_json", "props_json", "addressprops_json",
     ]
     os.makedirs(out_dir, exist_ok=True)
     # table-granular resume: a killed `ray job submit` run skips tables

@@ -76,7 +76,7 @@ def test_cluster_beats_interpolation(cvr_index):
 def test_reverse_prefers_cluster_point(cvr_index):
     from carmen_ray.geocode.engine import reverse_one
 
-    res = reverse_one(cvr_index, 0.0, 0.0, limit=2)
+    res = reverse_one(cvr_index, 0.0, 0.0, limit=1)
     assert res and res[0]["place_name"] == "100 fake street"
 
 
