@@ -1455,7 +1455,13 @@ def resolve_address_all(feature, number: str, num: int = 10) -> list[dict]:
                     break
                 if i < len(coords):
                     pt = coords[i]
-                    out.append({"address": str(nums[i]), "lon": float(pt[0]),
+                    # carmen:address keeps the QUERY's number form
+                    # ('9b' matched to cluster entry 9 renders '9b');
+                    # only the 'queens' style overrides with the
+                    # cluster value (addresscluster.js:23,100-102)
+                    addr_out = (str(nums[i]) if style == "queens"
+                                else str(number))
+                    out.append({"address": addr_out, "lon": float(pt[0]),
                                 "lat": float(pt[1]), "omitted": False,
                                 "line": None, "pt_index": i})
             if out:
@@ -1475,9 +1481,19 @@ def resolve_address(feature, number: str) -> dict | None:
 
 def _resolve_address_itp(feature, number: str) -> dict | None:
     arj = feature.addr_range_json
-    if arj and number.isdigit():
+    num = None
+    if arj:
+        # alphanumeric / hyphenated numbers interpolate on their
+        # numeric part but render the query's own form ('9b' → 9,
+        # '23-414' → parseSemiNumber; addressitp.js:2,56)
+        if number.isdigit():
+            num = int(number)
+        else:
+            from ..text.termops import parse_semi_number
+
+            num = parse_semi_number(number)
+    if num is not None:
         rng = json.loads(arj)
-        num = int(number)
         geom = json.loads(feature.geometry_json)
         lines = _addr_lines(geom)
         best_fallback = None
@@ -1498,7 +1514,15 @@ def _resolve_address_itp(feature, number: str) -> dict | None:
                     li += 1
                     if fr_s is None or to_s is None:
                         continue
-                    fr, to = int(fr_s), int(to_s)
+                    if str(fr_s).isdigit() and str(to_s).isdigit():
+                        fr, to = int(fr_s), int(to_s)
+                    else:
+                        from ..text.termops import parse_semi_number
+
+                        fr = parse_semi_number(str(fr_s))
+                        to = parse_semi_number(str(to_s))
+                        if fr is None or to is None:
+                            continue
                     parity = (par_list[k] if k < len(par_list)
                               and par_list[k] else "B")
                     lo, hi = min(fr, to), max(fr, to)
