@@ -1055,7 +1055,12 @@ def phrasematch_query(index: IndexData, tokens: list[str], autocomplete: bool = 
                             and abs(len(cand_words[0]) - len(sub[0])) <= 1)
                     ):
                         continue
-                    lo, hi = index.lookup(cand, True, word_boundary)
+                    # a fuzzy-CORRECTED final term only completes at
+                    # word boundaries, like a token-replaced one
+                    # (phrasematch.js:84-93 endingType; 'forp'→'fort'
+                    # must not complete into 'fortenberry' —
+                    # fuzzy-with-tokens-and-autocomplete)
+                    lo, hi = index.lookup(cand, True, True)
                     if hi <= lo:
                         continue
                     penalty = max((len(joined) - d / 2) / len(joined), 0.75)
@@ -2221,9 +2226,18 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
     # complete into 'dtown'
     last_word = tq.last_word
     ends_in_boundary = bool(tokens) and tq.separators[len(tokens) - 1] != ""
+    orig_tokens: list[str] | None = None
     if index.simple:
+        pre_replace = list(tokens)
         tokens, changed_last = index.simple.replace_query(tokens)
         last_word = last_word or changed_last
+        if tokens != pre_replace:
+            # carmen-core's word replacements match EITHER side — a
+            # replaced query still finds phrases indexed under the
+            # authored form ('fort' must keep matching 'fortenberry'
+            # while also matching 'ft …';
+            # fuzzy-with-tokens-and-autocomplete)
+            orig_tokens = pre_replace
     if not tokens:
         return []
     word_boundary = bool(autocomplete) and (last_word or ends_in_boundary)
@@ -2241,14 +2255,23 @@ def forward_one(index: IndexData, query: str, proximity=None, limit: int = 5,
     pms: list[Phrasematch] = []
     tried: set = set()
     query_len = len(tokens)
-    for hyp_tokens, penalty in query_hypotheses(index, tokens, fuzzy=False):
-        if len(hyp_tokens) != len(tokens):
-            continue
-        pms.extend(phrasematch_query(index, hyp_tokens, autocomplete=autocomplete,
-                                     word_boundary=word_boundary,
-                                     weight_multiplier=penalty, seen=tried,
-                                     fuzzy_max_distance=fz,
-                                     languages=languages))
+    base_lists = [tokens] + ([orig_tokens] if orig_tokens else [])
+    # the replaced-final-word boundary restriction belongs to the
+    # REPLACED pass only — the authored-form pass autocompletes what
+    # the user actually typed ('fort' → 'fortenberry')
+    wb_orig = bool(autocomplete) and (tq.last_word or ends_in_boundary)
+    for base in base_lists:
+        wb = word_boundary if base is tokens else wb_orig
+        for hyp_tokens, penalty in query_hypotheses(index, base,
+                                                    fuzzy=False):
+            if len(hyp_tokens) != len(tokens):
+                continue
+            pms.extend(phrasematch_query(
+                index, hyp_tokens, autocomplete=autocomplete,
+                word_boundary=wb,
+                weight_multiplier=penalty, seen=tried,
+                fuzzy_max_distance=fz,
+                languages=languages))
 
     # intersection queries (R7, termops.js:872-902)
     col_i = PhrasematchCollector()

@@ -389,6 +389,18 @@ class PhraseGen:
             self.simple, self.complex_rules, self.global_rules = config.build_replacers()
         else:
             self.simple, self.complex_rules, self.global_rules = None, [], []
+        # unambiguous INVERSE simple pairs: carmen-core's word
+        # replacements match either side, so 'Ft Sumpter' is findable
+        # through 'fort …' too — index the inverse form when the
+        # reverse mapping is unique (fuzzy-with-tokens-and-autocomplete)
+        self.simple_inverse: dict | None = None
+        if self.simple:
+            tos: dict = {}
+            for f_, t_ in self.simple.tokens.items():
+                tos.setdefault(t_, []).append(f_)
+            inv = {t_: fs[0] for t_, fs in tos.items()
+                   if len(fs) == 1 and t_ not in self.simple.tokens}
+            self.simple_inverse = inv or None
         # geocoder_universal_text layers: every text counts as every
         # language (bit 127 — the 'universal' label, filter-sources)
         self.universal_layers: set[str] = set()
@@ -407,19 +419,36 @@ class PhraseGen:
         if self.global_rules:
             text = replace_global_tokens(self.global_rules, text).strip()
         variants = []
+        seen_v: set = set()
+
+        def _emit(toks, rr):
+            key = tuple(toks)
+            if toks and key not in seen_v:
+                seen_v.add(key)
+                variants.append((toks, rr))
+
+        def _push(toks, rr):
+            # index BOTH the simple-replaced and the authored form —
+            # carmen's enumerateTokenReplacements keeps the original
+            # among its variants, so 'Fort Wayne' is findable via
+            # 'fo…' AND 'ft…' (fuzzy-with-tokens-and-autocomplete)
+            if not toks:
+                return
+            if self.simple:
+                rep = self.simple.replace(toks)
+                _emit(rep, rr)
+                _emit(toks, rr)
+                if self.simple_inverse:
+                    _emit([self.simple_inverse.get(w, w) for w in toks],
+                          rr)
+            else:
+                _emit(toks, rr)
+
         if self.complex_rules:
             for v in enumerate_token_replacements(self.complex_rules, _tk(text)):
-                toks = _nq(_tk(v["phrase"])).tokens
-                if self.simple:
-                    toks = self.simple.replace(toks)
-                if toks:
-                    variants.append((toks, bool(v["reduceRelevance"])))
+                _push(_nq(_tk(v["phrase"])).tokens, bool(v["reduceRelevance"]))
         else:
-            toks = _nq(_tk(text)).tokens
-            if self.simple:
-                toks = self.simple.replace(toks)
-            if toks:
-                variants.append((toks, False))
+            _push(_nq(_tk(text)).tokens, False)
         return variants
 
     def __call__(self, batch: pa.Table) -> pa.Table:

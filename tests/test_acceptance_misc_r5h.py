@@ -51,7 +51,7 @@ def test_format_override_address(fmt_index):
 
     res = forward_one(fmt_index, "9b fake street", limit=1)
     assert res and res[0]["place_name"] == \
-        "X 9B fake street, 12345, america"
+        "X 9b fake street, 12345, america"
 
 
 def test_format_override_untemplated_sibling(fmt_index):
@@ -60,7 +60,7 @@ def test_format_override_untemplated_sibling(fmt_index):
     from carmen_ray.geocode.engine import forward_one
 
     res = forward_one(fmt_index, "9b other street", limit=1)
-    assert res and res[0]["place_name"] == "9B other street, 12345, america"
+    assert res and res[0]["place_name"] == "9b other street, 12345, america"
 
 
 @pytest.mark.parametrize("lang", ["en", "en-XX"])
@@ -71,7 +71,7 @@ def test_format_override_language(fmt_index, lang):
 
     res = forward_one(fmt_index, "9b fake street", limit=1, language=lang)
     assert res and res[0]["place_name"] == \
-        "Y 9B fake street, 12345, america"
+        "Y 9b fake street, 12345, america"
 
 
 def test_format_override_postcode(fmt_index):
