@@ -884,7 +884,13 @@ class PhrasematchCollector:
              lang_want: tuple[int, int] | None = None) -> None:
         c = index.pg_cols
         phashes = c.get("phash")
-        pen = _lang_penalties(index, c, rel, lang_want)
+        # category subqueries are language-universal — no cross-language
+        # penalty (language-universal-categories acceptance)
+        _layer0 = str(c["layer"][rel[0]])
+        if joined in index.layer_categories.get(_layer0, ()):
+            pen = np.ones(len(rel))
+        else:
+            pen = _lang_penalties(index, c, rel, lang_want)
         grids = [
             Grid(
                 x=int(c["x"][i]), y=int(c["y"][i]),

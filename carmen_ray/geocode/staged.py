@@ -236,8 +236,16 @@ class PackedCollector:
         # score3 is re-derived at verify, so its low bit carries the
         # cross-language mismatch flag instead — the exchange's 2-bit
         # relev bucket can't hold a ×0.96 float, so the penalty is
-        # re-applied after decode (coalesce_fast / the pm prune)
-        pen = _lang_penalties(index, c, rel, lang_want)
+        # re-applied after decode (coalesce_fast / the pm prune).
+        # Category subqueries are language-universal (no penalty —
+        # language-universal-categories acceptance).
+        import numpy as _np
+
+        _layer0 = str(c["layer"][rel[0]])
+        if joined in index.layer_categories.get(_layer0, ()):
+            pen = _np.ones(len(rel))
+        else:
+            pen = _lang_penalties(index, c, rel, lang_want)
         packed = gridmod.encode(
             c["x"][rel], c["y"][rel], c["relev"][rel],
             (pen < 1.0).astype(np.int64),

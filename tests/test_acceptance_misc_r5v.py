@@ -45,3 +45,36 @@ def test_proximity_beats_squishy(prox_squishy_index):
                       limit=3)
     assert [r["feature_id"] for r in res] == ["poi.1", "place.1",
                                               "country.1"]
+
+
+def test_category_terms_language_universal(ray_session):
+    """geocode-unit.language-universal-categories.js: under a ru flag,
+    default-text matches take the penalty but a geocoder_categories
+    term ('coffee') is language-universal — relevance stays 1."""
+    from carmen_ray.config import GeocoderConfig, LayerConfig
+    from carmen_ray.geocode.engine import forward_one
+    from acceptance_util import tile_box, tile_center, tiles_poly
+
+    C30 = tile_center(6, 30, 30)
+    cfg = GeocoderConfig(layers={
+        "country": LayerConfig("country", zoom=6,
+                               geocoder_languages=["en", "es", "ru",
+                                                   "zh_Latn"],
+                               geocoder_categories=["coffee"])})
+    ix = build_acceptance_index([
+        ("country.2", _mk_spans([
+            ("text", "Russian Federation, Rossiyskaya Federatsiya,coffee",
+             ""),
+            ("lang:ru", "Российская Федерация", ""),
+            ("lang:zh_Latn", "Elousi", ""),
+            ("geom", tiles_poly(tile_box(6, 30, 30)), ""),
+            ("center", f"{C30[0]},{C30[1]}", ""),
+            ("stack", "ru", "")])),
+    ], cfg)
+    for q in ["russia", "rossiyskaya"]:
+        res = forward_one(ix, q, limit=1, language="ru")
+        assert res and res[0]["feature_id"] == "country.2"
+        assert res[0]["relevance"] < 1, q
+    res = forward_one(ix, "coffee", limit=1, language="ru")
+    assert res and res[0]["feature_id"] == "country.2"
+    assert res[0]["relevance"] >= 1
