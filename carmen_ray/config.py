@@ -129,6 +129,14 @@ class LayerConfig:
     # 356-369): 'first' | 'last'; address subqueries whose house number
     # sits at the other end take a 0.99 weight penalty
     geocoder_expected_number_order: str | None = None
+    # geocoder_format / geocoder_format_{lang} (index.js:174-199,
+    # format-features.js getFormatString): SOURCE-level place_name
+    # templates with {{type.name}} / {{type.number}} placeholders,
+    # applied to results whose feature belongs to this layer (a
+    # per-feature carmen:format still wins; the address-format
+    # acceptance)
+    geocoder_format: str | None = None
+    geocoder_formats: dict = field(default_factory=dict)
     # geocoder_intersection_token (index.js five hits, phrasematch.js:
     # 204-206): the joining word that triggers intersection
     # permutations for this source ("X <token> Y" → "+intersection X ,

@@ -159,6 +159,8 @@ class IndexData:
         self.layer_expected_number_order: dict[str, str] = {}
         # geocoder_address_order (verifymatch.js:748,933)
         self.layer_address_order: dict[str, str] = {}
+        # source-level geocoder_format templates (index.js:174-199)
+        self.layer_formats: dict[str, dict] = {}
         # intersection joining tokens (geocoder_intersection_token);
         # the engine keeps "and" as a default so unconfigured corpora
         # still match "X and Y" (the reference generates intersection
@@ -212,6 +214,13 @@ class IndexData:
                 ao = getattr(lc, "geocoder_address_order", "ascending")
                 if ao and ao != "ascending":
                     self.layer_address_order[lname] = str(ao)
+                lf = getattr(lc, "geocoder_format", None)
+                lfs = getattr(lc, "geocoder_formats", None) or {}
+                if lf or lfs:
+                    fmts = {str(k): str(v) for k, v in lfs.items()}
+                    if lf:
+                        fmts["default"] = str(lf)
+                    self.layer_formats[lname] = fmts
                 it = getattr(lc, "geocoder_intersection_token", None)
                 if it:
                     self.intersection_tokens.add(str(it))
@@ -2068,9 +2077,14 @@ def render_feature_format(index, feature, display, ctx, ctx_names,
     feature authors no format (callers fall back to the config/source
     format path)."""
     fj = getattr(feature, "formats_json", "") or ""
-    if not fj:
-        return None
-    fmts = json.loads(fj)
+    if fj:
+        fmts = json.loads(fj)
+    else:
+        # fall back to the SOURCE-level geocoder_format templates
+        # (getFormatString; the address-format acceptance)
+        fmts = index.layer_formats.get(str(feature.layer))
+        if not fmts:
+            return None
     tmpl = None
     if language:
         lbl = closest_lang_label(str(language).replace("-", "_"),
